@@ -1,0 +1,71 @@
+"""Pure column-expression re-implementations of the reference's scalar
+logic (SURVEY.md §2.A / §2.C). Everything here is a Catalyst expression
+— whole-stage-codegen'd, no Python in the hot path, and 1:1 translatable
+to ANSI SQL for the DuckDB oracle.
+
+Correctness traps preserved (SURVEY.md §2.C):
+  1. year regex is range-bounded 1950-2099 (fetch_legal_docs.py:27)
+  2. searched only within text[:1000]; first match wins
+  3. no-match yields '' (string sentinel), never null
+  4. %20→_ after splitext, then _→' ' for the title — two steps, ordered
+  5. content-type check is substring containment, not equality
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fetch_legal_docs.py:27 — 1950-2099 only. A naive \d{4} is wrong.
+YEAR_REGEX = r"\b(19[5-9]\d|20\d{2})\b"
+YEAR_SCAN_LIMIT = 1000  # fetch_legal_docs.py:27 searches text[:1000]
+
+
+def extract_year(text: Column) -> Column:
+    """A-13: first in-range year within the first 1000 chars, '' if none.
+
+    regexp_extract returns '' on no-match — exactly the reference's
+    empty-string sentinel (fetch_legal_docs.py:29-30).
+    """
+    return F.regexp_extract(
+        F.substring(text, 1, YEAR_SCAN_LIMIT), YEAR_REGEX, 1
+    )
+
+
+def base_name_from_url(url: Column) -> Column:
+    """A-10: basename → splitext → %20→_  (order matters, §2.C-4).
+
+    fetch_legal_docs.py:35-38: basename(urlparse(url).path), strip the
+    extension, then replace('%20','_') on the base only.
+    """
+    path = F.regexp_replace(url, r"[?#].*$", "")  # urlparse().path drops query/fragment
+    base = F.regexp_extract(path, r"([^/]+)$", 1)
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    return F.regexp_replace(stem, "%20", "_")
+
+
+def title_from_base_name(base_name: Column) -> Column:
+    """A-14 title: underscores → spaces (fetch_legal_docs.py:75)."""
+    return F.regexp_replace(base_name, "_", " ")
+
+
+def absolutize_url(href: Column, base_url: str) -> Column:
+    """A-3: prefix relative hrefs (scrape_pdf_links.py:14)."""
+    return F.when(href.startswith("http"), href).otherwise(
+        F.concat(F.lit(base_url), href)
+    )
+
+
+def resource_type(filename: Column) -> Column:
+    """A-17: vol* → cassation_decision, else statute (auto_ingest.yml:24-29)."""
+    return F.when(filename.startswith("vol"), F.lit("cassation_decision")).otherwise(
+        F.lit("statute")
+    )
+
+
+def is_pdf_content_type(content_type: Column) -> Column:
+    """A-8: substring containment, not equality (fetch_legal_docs.py:52).
+
+    'application/pdf;charset=binary' must pass.
+    """
+    return content_type.contains("application/pdf")

@@ -1,0 +1,235 @@
+"""Deduplication operators over `documents` (driver mandate: exact,
+MinHash+LSH, SimHash, n-gram Jaccard; embedding near-dup lives in
+similarity.py).
+
+Scale notes (the 100 TB story):
+- exact dedup: hash-groupBy on sha2(text) — one shuffle keyed by a
+  uniformly distributed 256-bit digest; zero skew by construction.
+  Never dropDuplicates on the raw text column at scale (wide shuffle
+  rows); shuffle the 32-byte digest, keep doc_id, re-join if the
+  payload is needed.
+- MinHash LSH: shingle → sparse vector → banded min-hash; candidate
+  pairs come from equi-joins on band buckets (pyspark.ml's
+  approxSimilarityJoin), so cost is ~|bucket collisions|, not n².
+- SimHash: vectorized pandas UDF producing a 64-bit signature; near-
+  dup = signatures within small Hamming distance, found by banding
+  the 64 bits into 4×16-bit equi-join keys (exactly how one survives
+  100 TB: only equi-join shuffles, no pairwise scan).
+- n-gram Jaccard: exact verification metric, run on candidate pairs
+  (here: bounded id window) — never as a full cross join.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY text
+    """,
+    doc="exact dedup by full text: keep lowest doc_id per group",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    ).select("keeper_doc_id", "dup_cnt")
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT SHA256(text)  AS text_sha,
+           MIN(doc_id)   AS keeper_doc_id,
+           COUNT(*)      AS dup_cnt
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+    doc="exact dedup by content digest — the 100 TB variant (shuffle "
+    "32-byte digests, not documents)",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+@register(
+    "dedup_distinct_pairs",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    doc="dropDuplicates on a column subset",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    """,
+    doc="token-set Jaccard similarity on candidate pairs (exact "
+    "verification stage of a near-dup pipeline; candidates bounded "
+    "by id window + language blocking — never a full cross join)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # LSH candidate generation is engine-specific -> rows-only
+    doc="MinHash LSH near-dup candidates (shingle → HashingTF → banded "
+    "min-hash → bucket equi-join) via pyspark.ml, threshold 0.6 "
+    "Jaccard distance; property tests assert symmetry & self-match",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    words = tok.transform(docs)
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(words).where(F.size("words") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """SimHash 64-bit signatures via a vectorized pandas UDF (Arrow
+    batches, numpy bit-twiddling — the sanctioned Python path).
+
+    Used by dedup_simhash_band below and directly testable.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = (1 << 64) - 1
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def fnv1a(tok: str) -> int:
+            # FNV-1a 64-bit, portable & deterministic (no murmur dep)
+            h = 1469598103934665603
+            for ch in tok.encode("utf-8"):
+                h = ((h ^ ch) * 1099511628211) & mask
+            return h
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in (t or "").split(" "):
+                bits = (np.uint64(fnv1a(tok)) >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig  # wrap to signed
+        return pd.Series(out)
+
+    return docs.withColumn("simhash", simhash64(F.col("text")))
+
+
+@register(
+    "dedup_simhash_band",
+    oracle=None,  # murmur-free but pandas-UDF-backed -> rows-only
+    doc="SimHash near-dup: 64-bit signature (pandas UDF), banded into "
+    "4×16-bit keys, candidates = equi-join on any band, verified by "
+    "Hamming distance ≤ 3. Equi-join banding is what scales: the "
+    "shuffle key is the band value, never a pairwise comparison.",
+)
+def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )

@@ -1,0 +1,194 @@
+"""The reference's ingest pipeline re-architected as one lazy DataFrame
+graph (SURVEY.md §3 entry points 1-3):
+
+  links → anti-join(done) → fetch → content-type filter → extract
+        → empty filter (rejects routed, not deleted) → doc projection
+
+The reference iterates URLs one at a time in a single thread
+(`fetch_legal_docs.py:32`, `import requests.py:120-121`); here the
+link set is a DataFrame and fetch/extract are Arrow-batched
+mapInPandas stages — parallelism is the partition count.
+
+Network and PDF-codec access are injectable (fetcher/extractor
+callables) so the pipeline is offline-testable (FIXTURES.md §2.3) and
+codec-agnostic (pdfplumber vs PyMuPDF, both in the reference's
+requirements.txt, may be absent here — SURVEY.md §7 hard-part (a)).
+
+Fetch and extract are SEPARATE stages (repartitioned between) so
+CPU-heavy extraction stragglers don't hold HTTP connections open
+(SURVEY.md §4 physical-design note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.functions.text import (
+    base_name_from_url,
+    is_pdf_content_type,
+)
+from ethiopia_legal_etl_spark.operators.etl import build_document_record
+
+FETCHED_SCHEMA = "url string, status int, content_type string, body binary, error string"
+EXTRACTED_SCHEMA = "url string, content string, error string"
+
+# fetcher: url -> (status, content_type, body bytes); raises on error
+Fetcher = Callable[[str], tuple[int, str, bytes]]
+# extractor: pdf bytes -> list of page texts; raises on parse error
+Extractor = Callable[[bytes], list[str]]
+
+
+def default_fetcher(url: str) -> tuple[int, str, bytes]:
+    """Production fetcher (requests, 60s timeout like
+    import requests.py:64). One Session per partition is created in
+    fetch_stage — connection reuse, the reference's only concurrency
+    trick (import requests.py:118), kept per-partition here."""
+    import requests  # deferred: executors only
+
+    resp = requests.get(url, timeout=60)
+    resp.raise_for_status()
+    return resp.status_code, resp.headers.get("Content-Type", ""), resp.content
+
+
+def default_extractor(body: bytes) -> list[str]:
+    """pdfplumber first, PyMuPDF fallback (reference requirements.txt
+    has both). Raises ImportError if neither is available — tests
+    inject a fake."""
+    try:
+        import io
+
+        import pdfplumber
+
+        with pdfplumber.open(io.BytesIO(body)) as pdf:
+            return [p.extract_text() or "" for p in pdf.pages]
+    except ImportError:
+        pass
+    import fitz  # PyMuPDF
+
+    with fitz.open(stream=body, filetype="pdf") as doc:
+        return [page.get_text() for page in doc]
+
+
+def incremental_skip(links: DataFrame, done_base_names: DataFrame) -> DataFrame:
+    """A-6: drop links whose JSON output already exists. Keys on the
+    SINK name (base_name), not the PDF — §2.C-6: a downloaded-but-
+    unparsed PDF is re-fetched, exactly like the reference."""
+    keyed = links.withColumn("base_name", base_name_from_url(F.col("url")))
+    return keyed.join(done_base_names, "base_name", "left_anti")
+
+
+def fetch_stage(links: DataFrame, fetcher: Fetcher | None = None) -> DataFrame:
+    """A-7: per-row HTTP fetch in mapInPandas; errors isolated per
+    record (A-19 — fetch_legal_docs.py:93-96) into an `error` column
+    instead of killing the job."""
+    import pandas as pd
+
+    fetch = fetcher or default_fetcher
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                try:
+                    status, ctype, body = fetch(url)
+                    rows.append((url, status, ctype, body, None))
+                except Exception as exc:  # per-record isolation (A-19)
+                    rows.append((url, None, None, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=["url", "status", "content_type", "body", "error"]
+            )
+
+    return links.select("url").mapInPandas(run, schema=FETCHED_SCHEMA)
+
+
+def content_type_filter(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A-8: keep responses whose Content-Type CONTAINS application/pdf
+    (substring, not equality — §2.C-5); everything else → rejects."""
+    ok_pred = F.col("error").isNull() & is_pdf_content_type(
+        F.coalesce(F.col("content_type"), F.lit(""))
+    )
+    ok = fetched.where(ok_pred)
+    rejects = fetched.where(~ok_pred | ok_pred.isNull())
+    return ok, rejects
+
+
+def extract_stage(
+    fetched: DataFrame, extractor: Extractor | None = None
+) -> DataFrame:
+    """A-11: PDF → text. Batch-script semantics: drop EMPTY pages
+    before joining with \\n (fetch_legal_docs.py:62-64) — NOT the
+    mcp_server variant that keeps them (§2.C-3)."""
+    import pandas as pd
+
+    extract = extractor or default_extractor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                try:
+                    pages = extract(bytes(body))
+                    content = "\n".join(p for p in pages if p)  # drop empties
+                    rows.append((url, content, None))
+                except Exception as exc:
+                    rows.append((url, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(rows, columns=["url", "content", "error"])
+
+    return fetched.select("url", "body").mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def ingest_pipeline(
+    links: DataFrame,
+    done_base_names: DataFrame,
+    fetcher: Fetcher | None = None,
+    extractor: Extractor | None = None,
+    ingest_date: str | None = None,
+    fetch_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full A-pipeline; returns (documents, rejects).
+
+    rejects carries (url, stage, error) — the engine's replacement for
+    the reference's silent drop (§2.C-8).
+    """
+    todo = incremental_skip(links, done_base_names)
+    if fetch_partitions:
+        # spread network/CPU work; the reference's loop is n=1
+        todo = todo.repartition(fetch_partitions, "url")
+
+    fetched = fetch_stage(todo, fetcher)
+    pdf_ok, ct_rejects = content_type_filter(fetched)
+
+    extracted = extract_stage(pdf_ok, extractor)
+    nonempty = extracted.where(
+        F.col("error").isNull() & (F.trim(F.col("content")) != "")
+    )
+    ex_rejects = extracted.where(
+        F.col("error").isNotNull() | (F.trim(F.col("content")) == "")
+    )
+
+    docs = build_document_record(
+        nonempty.withColumn("sourceURL", F.col("url")),
+        url_col="sourceURL",
+        content_col="content",
+        ingest_date=ingest_date,
+    )
+    rejects = ct_rejects.select(
+        "url", F.lit("fetch/content-type").alias("stage"),
+        F.coalesce("error", F.concat(F.lit("not pdf: "), "content_type")).alias("error"),
+    ).unionByName(
+        ex_rejects.select(
+            "url", F.lit("extract/empty").alias("stage"),
+            F.coalesce("error", F.lit("empty document")).alias("error"),
+        )
+    )
+    return docs, rejects
+
+
+def write_documents_json(docs: DataFrame, path: str) -> None:
+    """A-15 sink: JSONL (idiomatic Spark; the reference writes one
+    pretty-printed file per doc, fetch_legal_docs.py:88-89 — same
+    records, distributed layout)."""
+    docs.write.mode("overwrite").json(path)

@@ -1,0 +1,77 @@
+"""Query registry: name -> (Spark builder, optional DuckDB oracle SQL).
+
+Contract (driver harness, __spark_entry__.py):
+- builder(spark, sf_dir) -> DataFrame, every computed column aliased;
+- oracle: equivalent ANSI SQL over the same parquet tables, aliases
+  matching the Spark output EXACTLY (the driver sorts columns by name
+  and hashes values);
+- oracle=None for non-SQL-expressible ops (LSH, binary plumbing,
+  stateful streaming) -> driver records a rows-only check.
+
+Float policy: any double aggregate is rounded (2dp for money-scale
+sums, 4-6dp for ratios/averages/cosines) on BOTH sides, so last-ulp
+summation-order differences between engines can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Builder
+    oracle: str | None = None  # None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a builder to the global registry.
+
+    Builders are wrapped so the engine's runtime confs (UTC session
+    timezone, ns-parquet handling, AQE, Arrow) are applied to WHATEVER
+    SparkSession the caller passes — the driver harness constructs its
+    own session without our builder defaults.
+    """
+
+    def wrap(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+
+        import functools
+
+        @functools.wraps(fn)
+        def confed(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ethiopia_legal_etl_spark.session import ensure_session_confs
+
+            return fn(ensure_session_confs(spark), sf_dir)
+
+        REGISTRY[name] = Query(name=name, builder=confed, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every operator module (side effect: registration) and
+    return the merged registry."""
+    from ethiopia_legal_etl_spark.operators import (  # noqa: F401
+        dedup,
+        etl,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
+    from ethiopia_legal_etl_spark.streaming import windows  # noqa: F401
+
+    return dict(REGISTRY)

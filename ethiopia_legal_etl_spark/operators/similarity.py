@@ -1,0 +1,235 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Driver mandate: brute-force cosine top-k as the correctness baseline;
+LSH-bucketed and IVF-style variants as the scale path.
+
+Scale notes:
+- Brute force is queries × corpus. It is the right plan when |queries|
+  is small: broadcast the queries, stream the corpus once, per-query
+  top-k via window. Never collect() the corpus.
+- BucketedRandomProjectionLSH / IVF cut the scanned fraction: candidates
+  come from equi-joins on bucket/centroid keys. At 100 TB the corpus is
+  bucketed+partitioned by those keys on write, so a query touches only
+  its buckets (partition pruning does the rest).
+- All dot/norm math is built-in array expressions (zip_with/aggregate)
+  on double-cast arrays — JVM-side, no Python in the scan loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2,
+           label
+    FROM embeddings
+    """,
+    doc="vector plumbing: dimension + L2 norm per embedding",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2norm(e), 4).alias("l2"),
+        "label",
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+                  LIST_COSINE_SIMILARITY(
+                    LIST_TRANSFORM(q.q_emb, x -> CAST(x AS DOUBLE)),
+                    LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.q_id
+         ),
+         ranked AS (
+           SELECT q_id, vec_id, cos_raw,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_raw DESC, vec_id) AS rn
+           FROM scored
+         )
+    SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos_sim, rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="brute-force cosine top-10 per query vector (queries broadcast, "
+    "corpus streamed once, per-query heap via window)",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(as_double(F.col("q_emb")), as_double(F.col("embedding"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 10")
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )
+
+
+@register(
+    "embedding_near_dup_cosine",
+    oracle="""
+    WITH d AS (SELECT vec_id, label,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 4) AS cos_sim
+    FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.e, b.e) > 0.9
+    """,
+    doc="embedding-cosine near-dup on candidate pairs, blocked by "
+    "cluster label (the IVF-style blocking key)",
+)
+def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = d.alias("a")
+    b = d.alias("b")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos > 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=None,  # LSH buckets are engine-specific -> rows-only
+    doc="BucketedRandomProjectionLSH ANN: bucketed candidates then exact "
+    "cosine re-rank — the scale path (equi-join on bucket keys only). "
+    "Recall vs brute force asserted in property tests.",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(feats)
+    q = feats.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    pairs = model.approxSimilarityJoin(q, feats, 3.0, distCol="l2_dist")
+    return (
+        pairs.where(F.col("datasetA.q_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.q_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            F.round(F.col("l2_dist"), 4).alias("l2_dist"),
+        )
+    )
+
+
+@register(
+    "similarity_ivf_by_label",
+    oracle=None,  # centroid assignment drives candidate set -> rows-only
+    doc="IVF-style ANN: per-label centroids (one agg), probe the nearest "
+    "nprobe=2 centroids per query, exact cosine within probed cells. "
+    "At 100 TB the corpus is written partitioned by label so probing "
+    "prunes partitions at the scan.",
+)
+def similarity_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    # centroids: elementwise mean per label via posexplode + re-assemble
+    cent = (
+        emb.select("label", F.posexplode(e).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), e.alias("q_emb")
+    )
+    # probe: nprobe=2 nearest centroids per query
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select("q_id", "q_emb", "c_label", cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), "c_label")
+    probed = qc.withColumn("rn", F.row_number().over(w)).where("rn <= 2").select(
+        "q_id", "q_emb", "c_label"
+    )
+    cand = probed.join(
+        emb.select("vec_id", "label", e.alias("c_emb")),
+        probed.c_label == F.col("label"),
+    ).where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where("rn <= 10")
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )

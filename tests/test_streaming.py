@@ -1,0 +1,99 @@
+"""True Structured Streaming tests: file source + availableNow trigger,
+asserting the streaming results match the batch twins (which are
+DuckDB-oracle-checked) — plus stateful dedup and custom state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.sources.tables import load_table
+from ethiopia_legal_etl_spark.streaming.windows import (
+    streaming_dedup_within_watermark,
+    streaming_tumbling_counts,
+    streaming_user_running_state,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a parquet directory a stream can read
+    (testdata itself is a single file; streams want a directory)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_to_memory(spark, sdf, name: str, output_mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = read_stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark, streaming_tumbling_counts(stream), "t_tumbling", "append"
+    ).collect()
+    from ethiopia_legal_etl_spark.streaming.windows import stream_tumbling_window
+
+    want = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in stream_tumbling_window(spark, sf_dir).collect()
+    }
+    got_map = {
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]): (
+            r["cnt"],
+            r["sum_value"],
+        )
+        for r in got
+    }
+    # every emitted window matches the batch twin exactly
+    assert got_map.items() <= want.items()
+    # append mode correctly withholds only windows still open at the
+    # final watermark (nothing after them advances event time)
+    missing = sorted(set(want) - set(got_map))
+    max_start = max(k[0] for k in want)
+    assert all(k[0] >= max_start for k in missing) and len(missing) <= 2
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir):
+    stream = read_stream(spark, events_stream_dir)
+    doubled = stream.union(stream)  # duplicate every event
+    deduped = streaming_dedup_within_watermark(doubled)
+    got = run_to_memory(spark, deduped, "t_dedup", "append")
+    n_src = spark.read.parquet(events_stream_dir).count()
+    assert got.count() == n_src  # exactly one row per event_id
+
+
+def test_streaming_custom_state_running_totals(spark, events_stream_dir):
+    stream = read_stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark, streaming_user_running_state(stream), "t_state", "update"
+    )
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 2)) for r in batch.collect()}
+    # final state per user (availableNow processes everything in order;
+    # take the max-count row per user as the last emission)
+    rows = got.collect()
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
+    assert final == want

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate: run every registered
+query in Spark and its oracle in DuckDB at a given sf_dir; compare
+row-count + column names + order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ethiopia_legal_etl_spark.operators.registry import all_queries  # noqa: E402
+from ethiopia_legal_etl_spark.schemas import TABLE_NAMES  # noqa: E402
+from ethiopia_legal_etl_spark.session import get_spark  # noqa: E402
+
+
+def normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
+    failures = 0
+    qs = all_queries()
+    names = only or sorted(qs)
+    for name in names:
+        q = qs[name]
+        try:
+            sdf = q.builder(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"rows-only {name}: {len(s_rows)} rows")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        s_cnt, s_hash = frame_hash([c.lower() for c in s_cols], s_rows)
+        d_cnt, d_hash = frame_hash(d_cols, d_rows)
+        if sorted(c.lower() for c in s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            failures += 1
+        elif s_cnt != d_cnt:
+            print(f"FAIL {name}: rowcount spark={s_cnt} duckdb={d_cnt}")
+            failures += 1
+        elif s_hash != d_hash:
+            print(f"FAIL {name}: value hash mismatch ({s_cnt} rows)")
+            # print a tiny diff sample
+            s_set = {
+                "\x1f".join(
+                    normalize_cell(r[i])
+                    for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
+                )
+                for r in s_rows
+            }
+            d_set = {
+                "\x1f".join(
+                    normalize_cell(r[i])
+                    for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                )
+                for r in d_rows
+            }
+            for line in list(s_set - d_set)[:3]:
+                print(f"  spark-only: {line!r}")
+            for line in list(d_set - s_set)[:3]:
+                print(f"  duck-only:  {line!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {s_cnt} rows hash={s_hash}")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = args[1:] if args and "/" in args[0] else args
+    sys.exit(1 if run(sf_dir, only) else 0)
