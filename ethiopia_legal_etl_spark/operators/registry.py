@@ -69,6 +69,7 @@ def all_queries() -> dict[str, Query]:
         etl,
         multimodal,
         relational,
+        relational2,
         similarity,
         textstats,
     )

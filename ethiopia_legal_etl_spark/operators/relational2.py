@@ -1,0 +1,499 @@
+"""Relational wave 2: subqueries (EXISTS / scalar / HAVING), TPC-H
+Q4/Q6/Q13/Q18 shapes, argmax-per-group, pivot, windows over
+aggregates (month-over-month), exact percentiles, multiset EXCEPT ALL,
+posexplode, and the SQL-string surface (spark.sql over temp views,
+GROUPING SETS, SQL-registered UDFs).
+
+Same float policy as wave 1 (registry.py): exact decimal sums cast to
+double; divisions of identical doubles; no per-row round-ties.
+Note: no `from __future__ import annotations` here — pandas_udf
+resolves real type-hint objects, not postponed strings.
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+def _rev_dec():
+    return (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    )
+
+
+# --------------------------------------------------------------------
+# HAVING + aggregate filter
+# --------------------------------------------------------------------
+@register(
+    "having_active_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+    doc="HAVING: customers with >= 12 orders",
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+# --------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape): order priority counts for orders
+# having at least one line shipped after the order date.
+# Scale: planned as a left-semi join — no per-row subquery execution.
+# --------------------------------------------------------------------
+@register(
+    "exists_late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_cnt
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="correlated EXISTS via semi join (TPC-H Q4 shape)",
+)
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_cnt"))
+
+
+# --------------------------------------------------------------------
+# Scalar subquery: customers above the global average balance.
+# Scale: the scalar aggregate is one tiny job whose result broadcasts
+# into the filter — never a per-row recomputation.
+# --------------------------------------------------------------------
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    doc="scalar subquery in a filter predicate",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("v_customer_scalar")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM v_customer_scalar
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer_scalar)
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q6: forecast revenue — the simplest pushdown showcase, written
+# through the SQL surface (spark.sql over a temp view).
+# --------------------------------------------------------------------
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 via the SQL-string surface; every predicate pushed "
+    "to the parquet scan",
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q6")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM v_lineitem_q6
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of customers by order count
+# (left join + two-level aggregation).
+# --------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT order_cnt, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY order_cnt
+    """,
+    doc="TPC-H Q13: customer distribution by order count",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --------------------------------------------------------------------
+# TPC-H Q18 shape: large orders (HAVING over a join, then re-join for
+# detail). Scale: the qualifying-key set is tiny → AQE broadcasts it.
+# --------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price, big.total_qty
+    FROM orders JOIN big ON o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18: orders whose total quantity exceeds a threshold",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "total_qty",
+    )
+
+
+# --------------------------------------------------------------------
+# Argmax per group without a window: join back on the per-group max.
+# Ties keep ALL argmax rows (deterministic on both engines, unlike
+# max_by/arg_max which break ties arbitrarily).
+# --------------------------------------------------------------------
+@register(
+    "argmax_customer_per_nation",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN (SELECT c_nationkey, MAX(c_acctbal) AS mx
+          FROM customer GROUP BY c_nationkey) m
+      ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.mx
+    """,
+    doc="argmax per group via agg + re-join (tie-preserving)",
+)
+def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mx = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.max("c_acctbal").alias("mx")
+    )
+    return cust.join(
+        F.broadcast(mx),
+        (cust.c_nationkey == mx.nk) & (cust.c_acctbal == mx.mx),
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+# --------------------------------------------------------------------
+# Pivot: order counts status × priority. Oracle = CASE aggregation
+# (engine-portable formulation of PIVOT).
+# --------------------------------------------------------------------
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')    AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="pivot (groupBy().pivot()) to fixed priority columns",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderstatus",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+    )
+
+
+# --------------------------------------------------------------------
+# Window over an aggregate: monthly revenue + month-over-month delta.
+# --------------------------------------------------------------------
+@register(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta
+    FROM monthly
+    """,
+    doc="window over aggregate: month-over-month revenue delta",
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    )
+
+
+# --------------------------------------------------------------------
+# Exact percentiles (sort-based; both engines interpolate identically
+# on identical doubles). approx_percentile stays rows-only by design.
+# --------------------------------------------------------------------
+@register(
+    "percentile_order_price",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           MIN(o_totalprice)                 AS min_price,
+           MAX(o_totalprice)                 AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="exact interpolated percentiles per group",
+)
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_price",
+    oracle=None,  # sketch-based estimate, engine-specific -> rows-only
+    doc="approx_percentile — the 100 TB path (bounded-memory sketch "
+    "instead of a full sort)",
+)
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Multiset EXCEPT ALL (wave 1 has distinct EXCEPT).
+# --------------------------------------------------------------------
+@register(
+    "exceptall_order_status",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus IN ('F','P')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT ALL multiset semantics (leftover multiplicity kept)",
+)
+def exceptall_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fp = orders.where(F.col("o_orderstatus").isin("F", "P")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.where("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    return fp.exceptAll(o)
+
+
+# --------------------------------------------------------------------
+# posexplode: token with position (A-11's page list generalized).
+# --------------------------------------------------------------------
+@register(
+    "posexplode_doc_tokens",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' '))                     AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="posexplode: ordinal-position token expansion",
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+# --------------------------------------------------------------------
+# Array scalar family (slice/sort/contains/index) over split tokens.
+# --------------------------------------------------------------------
+@register(
+    "array_ops_doc_tokens",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1]                                   AS first_token,
+           ARRAY_TO_STRING(list_sort(string_split(text, ' ')[1:5]), '|') AS first5_sorted,
+           LIST_CONTAINS(string_split(text, ' '), 'query')              AS has_query,
+           LEN(string_split(text, ' '))                                 AS n_tokens
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="array scalar family: index, slice, sort, contains",
+)
+def array_ops_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        toks.getItem(0).alias("first_token"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 5)), "|").alias("first5_sorted"),
+        F.array_contains(toks, "query").alias("has_query"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------
+# SQL surface: GROUPING SETS + GROUPING() marker.
+# --------------------------------------------------------------------
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           GROUPING(l_returnflag)  AS g_flag,
+           GROUPING(l_linestatus)  AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="SQL GROUPING SETS with GROUPING() markers via spark.sql",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT)  AS g_status
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# SQL-registered UDF surface: a pandas UDF registered for SQL use,
+# oracle-checked against the pure-SQL regexp equivalent (proving the
+# UDF reproduces the reference year semantics, fetch_legal_docs.py:21-30).
+# --------------------------------------------------------------------
+@register(
+    "sql_udf_year_extract",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(SUBSTRING(text, 1, 1000),
+                          '\\b(19[5-9]\\d|20\\d{2})\\b', 1) AS year
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="spark.udf.register + SQL invocation (Arrow-vectorized pandas "
+    "UDF mirroring the A-13 year regex)",
+)
+def sql_udf_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    year_re = re.compile(r"\b(19[5-9]\d|20\d{2})\b")
+
+    @pandas_udf("string")
+    def py_extract_year(texts: pd.Series) -> pd.Series:
+        def one(t):
+            m = year_re.search((t or "")[:1000])
+            return m.group(1) if m else ""
+
+        return texts.map(one)
+
+    spark.udf.register("py_extract_year", py_extract_year)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents_udf")
+    return spark.sql(
+        "SELECT doc_id, py_extract_year(text) AS year "
+        "FROM v_documents_udf WHERE doc_id < 200"
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic-seed sampling — engine-specific row pick -> rows-only;
+# property: sample size within binomial bounds (asserted in tests).
+# --------------------------------------------------------------------
+@register(
+    "sample_lineitem_fraction",
+    oracle=None,
+    doc="seeded Bernoulli sample (TABLESAMPLE analog); row membership "
+    "is engine-specific, size/bounds property-tested",
+)
+def sample_lineitem_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber")
+    )

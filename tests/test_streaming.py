@@ -77,6 +77,60 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     assert got.count() == n_src  # exactly one row per event_id
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Two runs against one checkpoint: run 2 carries an event OLDER
+    than the checkpointed watermark from run 1 → it must be dropped
+    from the (already emitted) 10:00 window."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt")
+    cols = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    on_time = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11, 0, 0), 1, "a", 1.0, "{}"),  # watermark → 10:50
+    ]
+    late = [
+        (3, dt.datetime(2024, 1, 1, 10, 1, 0), 1, "a", 1.0, "{}"),  # < watermark: late
+        (4, dt.datetime(2024, 1, 1, 11, 30, 0), 1, "a", 1.0, "{}"),
+    ]
+    spark.createDataFrame(on_time, cols).coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    sink = str(tmp_path / "sink")
+
+    def run_once() -> dict:
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            streaming_tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["window_start"].strftime("%H:%M"): r["cnt"]
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    first = run_once()
+    assert first.get("10:00") == 1  # emitted once watermark (10:50) passed 10:10
+
+    spark.createDataFrame(late, cols).coalesce(1).write.mode("append").parquet(d)
+    second = run_once()  # same checkpoint: watermark recovered
+    # late event 3 (10:01 < checkpointed watermark) silently dropped:
+    # the 10:00 window keeps count 1 and no new 10:00 row appears
+    assert second.get("10:00") == 1
+    # on-time event 4 lands in state (11:30 window still open, withheld)
+    assert "11:30" not in second
+
+
 def test_streaming_custom_state_running_totals(spark, events_stream_dir):
     stream = read_stream(spark, events_stream_dir)
     got = run_to_memory(
