@@ -37,10 +37,23 @@ def base_name_from_url(url: Column) -> Column:
 
     fetch_legal_docs.py:35-38: basename(urlparse(url).path), strip the
     extension, then replace('%20','_') on the base only.
+
+    Regex notes (hypothesis-differential-tested vs os.path semantics):
+    - `\\z` not `$`: Java/RE2 `$` can match before a trailing newline;
+      `\\z` is true end-of-text in both engines.
+    - extension strip requires a NON-DOT char before the dot (capture,
+      not lookbehind — RE2 has no lookbehind): splitext('.pdf') keeps
+      the hidden-file name whole.
+    - `(?s)` so query/fragment stripping crosses newlines.
     """
-    path = F.regexp_replace(url, r"[?#].*$", "")  # urlparse().path drops query/fragment
-    base = F.regexp_extract(path, r"([^/]+)$", 1)
-    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    # urlparse strips tab/CR/LF before parsing (WHATWG unsafe chars)
+    clean = F.regexp_replace(url, r"[\t\r\n]", "")
+    path = F.regexp_replace(clean, r"(?s)[?#].*", "")  # urlparse().path: drop query/fragment
+    seg = F.regexp_extract(path, r"([^/]+)\z", 1)
+    # urlparse also splits `;params` (RFC 1808) off the LAST segment —
+    # which is exactly the basename
+    base = F.regexp_replace(seg, r"(?s);.*", "")
+    stem = F.regexp_replace(base, r"([^.])\.[^.]*\z", r"$1")
     return F.regexp_replace(stem, "%20", "_")
 
 

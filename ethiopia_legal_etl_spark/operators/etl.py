@@ -127,11 +127,11 @@ def doc_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       REPLACE(REGEXP_REPLACE(REGEXP_EXTRACT(
           CONCAT('https://fsc.example.et/files/', source, '/vol%20',
                  CAST(doc_id AS VARCHAR), '.pdf'),
-          '([^/]+)$', 1), '\\.[^.]*$', ''), '%20', '_')  AS base_name,
+          '([^/]+)\\z', 1), '([^.])\\.[^.]*\\z', '\\1'), '%20', '_')  AS base_name,
       REPLACE(REPLACE(REGEXP_REPLACE(REGEXP_EXTRACT(
           CONCAT('https://fsc.example.et/files/', source, '/vol%20',
                  CAST(doc_id AS VARCHAR), '.pdf'),
-          '([^/]+)$', 1), '\\.[^.]*$', ''), '%20', '_'), '_', ' ') AS title,
+          '([^/]+)\\z', 1), '([^.])\\.[^.]*\\z', '\\1'), '%20', '_'), '_', ' ') AS title,
       REGEXP_EXTRACT(SUBSTRING(text, 1, 1000),
                      '\\b(19[5-9]\\d|20\\d{{2}})\\b', 1)          AS year,
       '{DEFAULT_INGEST_DATE}'                                     AS dateIngested,

@@ -70,6 +70,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         textstats,
     )

@@ -1,0 +1,161 @@
+"""Wave 3: remaining §2.B surface — ntile/percent_rank/cume_dist
+windows, map-typed columns, the A-2 HTML link-extraction operator as
+pure SQL (regexp_extract_all + explode), and multi-format source
+round-trips (CSV/JSON/text scans).
+
+Note: no `from __future__ import annotations` (pandas_udf hint rule).
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.functions.text import absolutize_url
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+@register(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4)       OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    doc="distribution windows: ntile / percent_rank / cume_dist",
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "map_ops_user_stats",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'error'    THEN cnt END) AS error_cnt,
+           MAX(CASE WHEN event_type = 'purchase' THEN cnt END) AS purchase_cnt,
+           COUNT(*) AS n_types
+    FROM per_type
+    GROUP BY user_id
+    """,
+    doc="map-typed column: per-user event_type→count map built with "
+    "map_from_entries, read back with element_at (oracle = the "
+    "engine-portable CASE pivot of the same lookup)",
+)
+def map_ops_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.element_at("type_counts", "error").alias("error_cnt"),
+        F.element_at("type_counts", "purchase").alias("purchase_cnt"),
+        F.size("type_counts").alias("n_types"),
+    )
+
+
+@register(
+    "html_link_extraction",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             CONCAT('<html><body>',
+                    '<a href="/files/doc', CAST(doc_id AS VARCHAR), '.pdf">d</a>',
+                    '<a href="https://cdn.example.et/x', CAST(doc_id AS VARCHAR), '.pdf">x</a>',
+                    '<a href="/about.html">about</a>',
+                    '</body></html>') AS html
+      FROM documents WHERE doc_id < 100
+    ),
+    hrefs AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+      FROM pages
+    )
+    SELECT doc_id,
+           CASE WHEN href LIKE 'http%' THEN href
+                ELSE CONCAT('https://fsc.example.et', href) END AS url
+    FROM hrefs
+    WHERE href LIKE '%.pdf'
+    """,
+    doc="A-2/A-3 as pure SQL: extract hrefs from HTML with "
+    "regexp_extract_all + explode, keep *.pdf, absolutize relatives "
+    "(scrape_pdf_links.py:12-14 re-expressed without a parser UDF)",
+)
+def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><a href="/files/doc'),
+            F.col("doc_id").cast("string"),
+            F.lit('.pdf">d</a><a href="https://cdn.example.et/x'),
+            F.col("doc_id").cast("string"),
+            F.lit('.pdf">x</a><a href="/about.html">about</a></body></html>'),
+        ).alias("html"),
+    )
+    hrefs = pages.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), 1)).alias(
+            "href"
+        ),
+    )
+    return hrefs.where(F.col("href").endswith(".pdf")).select(
+        "doc_id",
+        absolutize_url(F.col("href"), "https://fsc.example.et").alias("url"),
+    )
+
+
+@register(
+    "source_roundtrip_formats",
+    oracle=None,  # writes/reads scratch files -> rows-only
+    doc="CSV + JSONL + text source/sink round-trip: documents subset "
+    "written and re-read in each format with explicit schemas, counts "
+    "reconciled (SURVEY §2.B scans/sinks row)",
+)
+def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "lang", "n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="elel_spark_rt_")
+    docs.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    docs.write.mode("overwrite").json(f"{base}/json")
+    docs.select(F.col("doc_id").cast("string")).write.mode("overwrite").text(
+        f"{base}/text"
+    )
+    csv_n = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("header", True)
+        .csv(f"{base}/csv")
+        .count()
+    )
+    json_n = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .json(f"{base}/json")
+        .count()
+    )
+    text_n = spark.read.text(f"{base}/text").count()
+    src_n = docs.count()
+    return spark.createDataFrame(
+        [("csv", csv_n, src_n), ("json", json_n, src_n), ("text", text_n, src_n)],
+        "fmt string, n_rows long, n_src long",
+    ).withColumn("roundtrip_ok", F.col("n_rows") == F.col("n_src"))
