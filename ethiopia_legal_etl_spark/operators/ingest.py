@@ -187,6 +187,87 @@ def ingest_pipeline(
     return docs, rejects
 
 
+def write_binary_files(df: DataFrame, out_dir: str,
+                       name_col: str = "base_name", body_col: str = "body") -> None:
+    """A-9 binary sink: persist payload bytes one file per row
+    (downloaded_pdfs/ analog, fetch_legal_docs.py:56-57) via
+    foreachPartition — executor-side writes, no driver collect."""
+
+    def write_partition(rows) -> None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            with open(os.path.join(out_dir, f"{row[name_col]}.pdf"), "wb") as fh:
+                fh.write(bytes(row[body_col]))
+
+    df.select(name_col, body_col).foreachPartition(write_partition)
+
+
+def ingest_single(
+    spark,
+    volume: str,
+    pdf_url: str,
+    fetcher: Fetcher | None = None,
+    extractor: Extractor | None = None,
+    ingest_date: str | None = None,
+) -> dict:
+    """A-20 service parity: POST /ingest semantics (mcp_server.py:17-43)
+    — ONE request through the same DataFrame graph as the batch path.
+
+    Variant semantics preserved (§2.C-3 and mcp_server.py:17-43):
+    - keeps empty pages as '' before the newline join
+      (`page.extract_text() or ""`, mcp_server.py:28), unlike batch;
+    - NO content-type check and no timeout guard (weaker than batch —
+      mcp_server.py:20-22);
+    - returns an error OBJECT on failure rather than dropping the
+      record (mcp_server.py:24,30);
+    - response record has NO year and NO tags fields (mcp_server.py:32-41).
+    """
+    links = spark.createDataFrame([(pdf_url,)], "url: string")
+    pdf_ok = fetch_stage(links, fetcher)  # no content-type filter: mcp parity
+
+    # mcp variant: keep empty pages (join with \n, no filter)
+    base_extract = extractor or default_extractor
+
+    def keep_empty(body: bytes) -> list[str]:
+        return [p or "" for p in base_extract(body)]
+
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                try:
+                    rows.append((url, "\n".join(keep_empty(bytes(body))), None))
+                except Exception as exc:
+                    rows.append((url, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(rows, columns=["url", "content", "error"])
+
+    extracted = pdf_ok.where(F.col("error").isNull()).select(
+        "url", "body"
+    ).mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    rows = extracted.collect()  # single-row path: collect IS the response
+    if not rows:
+        return {"error": "Download failed"}
+    if rows[0]["error"] is not None:
+        return {"error": f"PDF parse failed: {rows[0]['error']}"}
+    doc_row = (
+        build_document_record(
+            spark.createDataFrame(
+                [(pdf_url, rows[0]["content"])], "sourceURL string, content string"
+            ),
+            ingest_date=ingest_date,
+        )
+        .collect()[0]
+        .asDict(recursive=True)
+    )
+    doc_row["title"] = volume  # mcp_server uses the request's volume as title
+    del doc_row["year"], doc_row["tags"]  # absent from the mcp response shape
+    return doc_row
+
+
 def write_documents_json(docs: DataFrame, path: str) -> None:
     """A-15 sink: JSONL (idiomatic Spark; the reference writes one
     pretty-printed file per doc, fetch_legal_docs.py:88-89 — same

@@ -122,6 +122,64 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) + 0              AS qty_stddev,
+           ROUND(VAR_SAMP(l_discount), 6) + 0                 AS disc_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) + 0    AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0        AS disc_tax_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates: stddev/variance/correlation/covariance",
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # `+ 0` canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
+    # a rounded covariance of -0.0 must hash identically to 0.0
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), 4) + F.lit(0.0)).alias("qty_stddev"),
+        (F.round(F.var_samp("l_discount"), 6) + F.lit(0.0)).alias("disc_var"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "disc_tax_covar"
+        ),
+    )
+
+
+@register(
+    "skew_salted_aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="two-phase salted aggregation: groupBy (key, salt) partial agg "
+    "→ re-agg by key. The explicit skew-mitigation pattern for hot "
+    "keys at 100 TB (here l_returnflag has 3 values → every row is a "
+    "hot key); result provably identical to the direct groupBy via "
+    "the oracle. AQE skew handling covers joins; salting covers aggs "
+    "whose key cardinality is below the cluster's parallelism.",
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_part"),
+        F.count(F.lit(1)).alias("cnt_part"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("qty_part").cast("double").alias("sum_qty"),
+        F.sum("cnt_part").alias("cnt"),
+    )
+
+
+@register(
     "source_roundtrip_formats",
     oracle=None,  # writes/reads scratch files -> rows-only
     doc="CSV + JSONL + text source/sink round-trip: documents subset "

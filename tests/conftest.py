@@ -20,8 +20,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="ethiopia-legal-etl-spark-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    spark = get_spark(
+        app_name="ethiopia-legal-etl-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf: must be set at session creation (bucketed tables)
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     yield spark
 
 

@@ -105,6 +105,54 @@ def test_full_pipeline_documents_and_rejects(spark, links):
     assert rej[f"{BASE}/empty.pdf"]["stage"] == "extract/empty"
 
 
+def test_binary_sink_writes_per_row_files(spark, tmp_path):
+    # A-9: foreachPartition binary sink (downloaded_pdfs/ analog)
+    from ethiopia_legal_etl_spark.operators.ingest import write_binary_files
+
+    df = spark.createDataFrame(
+        [("vol01", b"%PDF-1"), ("vol_02", b"%PDF-2")],
+        "base_name: string, body: binary",
+    )
+    out = str(tmp_path / "pdfs")
+    write_binary_files(df, out)
+    import os
+
+    assert sorted(os.listdir(out)) == ["vol01.pdf", "vol_02.pdf"]
+    assert open(f"{out}/vol01.pdf", "rb").read() == b"%PDF-1"
+
+
+def test_ingest_single_service_parity(spark):
+    """A-20: mcp_server /ingest semantics — empty pages kept, no
+    content-type gate, error object on failure, no year/tags keys."""
+    from ethiopia_legal_etl_spark.operators.ingest import ingest_single
+
+    doc = ingest_single(
+        spark, "vol99", f"{BASE}/vol01.pdf",
+        fetcher=fake_fetcher, extractor=fake_extractor, ingest_date="2025-08-15",
+    )
+    assert doc["title"] == "vol99"
+    assert doc["sourceURL"] == f"{BASE}/vol01.pdf"
+    # mcp variant KEEPS the empty page: join yields a blank middle line
+    assert doc["content"] == "ፍርድ ቤት ውሳኔ 2015\n\nገጽ ሁለት"
+    assert "year" not in doc and "tags" not in doc
+    assert doc["caseFields"] == {"issue": "", "holding": "", "ratio": ""}
+
+    # non-PDF content-type is ACCEPTED by the mcp path (no check) but
+    # fails at parse → error object, mirroring mcp_server.py:30
+    err = ingest_single(
+        spark, "volx", f"{BASE}/notpdf.pdf",
+        fetcher=fake_fetcher, extractor=fake_extractor,
+    )
+    assert set(err) == {"error"} and err["error"].startswith("PDF parse failed")
+
+    # network failure → error object (mcp_server.py:24)
+    err2 = ingest_single(
+        spark, "voly", f"{BASE}/boom.pdf",
+        fetcher=fake_fetcher, extractor=fake_extractor,
+    )
+    assert set(err2) == {"error"}
+
+
 def test_document_schema_matches_declared(spark):
     from ethiopia_legal_etl_spark.schemas import DOCUMENT_SCHEMA
 

@@ -40,6 +40,29 @@ def test_binary_multi_pattern_scan(spark, tmp_path):
     assert names == {"vol01.pdf", "notes.docx", "civil.pdf"}
 
 
+def test_corrupt_json_routed_not_fatal(spark, tmp_path):
+    """A-19 at the source boundary: PERMISSIVE mode with a corrupt-
+    record column — bad rows become reject rows, the scan survives
+    (Spark analog of the reference's per-record try/except)."""
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"url": "https://x/a.pdf", "n": 1}\n'
+        "{not json at all}\n"
+        '{"url": "https://x/b.pdf", "n": 2}\n'
+    )
+    df = (
+        spark.read.schema("url string, n long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert {r["url"] for r in good} == {"https://x/a.pdf", "https://x/b.pdf"}
+    assert len(bad) == 1 and "{not json at all}" in bad[0]["_corrupt"]
+
+
 def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     from ethiopia_legal_etl_spark.sources.tables import load_table
     from ethiopia_legal_etl_spark.plans.explain import formatted_plan

@@ -105,7 +105,19 @@ def run(sf_dir: str, only: list[str]) -> int:
                 print(f"  duck-only:  {line!r}")
             failures += 1
         else:
-            print(f"OK   {name}: {s_cnt} rows hash={s_hash}")
+            # strict secondary check: raw (unnormalized) reprs. A WARN
+            # here means correctness depends on the driver normalizing
+            # the same way we do (e.g. -0.0, int vs float types).
+            s_raw = sorted(
+                str(tuple(r[i] for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())))
+                for r in s_rows
+            )
+            d_raw = sorted(
+                str(tuple(r[i] for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i])))
+                for r in d_rows
+            )
+            strict = "" if s_raw == d_raw else "  [WARN: raw reprs differ]"
+            print(f"OK   {name}: {s_cnt} rows hash={s_hash}{strict}")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return failures
 
