@@ -229,6 +229,56 @@ def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS bpe_ish_tokens,
+           LEN(string_split(text, ' '))                                       AS ws_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)                           AS byte_estimate
+    FROM documents
+    """,
+    doc="token counting, BPE-ish: pre-tokenizer regex (letter runs / "
+    "digit runs / punctuation runs — the GPT-2-style split classes) "
+    "vs whitespace count vs the chars/4 heuristic",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate"),
+    )
+
+
+@register(
+    "dedup_keep_first_window",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="dedup via window row_number()==1 (keep-first; the variant "
+    "that preserves the full surviving row without a re-join)",
+)
+def dedup_keep_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "doc_fingerprint_rolling",
     oracle=f"""
     SELECT doc_id,

@@ -40,6 +40,20 @@ def test_binary_multi_pattern_scan(spark, tmp_path):
     assert names == {"vol01.pdf", "notes.docx", "civil.pdf"}
 
 
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches (mergeSchema): an added
+    column appears, old rows read it as null — how a 100 TB table
+    grows columns without rewrite."""
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "t"))
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "name", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
 def test_corrupt_json_routed_not_fatal(spark, tmp_path):
     """A-19 at the source boundary: PERMISSIVE mode with a corrupt-
     record column — bad rows become reject rows, the scan survives

@@ -131,6 +131,45 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert "11:30" not in second
 
 
+def test_streaming_foreach_batch_sink(spark, events_stream_dir, tmp_path):
+    """foreachBatch: arbitrary batch-side sink logic (upsert-style) —
+    each micro-batch lands as a parquet append with its batch id."""
+    stream = read_stream(spark, events_stream_dir)
+    out = str(tmp_path / "fb_out")
+
+    def sink(batch_df, batch_id: int):
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["total"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("count").alias("total"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_custom_state_running_totals(spark, events_stream_dir):
     stream = read_stream(spark, events_stream_dir)
     got = run_to_memory(
