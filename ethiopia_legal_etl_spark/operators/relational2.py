@@ -279,7 +279,10 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta
     FROM monthly
     """,
-    doc="window over aggregate: month-over-month revenue delta",
+    doc="window over aggregate: month-over-month revenue delta. The "
+    "unpartitioned window is safe ONLY because it sits above a "
+    "bounded-cardinality aggregate (one row per month); never put a "
+    "global-order window over raw fact rows at scale.",
 )
 def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

@@ -24,7 +24,10 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     FROM orders
     WHERE o_custkey < 50
     """,
-    doc="distribution windows: ntile / percent_rank / cume_dist",
+    doc="distribution windows: ntile / percent_rank / cume_dist over a "
+    "bounded subset — a global-order window single-partitions its "
+    "input, so at 100 TB these run per-partition-key or over "
+    "pre-aggregated data (see monthly_revenue_mom), never raw facts.",
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)

@@ -56,6 +56,42 @@ def test_semi_join_planned_as_semi(spark, sf_dir):
     assert "LeftSemi" in formatted_plan(df)
 
 
+# Queries where a nested-loop join IS the intended plan (tiny broadcast
+# side or genuine theta join) — everywhere else it's a planning bug.
+BNLJ_ALLOWED = {
+    "similarity_cosine_topk",   # 5-row query side broadcast × corpus
+    "similarity_ivf_by_label",  # centroid probe: queries × 10 centroids
+    "theta_nation_pairs",       # pure non-equi join, 25×25
+    "scalar_subquery_above_avg",  # scalar agg joined into the filter
+    "text_tfidf_top_terms",     # 1-row corpus-size aggregate broadcast
+}
+
+
+def test_all_plans_free_of_cartesians_and_slow_udfs(spark, sf_dir):
+    """Global invariant sweep over every registered query:
+    - no CartesianProduct, ever
+    - BroadcastNestedLoopJoin only where a broadcast-NL plan is the
+      design (BNLJ_ALLOWED)
+    - no row-at-a-time Python UDFs (BatchEvalPython) — Python stages
+      must be Arrow-vectorized (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas)
+    """
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    offenders: list[str] = []
+    for name, q in sorted(all_queries().items()):
+        if name == "source_roundtrip_formats":
+            continue  # materializes scratch files; not a single plan
+        plan = formatted_plan(q.builder(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-at-a-time Python UDF")
+    assert not offenders, offenders
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE wraps the plan before execution, hiding codegen subtrees from
     # explain; disable it for this one plan to inspect codegen directly
