@@ -125,6 +125,72 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0')     AS padded_key,
+           REVERSE(p_brand)                             AS brand_rev,
+           REPEAT('-', p_size % 5)                      AS size_bar,
+           POSITION('o' IN p_name)                      AS first_o,
+           LEFT(p_type, 3)                              AS type3,
+           RIGHT(p_name, 4)                             AS name_tail,
+           CASE WHEN p_size IS NULL THEN 'none'
+                WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+           GREATEST(p_size, 10)                         AS size_floor10,
+           LEAST(p_size, 40)                            AS size_cap40,
+           NULLIF(p_brand, 'Brand#00')                  AS brand_nullable
+    FROM part
+    """,
+    doc="string/conditional scalar extras: pad, reverse, repeat, "
+    "position, left/right, CASE, greatest/least, nullif",
+)
+def scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("-"), F.col("p_size") % 5).alias("size_bar"),
+        F.instr("p_name", "o").alias("first_o"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.substring("p_name", -4, 4).alias("name_tail"),
+        F.when(F.col("p_size").isNull(), "none")
+        .when(F.col("p_size") > 25, "big")
+        .otherwise("small")
+        .alias("size_class"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#00")).alias("brand_nullable"),
+    )
+
+
+@register(
+    "scalar_bitwise_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                       AS low_byte,
+           l_orderkey | 1                         AS odd_key,
+           XOR(l_orderkey, l_linenumber)          AS xored,
+           l_linenumber << 4                      AS shifted
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="bitwise scalar family (the SimHash banding primitives, "
+    "oracle-checked standalone)",
+)
+def scalar_bitwise_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("odd_key"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("xored"),
+        F.shiftleft(F.col("l_linenumber"), 4).alias("shifted"),
+    )
+
+
+@register(
     "stats_aggregates",
     oracle="""
     SELECT l_returnflag,

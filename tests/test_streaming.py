@@ -131,6 +131,57 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert "11:30" not in second
 
 
+def test_stream_stream_interval_join(spark, events_stream_dir):
+    """Stream-stream inner join with watermarks + an event-time range
+    condition: each error joined to purchases of the same user within
+    the preceding hour. Verified against the identical batch join."""
+    base = read_stream(spark, events_stream_dir)
+    err = (
+        base.where("event_type = 'error'")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    pur = (
+        read_stream(spark, events_stream_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    cond = (
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts"))
+    )
+    got = run_to_memory(
+        spark, err.join(pur, cond).select("e_id", "p_id"), "t_ssj", "append"
+    )
+    got_pairs = {(r["e_id"], r["p_id"]) for r in got.collect()}
+
+    ev = spark.read.parquet(events_stream_dir)
+    be = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    bp = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want_pairs = {
+        (r["e_id"], r["p_id"])
+        for r in be.join(bp, cond).select("e_id", "p_id").collect()
+    }
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 0
+
+
 def test_streaming_foreach_batch_sink(spark, events_stream_dir, tmp_path):
     """foreachBatch: arbitrary batch-side sink logic (upsert-style) —
     each micro-batch lands as a parquet append with its batch id."""

@@ -1,0 +1,194 @@
+"""Scale probe: measure how the engine's headline operators behave as
+data grows 1× → 10× → 30× beyond sf0.1 (600k → 18M lineitem rows),
+plus a manufactured hot-key skew-join stress with AQE on vs off.
+
+Writes derived data to a scratch dir (never touches /root/testdata)
+and prints one JSON line per experiment. Results are summarized in
+SCALING.md.
+
+Usage: python tools/scale_probe.py [--factors 1,10,30] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ethiopia_legal_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(spark, src: str, table: str, factor: int, out: str, key_cols: dict):
+    """factor-fold replication with shifted keys so join cardinalities
+    scale realistically (copy i gets keys offset by i * max_key)."""
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    maxes = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in key_cols}
+    parts = []
+    for i in range(factor):
+        p = df
+        for c in key_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+        parts.append(p)
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    # write with row-group-sized files so scans parallelize like a real table
+    out_df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+        f"{out}/{table}.parquet"
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def q1(spark, d):
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def join_agg(spark, d):
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("q"))
+    )
+
+
+def window_topk(spark, d):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.withColumn("rn", F.row_number().over(w)).where("rn <= 3")
+
+
+def dedup_hash(spark, d):
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    return (
+        li.select(
+            F.sha2(
+                F.concat_ws("|", "l_orderkey", "l_linenumber", "l_shipdate"), 256
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where("c > 1")
+    )
+
+
+def run_noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def skew_stress(spark, base: str, out: str):
+    """Hot-key join: 50% of a 6M-row fact hits ONE key. Compare AQE
+    skew-join on vs off."""
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    fact = li.withColumn(
+        "k",
+        F.when(F.rand(42) < 0.5, F.lit(0)).otherwise(
+            (F.rand(43) * 100000).cast("long")
+        ),
+    ).select("k", "l_quantity")
+    fact = fact.unionByName(fact).unionByName(fact)  # ~1.8M rows @ sf0.1 x3
+    dim = spark.range(100001).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    fact.write.mode("overwrite").parquet(f"{out}/skew_fact.parquet")
+    dim.write.mode("overwrite").parquet(f"{out}/skew_dim.parquet")
+    f_ = spark.read.parquet(f"{out}/skew_fact.parquet")
+    d_ = spark.read.parquet(f"{out}/skew_dim.parquet")
+
+    def join_run():
+        run_noop(
+            f_.join(d_.hint("merge"), "k")  # force SMJ so skew matters
+            .groupBy("grp")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+
+    times = {}
+    for aqe in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        if aqe == "true":
+            # the default split threshold is 256 MB — sized for real
+            # clusters; scale it down so the local hot partition
+            # (tens of MB) actually exercises the skew-split path
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+            )
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m"
+            )
+        join_run()  # warm
+        times[f"aqe_{aqe}"] = timed(join_run)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10,30")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    spark = get_spark(app_name="scale-probe")
+    scratch = tempfile.mkdtemp(prefix="elel_scale_")
+    experiments = {
+        "q1_agg": q1,
+        "join_agg": join_agg,
+        "window_topk": window_topk,
+        "dedup_hash": dedup_hash,
+    }
+    try:
+        for factor in factors:
+            d = f"{scratch}/x{factor}"
+            if factor == 1:
+                d = SF_DIR
+            else:
+                replicate(spark, SF_DIR, "lineitem", factor, d, {"l_orderkey": 1})
+                replicate(spark, SF_DIR, "orders", factor, d, {"o_orderkey": 1, "o_custkey": 1})
+            for name, builder in experiments.items():
+                run_noop(builder(spark, d))  # warm
+                sec = timed(lambda: run_noop(builder(spark, d)))
+                print(json.dumps({"exp": name, "factor": factor, "sec": sec}))
+        print(json.dumps({"exp": "skew_join", **skew_stress(spark, SF_DIR, scratch)}))
+    finally:
+        if not args.keep:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
