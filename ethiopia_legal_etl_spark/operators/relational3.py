@@ -125,6 +125,64 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_error_purchase",
+    oracle="""
+    SELECT e.event_id AS e_id, p.event_id AS p_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL 1 HOUR
+     AND p.ts <= e.ts
+    """,
+    doc="interval (event-time range) join: purchases within the hour "
+    "preceding each error, banded by the user equi-key. Batch twin of "
+    "the watermarked stream-stream join in streaming tests; sub-µs "
+    "ns-truncation can't flip the hour-scale range predicate.",
+)
+def interval_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return e.join(
+        p,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts")),
+    ).select("e_id", "p_id")
+
+
+@register(
+    "explode_outer_rare_tokens",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             LIST_FILTER(string_split(text, ' '), t -> t = 'query') AS hits
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, UNNEST(hits) AS token FROM d WHERE LEN(hits) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS token FROM d WHERE LEN(hits) = 0
+    """,
+    doc="explode_outer + higher-order filter: docs without the token "
+    "survive as a null row (LEFT JOIN LATERAL semantics)",
+)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    hits = F.filter(F.split("text", " "), lambda t: t == "query")
+    return docs.select(
+        "doc_id", F.explode_outer(hits).alias("token")
+    )
+
+
+@register(
     "scalar_string_extras",
     oracle="""
     SELECT p_partkey,
