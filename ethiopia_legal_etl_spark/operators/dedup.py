@@ -149,6 +149,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Iterative min-label propagation: resolve near-dup PAIRS into
+    duplicate CLUSTERS (transitive closure). Returns (node, component)
+    where component = min doc_id reachable.
+
+    The iterative-algorithm pattern done Spark-side:
+    - each round is one join + aggregate (set of shuffles, fully
+      distributed; no driver-side graph)
+    - `localCheckpoint` truncates lineage every round so plan depth
+      stays O(1) instead of O(iterations)
+    - converges in O(diameter) rounds; near-dup clusters are shallow
+      (diameter ~ a few), so max_iter=20 is generous
+    """
+    from pyspark.sql import functions as F
+
+    a = edges.selectExpr("src AS node", "dst AS nbr")
+    b = edges.selectExpr("dst AS node", "src AS nbr")
+    self_loop = (
+        edges.selectExpr("src AS node").union(edges.selectExpr("dst AS node"))
+        .distinct()
+        .withColumn("nbr", F.col("node"))
+    )
+    adj = a.union(b).union(self_loop).distinct().localCheckpoint()
+
+    labels = (
+        adj.groupBy("node")
+        .agg(F.min("nbr").alias("component"))
+        .withColumnRenamed("node", "lnode")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # push the smallest known component label across every edge;
+        # distinct column names throughout (self-join disambiguation)
+        propagated = (
+            adj.join(labels, adj.nbr == labels.lnode)
+            .groupBy("node")
+            .agg(F.min("component").alias("new_component"))
+            .withColumnRenamed("node", "pnode")
+        )
+        merged = labels.join(
+            propagated, labels.lnode == propagated.pnode
+        ).localCheckpoint()
+        changed = merged.where("new_component < component").limit(1).count()
+        labels = merged.select(
+            F.col("lnode"),
+            F.least("component", "new_component").alias("component"),
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("lnode").alias("node"), "component")
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=None,  # iterative algorithm -> rows-only; transitive-closure
+    # correctness asserted by property tests on known fixtures
+    doc="near-dup cluster resolution: SimHash candidate pairs → "
+    "connected components (iterative min-label propagation) → one "
+    "keeper per cluster. The iterative-algorithm class: per-round "
+    "join+agg, lineage truncated via localCheckpoint, O(diameter) "
+    "rounds.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_simhash_band(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumnRenamed("component", "keeper_doc_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """SimHash 64-bit signatures via a vectorized pandas UDF (Arrow
     batches, numpy bit-twiddling — the sanctioned Python path).

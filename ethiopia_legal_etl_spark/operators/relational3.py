@@ -125,6 +125,59 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "applyinpandas_user_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+               - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s)                        AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 1) AS median_gap_s,
+           MAX(gap_s)                          AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="grouped-map applyInPandas: per-user inter-event gap stats "
+    "computed in pandas (Arrow batch per group), oracle-checked "
+    "against the pure-SQL window formulation. Second-floor epoch "
+    "diffs are ns/µs-truncation-safe.",
+)
+def applyinpandas_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # floor to whole epoch seconds, unit-independent (datetime64[s]
+        # truncation works for ns- or µs-backed series alike)
+        sec = pdf["ts"].astype("datetime64[s]").astype("int64")
+        gaps = sec.diff().dropna()
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "median_gap_s", "max_gap_s"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [int(len(gaps))],
+                "median_gap_s": [round(float(gaps.median()), 1)],
+                "max_gap_s": [int(gaps.max())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        schema="user_id long, n_gaps long, median_gap_s double, max_gap_s long",
+    )
+
+
+@register(
     "interval_join_error_purchase",
     oracle="""
     SELECT e.event_id AS e_id, p.event_id AS p_id

@@ -60,6 +60,30 @@ def test_minhash_lsh_pairs_are_plausible(spark, dup_docs, monkeypatch, sf_dir):
     assert all(0.0 <= d <= 0.4 for d in pairs.values())  # threshold respected
 
 
+def test_connected_components_transitive_closure(spark):
+    """Known graph: {1-2, 2-3} ∪ {10-11} ∪ isolated-by-selfloop 20-20.
+    Components must be the transitive closure with min-id labels."""
+    from ethiopia_legal_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 20)], "src: long, dst: long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path graph stresses multi-round propagation (diameter 11)
+    from ethiopia_legal_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src: long, dst: long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 12
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF probes 2 of 10 cells. The synthetic embeddings are isotropic
     (labels barely correlate with cosine neighborhoods — measured mean
