@@ -125,6 +125,91 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_stack_metrics",
+    oracle="""
+    SELECT c_custkey, metric, ROUND(value, 2) AS value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    WHERE value IS NOT NULL
+    """,
+    doc="unpivot via stack(): wide columns → (metric, value) long form",
+)
+def unpivot_stack_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, value)",
+    ).where(F.col("value").isNotNull()).select(
+        "c_custkey", "metric", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "scd2_merge_emulation",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal + 1000 AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    closed AS (  -- current rows being superseded get an end marker
+      SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+             FALSE AS is_current, 1 AS version
+      FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+    ),
+    untouched AS (
+      SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+             TRUE AS is_current, 1 AS version
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    ),
+    fresh AS (
+      SELECT c_custkey, ROUND(new_bal, 2) AS acctbal,
+             TRUE AS is_current, 2 AS version
+      FROM updates
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM untouched UNION ALL SELECT * FROM fresh
+    """,
+    doc="SCD2 / MERGE INTO emulated without a lakehouse format: "
+    "semi/anti-join splits + union build the new version history "
+    "(the pyspark_guide 'CDC without Delta' pattern)",
+)
+def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 1000).alias("new_bal")
+    )
+    closed = (
+        cust.join(updates, "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit(False).alias("is_current"),
+            F.lit(1).alias("version"),
+        )
+    )
+    untouched = (
+        cust.join(updates, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit(True).alias("is_current"),
+            F.lit(1).alias("version"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.round("new_bal", 2).alias("acctbal"),
+        F.lit(True).alias("is_current"),
+        F.lit(2).alias("version"),
+    )
+    return closed.unionByName(untouched).unionByName(fresh)
+
+
+@register(
     "applyinpandas_user_gap_stats",
     oracle="""
     WITH gaps AS (
@@ -377,6 +462,7 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="elel_spark_rt_")
     docs.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
     docs.write.mode("overwrite").json(f"{base}/json")
+    docs.write.mode("overwrite").orc(f"{base}/orc")
     docs.select(F.col("doc_id").cast("string")).write.mode("overwrite").text(
         f"{base}/text"
     )
@@ -391,9 +477,15 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(f"{base}/json")
         .count()
     )
+    orc_n = spark.read.orc(f"{base}/orc").count()
     text_n = spark.read.text(f"{base}/text").count()
     src_n = docs.count()
     return spark.createDataFrame(
-        [("csv", csv_n, src_n), ("json", json_n, src_n), ("text", text_n, src_n)],
+        [
+            ("csv", csv_n, src_n),
+            ("json", json_n, src_n),
+            ("orc", orc_n, src_n),
+            ("text", text_n, src_n),
+        ],
         "fmt string, n_rows long, n_src long",
     ).withColumn("roundtrip_ok", F.col("n_rows") == F.col("n_src"))

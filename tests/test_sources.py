@@ -40,6 +40,20 @@ def test_binary_multi_pattern_scan(spark, tmp_path):
     assert names == {"vol01.pdf", "notes.docx", "civil.pdf"}
 
 
+def test_lakehouse_connectors_gated(spark, tmp_path):
+    import pytest
+
+    from ethiopia_legal_etl_spark.sources.lakehouse import (
+        LakehouseFormatUnavailable,
+        read_lakehouse,
+    )
+
+    with pytest.raises(LakehouseFormatUnavailable, match="delta connector"):
+        read_lakehouse(spark, "delta", str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        read_lakehouse(spark, "excel", str(tmp_path))
+
+
 def test_schema_evolution_merge(spark, tmp_path):
     """Schema evolution across parquet batches (mergeSchema): an added
     column appears, old rows read it as null — how a 100 TB table
