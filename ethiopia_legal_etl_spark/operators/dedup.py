@@ -238,20 +238,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
         mask = (1 << 64) - 1
         shifts = np.arange(64, dtype=np.uint64)
+        # per-batch memo: real corpora repeat tokens heavily, so each
+        # distinct token is hashed once per Arrow batch, not per use
+        bit_memo: dict = {}
 
-        def fnv1a(tok: str) -> int:
-            # FNV-1a 64-bit, portable & deterministic (no murmur dep)
-            h = 1469598103934665603
-            for ch in tok.encode("utf-8"):
-                h = ((h ^ ch) * 1099511628211) & mask
-            return h
+        def token_bits(tok: str):
+            bits = bit_memo.get(tok)
+            if bits is None:
+                h = 1469598103934665603  # FNV-1a 64-bit, portable
+                for ch in tok.encode("utf-8"):
+                    h = ((h ^ ch) * 1099511628211) & mask
+                bits = np.where(
+                    ((np.uint64(h) >> shifts) & np.uint64(1)) == 1, 1, -1
+                ).astype(np.int64)
+                bit_memo[tok] = bits
+            return bits
 
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             acc = np.zeros(64, dtype=np.int64)
             for tok in (t or "").split(" "):
-                bits = (np.uint64(fnv1a(tok)) >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
+                acc += token_bits(tok)
             sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig  # wrap to signed
         return pd.Series(out)

@@ -8,9 +8,17 @@ Contract (driver harness, __spark_entry__.py):
 - oracle=None for non-SQL-expressible ops (LSH, binary plumbing,
   stateful streaming) -> driver records a rows-only check.
 
-Float policy: any double aggregate is rounded (2dp for money-scale
-sums, 4-6dp for ratios/averages/cosines) on BOTH sides, so last-ulp
-summation-order differences between engines can't flip the value hash.
+Float policy (keeps results raw-repr-identical across engines, not
+just normalized-hash-equal — verified by check_oracle's strict check):
+- money/product aggregates: exact DECIMAL(12,2) casts, summed exactly,
+  CAST AS DOUBLE at the end (no rounding step at all);
+- averages: decimal-exact sum cast to double, divided by the count —
+  both engines divide the same double by the same int;
+- per-row products of 2dp inputs: ROUND at 4dp (the exact value has
+  ≤4 decimals, so no round-tie exists);
+- irrational outputs (cosine, ln, sqrt, stddev): ROUND at 4-6dp, tie
+  probability ~1e-11/row; signed statistics add `+ 0` to canonicalize
+  IEEE -0.0 (DuckDB emits -0.0 for rounded covariances).
 """
 
 from __future__ import annotations
