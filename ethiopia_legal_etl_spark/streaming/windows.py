@@ -147,6 +147,63 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS minute_b,
+             time_bucket(INTERVAL 1 HOUR, ts)   AS hour_b,
+             CAST(DATE_TRUNC('day', ts) AS DATE) AS day_b,
+             event_type, value
+      FROM events
+    )
+    SELECT
+      CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
+           WHEN GROUPING(hour_b)   = 0 THEN 'hour'
+           ELSE 'day' END AS resolution,
+      STRFTIME(COALESCE(minute_b, hour_b, CAST(day_b AS TIMESTAMP)),
+               '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      event_type,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS (
+      (minute_b, event_type), (hour_b, event_type), (day_b, event_type)
+    )
+    """,
+    doc="hypertable-style continuous-aggregate rollup: one pass emits "
+    "minute+hour+day resolutions via GROUPING SETS over time buckets "
+    "(the partial-agg tree a time-series store maintains, expressed "
+    "as a single shuffle with grouping-set expansion)",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("minute", "ts").alias("minute_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("v_events_rollup")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
+               WHEN GROUPING(hour_b)   = 0 THEN 'hour'
+               ELSE 'day' END AS resolution,
+          DATE_FORMAT(COALESCE(minute_b, hour_b, day_b),
+                      'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+          event_type,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM v_events_rollup
+        GROUP BY GROUPING SETS (
+          (minute_b, event_type), (hour_b, event_type), (day_b, event_type)
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------
 # True Structured Streaming variants (exercised in tests/ via file
 # sources with availableNow; not oracle-checkable -> not registered).
