@@ -263,6 +263,60 @@ def applyinpandas_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_merge_asof_pandas",
+    oracle="""
+    WITH err AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
+         pur AS (
+           SELECT user_id, ts, MAX(event_id) AS p_event_id
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts
+         )
+    SELECT e.event_id, e.user_id, p.p_event_id AS prev_purchase_id
+    FROM err e ASOF JOIN pur p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="as-of join, second implementation: per-user applyInPandas with "
+    "pd.merge_asof (the pandas path from the guide) — SAME DuckDB ASOF "
+    "oracle as the window-based asof_error_prev_purchase, so the two "
+    "independent implementations are proven equivalent. Scale: groups "
+    "are per-user Arrow batches; the shuffle key is user_id.",
+)
+def asof_merge_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        err = (
+            pdf[pdf["event_type"] == "error"][["event_id", "ts", "user_id"]]
+            .sort_values("ts", kind="mergesort")
+        )
+        pur = (
+            pdf[pdf["event_type"] == "purchase"]
+            .groupby("ts", as_index=False)["event_id"].max()
+            .rename(columns={"event_id": "prev_purchase_id"})
+            .sort_values("ts", kind="mergesort")
+        )
+        if len(err) == 0 or len(pur) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "prev_purchase_id"]
+            ).astype({"event_id": "int64", "user_id": "int64", "prev_purchase_id": "int64"})
+        merged = pd.merge_asof(err, pur, on="ts", direction="backward")
+        out = merged.dropna(subset=["prev_purchase_id"])[
+            ["event_id", "user_id", "prev_purchase_id"]
+        ]
+        return out.astype(
+            {"event_id": "int64", "user_id": "int64", "prev_purchase_id": "int64"}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, schema="event_id long, user_id long, prev_purchase_id long"
+    )
+
+
+@register(
     "interval_join_error_purchase",
     oracle="""
     SELECT e.event_id AS e_id, p.event_id AS p_id
