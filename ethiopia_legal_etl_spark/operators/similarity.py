@@ -185,6 +185,60 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_kmeans",
+    oracle=None,  # learned quantizer drives the candidate set -> rows-only
+    doc="IVF with a LEARNED coarse quantizer: pyspark.ml KMeans "
+    "(seeded, k=8) clusters the corpus; queries probe their nprobe=2 "
+    "nearest centroids; exact cosine re-rank within probed cells. "
+    "At 100 TB: centroids train on a sample, the corpus is written "
+    "partitioned by cell id, probing prunes partitions at the scan.",
+)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).withColumn("features", array_to_vector(F.col("e")))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select("vec_id", "e", "cell")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "c_cell int, centroid array<double>",
+    )
+    q = assigned.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("q_emb")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_emb", "c_cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), "c_cell")
+    probed = qc.withColumn("rn", F.row_number().over(w)).where("rn <= 2").select(
+        "q_id", "q_emb", "c_cell"
+    )
+    cand = probed.join(
+        assigned.select("vec_id", F.col("e").alias("c_emb"), "cell"),
+        probed.c_cell == F.col("cell"),
+    ).where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where("rn <= 10")
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )
+
+
+@register(
     "similarity_ivf_by_label",
     oracle=None,  # centroid assignment drives candidate set -> rows-only
     doc="IVF-style ANN: per-label centroids (one agg), probe the nearest "

@@ -60,6 +60,56 @@ def test_minhash_lsh_pairs_are_plausible(spark, dup_docs, monkeypatch, sf_dir):
     assert all(0.0 <= d <= 0.4 for d in pairs.values())  # threshold respected
 
 
+def test_planted_near_dup_recall(spark, sf_dir, monkeypatch):
+    """Plant near-duplicates (2-token mutations of real corpus docs)
+    and verify each near-dup method recovers most planted pairs:
+    recall is the metric that matters for a dedup pipeline."""
+    import ethiopia_legal_etl_spark.operators.dedup as dd
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    rows = []
+    planted = set()
+    for r in base:
+        rows.append((r["doc_id"], r["text"], r["lang"]))
+        toks = r["text"].split(" ")
+        toks[0], toks[-1] = "mutated", "tokens"  # 2-token mutation
+        dup_id = r["doc_id"] + 100  # stays inside the ops' doc_id<300 window
+        rows.append((dup_id, " ".join(toks), r["lang"]))
+        planted.add((r["doc_id"], dup_id))
+    planted_docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda *_: planted_docs)
+
+    # SimHash banding (Hamming ≤ 3 after 2-token mutation of ~25 tokens)
+    sim_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.dedup_simhash_band(spark, sf_dir).collect()
+    }
+    sim_recall = len(planted & sim_pairs) / len(planted)
+
+    # MinHash LSH at 0.4 Jaccard-distance threshold
+    mh_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    mh_recall = len(planted & mh_pairs) / len(planted)
+
+    # exact token-set Jaccard >= 0.5
+    jc_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    jc_recall = len(planted & jc_pairs) / len(planted)
+
+    assert jc_recall >= 0.9, f"jaccard recall {jc_recall}"
+    assert mh_recall >= 0.8, f"minhash recall {mh_recall}"
+    assert sim_recall >= 0.5, f"simhash recall {sim_recall}"
+
+
 def test_connected_components_transitive_closure(spark):
     """Known graph: {1-2, 2-3} ∪ {10-11} ∪ isolated-by-selfloop 20-20.
     Components must be the transitive closure with min-id labels."""
@@ -103,6 +153,24 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     for r in a_rows:
         by_q.setdefault(r["q_id"], []).append(r)
     for q, rs in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_kmeans_recall_and_structure(spark, sf_dir):
+    """KMeans-learned IVF (k=8, nprobe=2): recall floor = probed
+    fraction on isotropic data; rank order within probed cells exact."""
+    from ethiopia_legal_etl_spark.operators.similarity import similarity_ivf_kmeans
+
+    exact = {(r["q_id"], r["vec_id"]) for r in similarity_cosine_topk(spark, sf_dir).collect()}
+    rows = similarity_ivf_kmeans(spark, sf_dir).collect()
+    approx = {(r["q_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"kmeans-IVF recall {recall}"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rs in by_q.values():
         sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
         assert sims == sorted(sims, reverse=True)
 
