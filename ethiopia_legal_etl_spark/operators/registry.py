@@ -79,6 +79,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         textstats,
     )

@@ -61,6 +61,7 @@ def test_semi_join_planned_as_semi(spark, sf_dir):
 BNLJ_ALLOWED = {
     "similarity_cosine_topk",   # 5-row query side broadcast × corpus
     "similarity_ivf_by_label",  # centroid probe: queries × 10 centroids
+    "similarity_ivf_kmeans",    # centroid probe: 5 queries × 8 KMeans cells
     "theta_nation_pairs",       # pure non-equi join, 25×25
     "scalar_subquery_above_avg",  # scalar agg joined into the filter
     "text_tfidf_top_terms",     # 1-row corpus-size aggregate broadcast
@@ -105,3 +106,67 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert "Found 0 WholeStageCodegen" not in codegen
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, and the
+    non-equi suppkey inequality stays a join residual (never a BNLJ —
+    the orderkey equi-key carries the join)."""
+    from ethiopia_legal_etl_spark.operators.relational4 import q21_sole_return_supplier
+
+    plan = formatted_plan(q21_sole_return_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_part_filters_pushed(spark, sf_dir):
+    """Q19's disjunctive predicate: Catalyst extracts brand/size
+    conjuncts toward the part scan as pushed filters."""
+    from ethiopia_legal_etl_spark.operators.relational4 import q19_disjunctive_revenue
+
+    plan = formatted_plan(q19_disjunctive_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_runtime_filter_injection(spark, sf_dir):
+    """The 100 TB path of bloom_pruned_join: when the filtered orders
+    side is too big to broadcast (forced here via thresholds), Spark
+    injects a runtime Bloom filter — bloom_filter_agg on the creation
+    side, might_contain() applied at the lineitem scan."""
+    from ethiopia_legal_etl_spark.operators.relational4 import bloom_pruned_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = bloom_pruned_join(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        # and the pruned result is still correct
+        rows = {r["l_returnflag"]: r["n_lines"] for r in df.collect()}
+        assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_range_frame_window_partitioned(spark, sf_dir):
+    """The 7-day RANGE frame runs per-customer — the plan must show a
+    partitioned Window (no single-partition global window warning)."""
+    from ethiopia_legal_etl_spark.operators.relational4 import window_range_7day_frame
+
+    plan = formatted_plan(window_range_7day_frame(spark, sf_dir))
+    assert "Window" in plan
+    assert "o_custkey" in plan.split("Window")[1][:400]
