@@ -27,7 +27,10 @@ HEADLINE = [
     "q5_region_revenue",
     "sql_q6_forecast_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
     "window_running_user_value",
+    "window_range_7day_frame",
     "topk_orders_by_price",
     "asof_error_prev_purchase",
     "interval_join_error_purchase",

@@ -265,3 +265,48 @@ def streaming_user_running_state(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_user_state_tws(events_stream: DataFrame) -> DataFrame:
+    """Same running totals via transformWithStateInPandas — Spark 4's
+    next-gen arbitrary-state API (typed state handles, timers, TTL).
+    Requires the RocksDB state store provider (set in the test) and
+    the protobuf wheel (absent in this container — test skips; the
+    API itself is standard Spark 4 and runs on any cluster image); at
+    cluster scale RocksDB keeps per-key state off-heap and incrementally
+    checkpoints, so state size is bounded by disk, not executor heap —
+    the 100 TB answer to unbounded key cardinality."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -241,3 +241,44 @@ def test_streaming_custom_state_running_totals(spark, events_stream_dir):
         if cur is None or r["n_events"] > cur[0]:
             final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
     assert final == want
+
+
+def test_streaming_transform_with_state(spark, events_stream_dir):
+    """transformWithStateInPandas (Spark 4 state API v2) produces the
+    same final per-user totals as the batch aggregate. Needs the
+    RocksDB state store provider — set for this query only.
+
+    Env gate: the TWS state server speaks protobuf between the Python
+    worker and the JVM; this container ships pyspark without the
+    protobuf wheel, so the test skips where protobuf is absent (the
+    operator itself is plain Spark 4 API and runs on any standard
+    cluster image)."""
+    pytest.importorskip("google.protobuf")
+    from ethiopia_legal_etl_spark.streaming.windows import streaming_user_state_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_stream(spark, events_stream_dir)
+        got = run_to_memory(spark, streaming_user_state_tws(stream), "t_tws", "update")
+        batch = (
+            spark.read.parquet(events_stream_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        )
+        want = {r["user_id"]: (r["n"], round(r["tv"], 2)) for r in batch.collect()}
+        final: dict = {}
+        for r in got.collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
+        assert final == want
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
