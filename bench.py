@@ -26,6 +26,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "sql_q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q21_sole_return_supplier",

@@ -80,6 +80,7 @@ def all_queries() -> dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         textstats,
     )

@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "similarity_ivf_kmeans",    # centroid probe: 5 queries × 8 KMeans cells
     "theta_nation_pairs",       # pure non-equi join, 25×25
     "scalar_subquery_above_avg",  # scalar agg joined into the filter
+    "q22_idle_balances",        # 1-row avg-balance cutoff broadcast
     "text_tfidf_top_terms",     # 1-row corpus-size aggregate broadcast
 }
 
