@@ -46,6 +46,7 @@ HEADLINE = [
     "stream_session_window",
     "doc_record_projection",
     "multimodal_decode_stub",
+    "pipeline_training_corpus",
 ]
 
 

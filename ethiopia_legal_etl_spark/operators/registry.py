@@ -76,6 +76,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         etl,
         multimodal,
+        pipeline,
         relational,
         relational2,
         relational3,

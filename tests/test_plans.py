@@ -171,3 +171,15 @@ def test_range_frame_window_partitioned(spark, sf_dir):
     plan = formatted_plan(window_range_7day_frame(spark, sf_dir))
     assert "Window" in plan
     assert "o_custkey" in plan.split("Window")[1][:400]
+
+
+def test_pipeline_single_shuffle(spark, sf_dir):
+    """The composed training-corpus pipeline must keep exactly ONE
+    Exchange (the digest-keyed dedup): every filter/score stage fuses
+    map-side into the scan stage."""
+    from ethiopia_legal_etl_spark.operators.pipeline import pipeline_training_corpus
+
+    plan = formatted_plan(pipeline_training_corpus(spark, sf_dir))
+    # formatted output lists each node once in the tree and once in
+    # the detail section -> a single Exchange appears exactly twice
+    assert plan.count("Exchange") == 2, plan
