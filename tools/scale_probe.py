@@ -196,12 +196,75 @@ def big_skew(spark, out: str) -> dict:
     return res
 
 
+def bloom_probe(spark, out: str) -> dict:
+    """Runtime Bloom-filter pruning on a forced shuffle join: a 60M-row
+    fact joins a dimension filtered to ~1% selectivity. Broadcast is
+    disabled (the 100 TB regime), so without the runtime filter every
+    fact row shuffles; with it, might_contain() drops ~99% before the
+    exchange. Reports wall time with the filter on vs off."""
+    fact = spark.range(60_000_000).select(
+        (F.col("id") % 6_000_000).alias("k"), (F.rand(11) * 100).alias("v")
+    )
+    fact.write.mode("overwrite").parquet(f"{out}/bloomfact")
+    dim = spark.range(6_000_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("bucket"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    dim.write.mode("overwrite").parquet(f"{out}/bloomdim")
+    f_ = spark.read.parquet(f"{out}/bloomfact")
+    d_ = spark.read.parquet(f"{out}/bloomdim").where(F.col("bucket") == 0)  # 1%
+
+    def run():
+        run_noop(f_.join(d_, "k").groupBy("grp").agg(F.sum("v").alias("s")))
+
+    res = {}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # the creation side is a FILTERED scan: Catalyst's size estimate for
+    # it is the unfiltered file size (no column stats), which exceeds
+    # the 10MB default gate — raise it so estimate-vs-actual mismatch
+    # doesn't silently disable the filter (on a real warehouse, ANALYZE
+    # TABLE column stats make the default gate work as intended)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "200MB"
+    )
+    for bloom in ("true", "false"):
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0" if bloom == "true" else "10GB",
+        )
+        run()  # warm
+        res[f"bloom_{bloom}"] = timed(run)
+    # plan marker: the injected filter is visible in the optimized plan
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    j = f_.join(d_, "k").groupBy("grp").agg(F.sum("v").alias("s"))
+    res["bloom_marker"] = "might_contain" in (
+        j._jdf.queryExecution().optimizedPlan().toString()
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--big-skew", action="store_true",
                     help="60M-row hot-key AQE skew-split experiment (~5 min)")
+    ap.add_argument("--bloom", action="store_true",
+                    help="runtime Bloom-filter join-pruning experiment (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -228,6 +291,8 @@ def main() -> None:
         print(json.dumps({"exp": "skew_join", **skew_stress(spark, SF_DIR, scratch)}))
         if args.big_skew:
             print(json.dumps({"exp": "big_skew", **big_skew(spark, scratch)}))
+        if args.bloom:
+            print(json.dumps({"exp": "bloom_prune", **bloom_probe(spark, scratch)}))
     finally:
         if not args.keep:
             shutil.rmtree(scratch, ignore_errors=True)
