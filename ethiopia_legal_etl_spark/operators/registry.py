@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         relational3,
         relational4,
         relational5,
+        relational6,
         similarity,
         textstats,
     )
