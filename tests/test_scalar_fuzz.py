@@ -172,3 +172,112 @@ def test_scalar_pair_matches_duckdb(fuzz_results, name):
         if len(bad) >= 5:
             break
     assert not bad, f"{name}: spark vs duckdb diverge: {bad}"
+
+
+# ---------------------------------------------------------------------
+# Temporal battery: same methodology over a seeded timestamp corpus
+# (leap days, month ends, epoch boundary, far past/future).
+# Dialect finds encoded below:
+# - extract(dow): Spark numbers Sunday=1..7, DuckDB Sunday=0..6
+# - weekday (Spark, Monday=0) == isodow - 1 (DuckDB, Monday=1)
+# ---------------------------------------------------------------------
+
+def _ts_corpus(n: int = 300) -> pd.DataFrame:
+    import datetime as dt
+
+    rng = random.Random(7)
+    fixed = [
+        dt.datetime(2000, 2, 29, 0, 0, 0),    # leap day
+        dt.datetime(1999, 12, 31, 23, 59, 59),
+        dt.datetime(1970, 1, 1, 0, 0, 0),     # epoch
+        dt.datetime(2038, 1, 19, 3, 14, 7),   # 32-bit rollover
+        dt.datetime(1905, 6, 30, 12, 0, 0),   # far past
+        dt.datetime(2262, 1, 1, 1, 2, 3),     # near pandas ns ceiling
+        None,
+    ]
+    rand = [
+        dt.datetime(
+            rng.randrange(1950, 2100),
+            rng.randrange(1, 13),
+            rng.randrange(1, 29),
+            rng.randrange(0, 24),
+            rng.randrange(0, 60),
+            rng.randrange(0, 60),
+        )
+        for _ in range(n - len(fixed))
+    ]
+    return pd.DataFrame({"id": list(range(n)), "ts": fixed + rand})
+
+
+TS_PAIRS = [
+    # cast to STRING not DATE: equal values, but pandas renders Spark
+    # DATE as datetime.date and DuckDB DATE as Timestamp → repr-diff
+    ("trunc_month", "cast(cast(date_trunc('month', ts) as date) as string)",
+     "cast(cast(date_trunc('month', ts) as date) as string)"),
+    ("trunc_week", "cast(cast(date_trunc('week', ts) as date) as string)",
+     "cast(cast(date_trunc('week', ts) as date) as string)"),
+    ("trunc_hour", "cast(date_trunc('hour', ts) as string)",
+     "cast(date_trunc('hour', ts) as string)"),
+    ("ex_year", "extract(year from ts)", "extract(year from ts)"),
+    ("ex_quarter", "extract(quarter from ts)", "extract(quarter from ts)"),
+    ("ex_doy", "extract(doy from ts)", "extract(doy from ts)"),
+    ("ex_week", "extract(week from ts)", "extract(week from ts)"),
+    ("ex_dow_norm", "extract(dow from ts) - 1", "extract(dow from ts)"),
+    ("weekday_iso", "weekday(ts) + 1", "isodow(ts)"),
+    ("add_days", "cast(ts + interval 40 day as string)",
+     "cast(ts + interval 40 day as string)"),
+    ("add_months_eom", "cast(ts + interval 1 month as string)",
+     "cast(ts + interval 1 month as string)"),
+    ("sub_hours", "cast(ts - interval 25 hour as string)",
+     "cast(ts - interval 25 hour as string)"),
+    ("last_day", "cast(last_day(ts) as string)", "cast(last_day(ts) as string)"),
+    ("fmt_minute", "date_format(ts, 'yyyy-MM-dd HH:mm')",
+     "strftime(ts, '%Y-%m-%d %H:%M')"),
+    ("epoch_s", "unix_timestamp(ts)", "cast(epoch(ts) as bigint)"),
+    ("days_since", "datediff(cast(ts as date), DATE '2000-01-01')",
+     "datediff('day', DATE '2000-01-01', cast(ts as date))"),
+    ("mk_date", "cast(make_date(extract(year from ts), 1, 31) as string)",
+     "cast(make_date(extract(year from ts), 1, 31) as string)"),
+]
+
+
+@pytest.fixture(scope="module")
+def ts_fuzz_results(spark):
+    pdf = _ts_corpus()
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("ts_fuzz_corpus")
+    spark_sel = ", ".join(f"{se} AS {n}" for n, se, _ in TS_PAIRS)
+    got_s = (
+        spark.sql(f"SELECT id, {spark_sel} FROM ts_fuzz_corpus")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.register("ts_fuzz_corpus", pdf)
+    duck_sel = ", ".join(f"{de} AS {n}" for n, _, de in TS_PAIRS)
+    got_d = (
+        con.execute(f"SELECT id, {duck_sel} FROM ts_fuzz_corpus")
+        .df()
+        .set_index("id")
+        .sort_index()
+    )
+    return got_s, got_d
+
+
+@pytest.mark.parametrize("name", [p[0] for p in TS_PAIRS])
+def test_temporal_pair_matches_duckdb(ts_fuzz_results, name):
+    got_s, got_d = ts_fuzz_results
+    s_col, d_col = got_s[name], got_d[name]
+    bad = []
+    for rid in got_s.index:
+        a, b = s_col.loc[rid], d_col.loc[rid]
+        a_null = a is None or a is pd.NaT or (isinstance(a, float) and math.isnan(a)) or a is pd.NA
+        b_null = b is None or b is pd.NaT or (isinstance(b, float) and math.isnan(b)) or b is pd.NA
+        if a_null and b_null:
+            continue
+        if a_null != b_null or repr(a) != repr(b):
+            bad.append((rid, a, b))
+        if len(bad) >= 5:
+            break
+    assert not bad, f"{name}: spark vs duckdb diverge: {bad}"
