@@ -97,3 +97,60 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("quality") >= 0.5)
     )
+
+
+def observed_training_corpus(spark: SparkSession, sf_dir: str):
+    """The pipeline instrumented with df.observe() CollectMetrics:
+    per-run data-quality counters (rows in, survivors, quality mass)
+    computed INSIDE the job — no second pass over the data, which at
+    100 TB is the difference between free metrics and a re-scan.
+    Returns (result_df, input_observation, output_observation); read
+    `.get` after an action completes."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs_in = Observation("corpus_in")
+    obs_out = Observation("corpus_out")
+    observed = docs.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+
+    def marker_count(marker: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", marker, ""))
+        ) / len(marker)
+
+    lang_gated = observed.where(F.length("text") > 0).where(
+        (marker_count("the") >= 1) | (marker_count("and") >= 1)
+    )
+    digest = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy(digest).orderBy("doc_id")
+    deduped = (
+        lang_gated.withColumn("digest", digest)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    quality = F.round(
+        0.5 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.5 * (F.size(F.array_distinct(toks)).cast("double") / n_tokens),
+        4,
+    )
+    result = (
+        deduped.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            quality.alias("quality"),
+            "digest",
+        )
+        .where(F.col("quality") >= 0.5)
+        .observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    return result, obs_in, obs_out

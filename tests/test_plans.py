@@ -183,3 +183,42 @@ def test_pipeline_single_shuffle(spark, sf_dir):
     # formatted output lists each node once in the tree and once in
     # the detail section -> a single Exchange appears exactly twice
     assert plan.count("Exchange") == 2, plan
+
+
+def test_observed_pipeline_metrics(spark, sf_dir):
+    """df.observe() counters computed in-flight equal the counts a
+    separate pass would produce — metrics without a re-scan."""
+    from ethiopia_legal_etl_spark.operators.pipeline import (
+        observed_training_corpus,
+        pipeline_training_corpus,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    result, obs_in, obs_out = observed_training_corpus(spark, sf_dir)
+    survivors = result.count()  # the action that populates both observations
+    docs = load_table(spark, sf_dir, "documents")
+    assert obs_in.get["n_docs"] == docs.count()
+    assert obs_in.get["n_empty"] == docs.where("length(text) = 0").count()
+    assert obs_out.get["n_survivors"] == survivors
+    assert survivors == pipeline_training_corpus(spark, sf_dir).count()
+
+
+def test_shuffled_hash_join_strategy_available(spark, sf_dir):
+    """Join-strategy coverage: the SHUFFLE_HASH hint plans a
+    ShuffledHashJoin — the strategy of choice when one side is much
+    smaller but too big to broadcast (no sort, per-partition hash
+    map). Config-only selection (preferSortMergeJoin=false) is gated
+    on plan-size estimates smaller than partitions×broadcast
+    threshold, so the hint is the reliable spelling at scale."""
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    df = (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
