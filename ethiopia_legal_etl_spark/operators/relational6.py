@@ -165,3 +165,27 @@ def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "sketch_hll_daily_users",
+    oracle=None,  # sketch binary format is engine-specific -> rows-only
+    doc="mergeable-sketch pattern: per-day HLL sketches of user_id "
+    "(DataSketches, hll_sketch_agg), then hll_union_agg across days "
+    "and a final estimate. THE incremental-analytics shape at 100 TB: "
+    "daily partitions aggregate once into kilobyte sketches; any "
+    "date-range distinct-count is a sketch merge, never a re-scan of "
+    "raw events. Property-tested against the exact distinct count "
+    "(tests/test_relational2.py shape: bounded relative error).",
+)
+def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+    )

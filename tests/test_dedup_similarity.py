@@ -185,3 +185,17 @@ def test_brute_force_topk_selfconsistency(spark, sf_dir):
         sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
         assert sims == sorted(sims, reverse=True)  # rank order == sim order
         assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_hll_sketch_merge_matches_exact(spark, sf_dir):
+    """Merged per-day HLL sketches estimate the global distinct user
+    count within HLL's error envelope (lgK=12 default → ~1.6% rse;
+    assert 5% to be safe), and per-day event counts reconcile."""
+    from ethiopia_legal_etl_spark.operators.relational6 import sketch_hll_daily_users
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    row = sketch_hll_daily_users(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    assert abs(row["est_distinct_users"] - exact) <= max(1, 0.05 * exact)
+    assert row["n_events"] == ev.count()
