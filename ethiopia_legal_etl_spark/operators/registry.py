@@ -83,6 +83,7 @@ def all_queries() -> dict[str, Query]:
         relational4,
         relational5,
         relational6,
+        relational7,
         similarity,
         textstats,
     )

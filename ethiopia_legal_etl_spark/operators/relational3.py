@@ -501,9 +501,10 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_roundtrip_formats",
     oracle=None,  # writes/reads scratch files -> rows-only
-    doc="CSV + JSONL + text source/sink round-trip: documents subset "
-    "written and re-read in each format with explicit schemas, counts "
-    "reconciled (SURVEY §2.B scans/sinks row)",
+    doc="CSV + JSONL + ORC + text + XML (Spark 4 native) source/sink "
+    "round-trip: documents subset written and re-read in each format "
+    "with explicit schemas, counts reconciled (SURVEY §2.B scans/sinks "
+    "row)",
 )
 def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -531,8 +532,18 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(f"{base}/json")
         .count()
     )
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
+        f"{base}/xml"
+    )
     orc_n = spark.read.orc(f"{base}/orc").count()
     text_n = spark.read.text(f"{base}/text").count()
+    xml_n = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(f"{base}/xml")
+        .count()
+    )
     src_n = docs.count()
     return spark.createDataFrame(
         [
@@ -540,6 +551,7 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("json", json_n, src_n),
             ("orc", orc_n, src_n),
             ("text", text_n, src_n),
+            ("xml", xml_n, src_n),
         ],
         "fmt string, n_rows long, n_src long",
     ).withColumn("roundtrip_ok", F.col("n_rows") == F.col("n_src"))

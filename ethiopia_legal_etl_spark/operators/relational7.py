@@ -1,0 +1,223 @@
+"""Wave 7: time-series gap-fill (LOCF), linear-regression aggregates,
+fuzzy string matching, median/boolean aggregates, stratified sampling,
+and count-min-sketch heavy hitters.
+
+Reference parity: the reference computes none of these (SURVEY.md §2.A
+"explicitly absent" list) — they are Layer-B engine surface, the
+operations a training-data / observability pipeline needs at scale:
+gap-fill is the hypertable-interpolation twin of `hypertable_rollup`;
+the CMS heavy-hitter path is the frequency analog of the mergeable-HLL
+pattern in relational6.sketch_hll_daily_users.
+
+Float policy per registry docstring: exact decimal sums cast to double;
+regression outputs rounded (slope/intercept 4dp — magnitudes ~1e2-1e4
+with cross-engine accumulation-order error ~1e-9 — r² 6dp, bounded
+[0,1]) with `+ 0` canonicalizing IEEE -0.0.
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(14,2))) AS day_value
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds b
+    )
+    SELECT s.user_id, s.day,
+           CAST(last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS locf_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="time-series gap-fill: dense per-user daily spine "
+    "(sequence+explode — generated, never materialized as input) left-"
+    "joined to daily aggregates, missing days filled by last observation "
+    "carried forward (last(ignorenulls) over an unbounded-preceding "
+    "frame). The TimescaleDB locf()/time_bucket_gapfill shape. Scale: "
+    "the spine is |users|×|days| rows built from a broadcast 1-row "
+    "bounds table — no shuffle to create it; the LOCF window "
+    "repartitions once on user_id, same key as the join, so AQE "
+    "coalesces to a single exchange. Leading nulls (days before a "
+    "user's first observation) stay null in both engines.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("day_value"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+    )
+
+
+@register(
+    "regr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0 AS price_qty_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0
+             AS price_qty_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) + 0 AS price_qty_r2,
+           regr_count(l_extendedprice, l_quantity) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="linear-regression aggregates (OLS slope/intercept/R² of "
+    "extendedprice on quantity per return flag) — single-pass "
+    "distributed moments, no ML library. Map-side partial aggregation "
+    "applies as with any declarative agg; one shuffle on the group key.",
+)
+def regr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.regr_slope(y, x), 4) + F.lit(0.0)).alias("price_qty_slope"),
+        (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias(
+            "price_qty_intercept"
+        ),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("price_qty_r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+@register(
+    "median_bool_flags",
+    oracle="""
+    SELECT l_linestatus,
+           median(l_quantity) AS median_qty,
+           bool_and(l_discount <= 0.1) AS all_low_discount,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           count_if(l_returnflag = 'R') AS n_returned
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="exact median + boolean/conditional aggregates. median on a "
+    "DOUBLE column interpolates the middle pair in BOTH engines (DuckDB "
+    "median = quantile_cont(0.5) on floats; discrete on DECIMAL — the "
+    "column being double is load-bearing for parity).",
+)
+def median_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+    )
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    oracle="""
+    SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2,
+           levenshtein(s1.s_name, s2.s_name) AS edit_dist
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_suppkey < s2.s_suppkey
+     AND abs(length(s1.s_name) - length(s2.s_name)) <= 1
+     AND levenshtein(s1.s_name, s2.s_name) <= 1
+    """,
+    doc="fuzzy self-match: supplier-name pairs within edit distance 1 "
+    "(entity-resolution blocking shape). Non-equi predicate -> "
+    "broadcast-nested-loop join; the cheap length-difference guard "
+    "short-circuits before the O(nm) Levenshtein DP on each pair. At "
+    "scale you'd block first (length bucket / first-k-chars / MinHash "
+    "as in dedup.py) so the BNLJ only sees candidate pairs; this query "
+    "documents the verify step of that pipeline.",
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    s1 = sup.select(F.col("s_suppkey").alias("k1"), F.col("s_name").alias("n1"))
+    s2 = sup.select(F.col("s_suppkey").alias("k2"), F.col("s_name").alias("n2"))
+    return (
+        s1.join(
+            F.broadcast(s2),
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.length("n1") - F.length("n2")) <= 1)
+            & (F.levenshtein("n1", "n2") <= 1),
+        )
+        .select("k1", "k2", F.levenshtein("n1", "n2").alias("edit_dist"))
+    )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle=None,  # seeded Bernoulli draws are engine-specific -> rows-only
+    doc="stratified sampling: df.sampleBy draws a different Bernoulli "
+    "fraction per o_orderstatus stratum (seeded, deterministic for a "
+    "fixed input layout), then counts per stratum. The train/eval-split "
+    "and class-rebalancing primitive; property test bounds each "
+    "stratum's count by binomial tails (tests/test_relational7.py).",
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.2, "P": 0.5}, seed=7
+    )
+    return sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only
+    doc="count-min-sketch heavy hitters: a single distributed "
+    "count_min_sketch aggregate (eps=1e-3, conf=0.99 -> w=2719, d=5, "
+    "~53 KB regardless of input size) builds a mergeable frequency "
+    "sketch of event_type; the driver deserializes the sketch "
+    "(org.apache.spark.util.sketch.CountMinSketch) and reports the "
+    "estimate for each distinct type. Same incremental-analytics story "
+    "as sketch_hll_daily_users: per-partition sketches merge "
+    "associatively, so 100 TB of events reduces to kilobytes before "
+    "any frequency question is asked. CMS guarantees est >= true and "
+    "est <= true + eps*N w.p. conf (property-tested).",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sk")
+        ).head()["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    # the aggregate hashes the UTF8String payload, i.e. the raw UTF-8
+    # bytes -> query with byte[] (estimateCount(String) hashes the same
+    # bytes; both spellings verified equal in tests)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    rows = [(t, int(cms.estimateCount(bytearray(t.encode())))) for t in types]
+    return spark.createDataFrame(rows, "event_type string, est_count long")

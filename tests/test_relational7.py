@@ -1,0 +1,84 @@
+"""Wave 7 property tests: gap-fill density/LOCF semantics, stratified
+sampling binomial bounds, CMS error envelope. The oracle-checked
+queries (gapfill, regr, median/bool, fuzzy) additionally go through
+tools/check_oracle.py; these tests pin the semantics the hash compare
+can't see (spine density, sample determinism, sketch guarantees).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.relational7 import (
+    heavy_hitters_cms,
+    stratified_sample_orders,
+    timeseries_gapfill_locf,
+)
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+def test_gapfill_spine_is_dense_and_locf_fills(spark, sf_dir):
+    out = timeseries_gapfill_locf(spark, sf_dir).cache()
+    try:
+        n_users = out.select("user_id").distinct().count()
+        days = out.select("day").distinct()
+        n_days = days.count()
+        # dense cross product: every user has every day exactly once
+        assert out.count() == n_users * n_days
+        lo, hi = days.agg(F.min("day"), F.max("day")).first()
+        assert n_days == (hi - lo).days + 1  # no calendar gaps
+
+        # LOCF: nulls only before a user's first observed day
+        w_rows = out.where(F.col("locf_value").isNull())
+        first_obs = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") < 20)
+            .groupBy("user_id")
+            .agg(F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day"))
+        )
+        bad = w_rows.join(first_obs, "user_id").where(
+            F.col("day") >= F.col("first_day")
+        )
+        assert bad.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_stratified_sample_within_binomial_bounds(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["o_orderstatus"]: r["n_sampled"]
+        for r in stratified_sample_orders(spark, sf_dir).collect()
+    }
+    fracs = {"O": 0.1, "F": 0.2, "P": 0.5}
+    for status, frac in fracs.items():
+        n = totals[status]
+        mean, sd = n * frac, math.sqrt(n * frac * (1 - frac))
+        assert abs(got.get(status, 0) - mean) <= 6 * sd + 1, (status, got, mean)
+    # seeded: a second draw is identical
+    again = {
+        r["o_orderstatus"]: r["n_sampled"]
+        for r in stratified_sample_orders(spark, sf_dir).collect()
+    }
+    assert got == again
+
+
+def test_cms_estimates_bound_true_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(exact.values())
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in heavy_hitters_cms(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # CMS never under-counts
+        assert est[t] <= n + 0.001 * total + 1  # eps * N envelope
