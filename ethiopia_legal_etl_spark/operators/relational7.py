@@ -221,3 +221,67 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
     rows = [(t, int(cms.estimateCount(bytearray(t.encode())))) for t in types]
     return spark.createDataFrame(rows, "event_type string, est_count long")
+
+
+@register(
+    "zorder_pruning_stats",
+    oracle=None,  # writes scratch files, reads parquet footers -> rows-only
+    doc="z-order clustered write evidence (sources/zorder.py): lineitem "
+    "rewritten as 16 files under three layouts (hash, single-column "
+    "range, Morton z-order on partkey+suppkey); for each layout and "
+    "each key column, counts how many files a quarter-range predicate "
+    "must read according to the parquet footer min/max — the exact "
+    "stats a scan's file pruning consults. Expected shape: hash prunes "
+    "nothing, single-column range prunes only its sort column, z-order "
+    "prunes BOTH (~6-8/16). At 100 TB this is the difference between "
+    "a two-dimension filter reading ~6% of files and reading all of "
+    "them when the predicate misses the sort column.",
+)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ethiopia_legal_etl_spark.sources.zorder import write_zorder_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="elel_spark_z_")
+    li.repartition(16).write.mode("overwrite").parquet(f"{base}/hash")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(f"{base}/single")
+    )
+    write_zorder_clustered(li, f"{base}/zorder", ["l_partkey", "l_suppkey"], 16)
+
+    maxes = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+
+    def file_ranges(path: str, column: str):
+        out = []
+        for f in sorted(Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(column)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    rows = []
+    for layout in ("hash", "single", "zorder"):
+        for col, qhi in (("l_partkey", maxes[0] // 4), ("l_suppkey", maxes[1] // 4)):
+            rs = file_ranges(f"{base}/{layout}", col)
+            hit = sum(1 for lo, hi in rs if lo <= qhi and 0 <= hi)
+            rows.append((layout, col, len(rs), hit))
+    return spark.createDataFrame(
+        rows, "layout string, col string, files_total long, files_hit long"
+    )

@@ -82,3 +82,21 @@ def test_cms_estimates_bound_true_counts(spark, sf_dir):
     for t, n in exact.items():
         assert est[t] >= n  # CMS never under-counts
         assert est[t] <= n + 0.001 * total + 1  # eps * N envelope
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    stats = {
+        (r["layout"], r["col"]): (r["files_total"], r["files_hit"])
+        for r in __import__(
+            "ethiopia_legal_etl_spark.operators.relational7", fromlist=["x"]
+        ).zorder_pruning_stats(spark, sf_dir).collect()
+    }
+    # hash layout: every file spans the whole domain, nothing prunes
+    assert stats[("hash", "l_partkey")][1] == 16
+    assert stats[("hash", "l_suppkey")][1] == 16
+    # single-column range: perfect on the sort column, blind on the other
+    assert stats[("single", "l_partkey")][1] <= 5
+    assert stats[("single", "l_suppkey")][1] == 16
+    # z-order: meaningful pruning on BOTH columns
+    assert stats[("zorder", "l_partkey")][1] <= 10
+    assert stats[("zorder", "l_suppkey")][1] <= 10
