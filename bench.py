@@ -42,6 +42,7 @@ HEADLINE = [
     "text_term_frequency",
     "text_tfidf_top_terms",
     "similarity_cosine_topk",
+    "timeseries_gapfill_locf",
     "stream_tumbling_window",
     "stream_session_window",
     "doc_record_projection",

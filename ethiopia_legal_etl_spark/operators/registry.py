@@ -84,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         relational5,
         relational6,
         relational7,
+        relational8,
         similarity,
         textstats,
     )

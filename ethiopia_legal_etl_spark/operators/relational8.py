@@ -1,0 +1,184 @@
+"""Wave 8: Spark 4 SQL/API surfaces — recursive CTEs, SQL scripting
+(BEGIN/DECLARE/END control flow), DataFrame.transpose, and the
+Arrow-native mapInArrow UDF path.
+
+All Layer-B engine surface (the reference has no SQL at all, SURVEY.md
+§2.A "explicitly absent" list). The recursive CTE and scripting
+queries run the IDENTICAL SQL text on Spark and DuckDB-equivalent
+forms, pinning dialect-level parity, not just result parity.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('2001-08-01' AS DATE)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month, COALESCE(n_orders, 0) AS n_orders, revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+@register(
+    "recursive_monthly_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    doc="WITH RECURSIVE month spine (Spark 4 recursive CTE) left-joined "
+    "to monthly order aggregates — the recursive sibling of "
+    "timeseries_gapfill_locf's sequence() spine; months with no orders "
+    "surface as zero rows instead of disappearing. The EXACT same SQL "
+    "text runs on DuckDB as the oracle: dialect-level parity. "
+    "Termination is structural (monotone month, bounded above). Scale: "
+    "recursion produces 80 driver-side rows then joins the distributed "
+    "aggregate — recursion depth never touches the big table.",
+)
+def recursive_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 0;
+  SET cutoff = (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                FROM orders);
+  SELECT o_orderpriority,
+         COUNT(*) AS n_above_avg,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+  FROM orders WHERE o_totalprice > cutoff
+  GROUP BY o_orderpriority;
+END
+"""
+
+
+@register(
+    "scripting_above_avg_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above_avg,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL scripting (Spark 4.1 BEGIN/DECLARE/SET/END): a session "
+    "variable captures a scalar aggregate, the final statement filters "
+    "on it; the script's result is the last SELECT. Oracle is the "
+    "equivalent single-statement scalar subquery — proving the "
+    "procedural form computes exactly the declarative answer. avg is "
+    "decimal-sum/count per the float policy so both engines divide "
+    "identical doubles.",
+)
+def scripting_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCRIPT_SQL)
+
+
+@register(
+    "transpose_nation_metrics",
+    oracle="""
+    WITH per_region AS (
+      SELECT r_name,
+             CAST(COUNT(*) AS DOUBLE) AS n_nations,
+             CAST(MIN(n_nationkey) AS DOUBLE) AS min_key,
+             CAST(MAX(n_nationkey) AS DOUBLE) AS max_key
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    )
+    SELECT 'n_nations' AS key,
+           MAX(CASE WHEN r_name = 'AFRICA' THEN n_nations END) AS "AFRICA",
+           MAX(CASE WHEN r_name = 'AMERICA' THEN n_nations END) AS "AMERICA",
+           MAX(CASE WHEN r_name = 'ASIA' THEN n_nations END) AS "ASIA",
+           MAX(CASE WHEN r_name = 'EUROPE' THEN n_nations END) AS "EUROPE",
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END) AS "MIDDLE EAST"
+    FROM per_region
+    UNION ALL
+    SELECT 'min_key',
+           MAX(CASE WHEN r_name = 'AFRICA' THEN min_key END),
+           MAX(CASE WHEN r_name = 'AMERICA' THEN min_key END),
+           MAX(CASE WHEN r_name = 'ASIA' THEN min_key END),
+           MAX(CASE WHEN r_name = 'EUROPE' THEN min_key END),
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN min_key END)
+    FROM per_region
+    UNION ALL
+    SELECT 'max_key',
+           MAX(CASE WHEN r_name = 'AFRICA' THEN max_key END),
+           MAX(CASE WHEN r_name = 'AMERICA' THEN max_key END),
+           MAX(CASE WHEN r_name = 'ASIA' THEN max_key END),
+           MAX(CASE WHEN r_name = 'EUROPE' THEN max_key END),
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN max_key END)
+    FROM per_region
+    """,
+    doc="DataFrame.transpose (Spark 4): a 5-region × 3-metric summary "
+    "flipped so metrics become rows and regions become columns — the "
+    "report-shaping dual of pivot. Metrics pre-cast to a common DOUBLE "
+    "type (transpose requires a least-common type across the row). "
+    "Oracle spells the transpose as conditional aggregation per region "
+    "name. Driver-safe: transpose collects the FIRST column only to "
+    "name output columns; the 5-row input here makes that trivial.",
+)
+def transpose_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_region = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_nations"),
+            F.min("n_nationkey").cast("double").alias("min_key"),
+            F.max("n_nationkey").cast("double").alias("max_key"),
+        )
+        .orderBy("r_name")
+    )
+    return per_region.transpose()
+
+
+@register(
+    "arrow_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens_ws
+    FROM documents
+    """,
+    doc="mapInArrow (Spark 4 Arrow-native batch UDF): whitespace token "
+    "counts computed with pyarrow.compute kernels on RecordBatches — "
+    "no pandas materialization, no per-row Python. The zero-copy tier "
+    "of the UDF ladder (built-ins > mapInArrow > pandas_udf > row "
+    "UDF); oracle is the pure-SQL length-difference spelling, proving "
+    "the Arrow kernel path computes exactly what the JVM expression "
+    "would.",
+)
+def arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(1)
+            spaces = pc.count_substring(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.add(spaces, 1).cast(pa.int64())],
+                ["doc_id", "n_tokens_ws"],
+            )
+
+    return docs.mapInArrow(count_tokens, "doc_id long, n_tokens_ws long")

@@ -100,3 +100,36 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     # z-order: meaningful pruning on BOTH columns
     assert stats[("zorder", "l_partkey")][1] <= 10
     assert stats[("zorder", "l_suppkey")][1] <= 10
+
+
+def test_wave8_shapes(spark, sf_dir):
+    """Wave 8 smoke in pytest (values are oracle-gated): recursion depth
+    equals the calendar span, transpose flips 5 regions x 3 metrics,
+    scripting returns the last SELECT, arrow path equals the SQL twin."""
+    from ethiopia_legal_etl_spark.operators import relational8 as r8
+
+    spine = r8.recursive_monthly_spine(spark, sf_dir)
+    assert spine.count() == 80  # 1995-01 .. 2001-08 inclusive
+    assert spine.columns == ["month", "n_orders", "revenue"]
+
+    t = r8.transpose_nation_metrics(spark, sf_dir)
+    assert t.count() == 3
+    assert set(t.columns) == {"key", "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+    s = r8.scripting_above_avg_orders(spark, sf_dir)
+    assert s.columns == ["o_orderpriority", "n_above_avg", "min_price"]
+
+    arrow = r8.arrow_token_count(spark, sf_dir)
+    from pyspark.sql import functions as FF
+    sql_twin = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (
+                FF.length("text")
+                - FF.length(FF.regexp_replace("text", " ", ""))
+                + 1
+            ).cast("long").alias("n_tokens_ws"),
+        )
+    )
+    assert arrow.exceptAll(sql_twin).count() == 0
