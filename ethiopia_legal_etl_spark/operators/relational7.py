@@ -44,41 +44,60 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     FROM spine s
     LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
     """,
-    doc="time-series gap-fill: dense per-user daily spine "
-    "(sequence+explode — generated, never materialized as input) left-"
-    "joined to daily aggregates, missing days filled by last observation "
-    "carried forward (last(ignorenulls) over an unbounded-preceding "
-    "frame). The TimescaleDB locf()/time_bucket_gapfill shape. Scale: "
-    "the spine is |users|×|days| rows built from a broadcast 1-row "
-    "bounds table — no shuffle to create it; the LOCF window "
-    "repartitions once on user_id, same key as the join, so AQE "
-    "coalesces to a single exchange. Leading nulls (days before a "
-    "user's first observation) stay null in both engines.",
+    doc="time-series gap-fill: missing days filled by last observation "
+    "carried forward, the TimescaleDB locf()/time_bucket_gapfill shape "
+    "(oracle spells it the textbook way: dense spine LEFT JOIN + "
+    "last_value IGNORE NULLS). The Spark plan is join-free segment "
+    "explosion instead: lead(day) finds each observation's successor "
+    "and ONE explode expands, per observation, the (day,value) struct "
+    "run [day, next-1] — the LOCF fill IS the segment — prefixed for "
+    "each user's first row (rn=1) by a null-valued head run from the "
+    "global lo bound, so no spine join and no second pass. ONE "
+    "exchange on the event data: repartition(user_id) feeds both the "
+    "(user_id, day) aggregate (hash(user_id) clusters every (user_id, "
+    "day) group) and the lead/row_number window; bounds are a 1-row "
+    "broadcast agg straight off the scan. The naive spine-join plan "
+    "costs 5 exchanges including a |users×days| join — measured, then "
+    "replaced (same oracle hash).",
 )
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
-    daily = ev.groupBy(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("day_value"))
-    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = (
-        daily.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
-        )
+    day_expr = F.to_date(F.date_trunc("day", "ts"))
+    bounds = ev.agg(
+        F.min(day_expr).alias("lo"), F.max(day_expr).alias("hi")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", day_expr.alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("day_value"))
     )
-    return spine.join(daily, ["user_id", "day"], "left").select(
+    w = Window.partitionBy("user_id").orderBy("day")
+    segs = daily.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         "day",
-        F.last("day_value", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+        "day_value",
+        "lo",
+        "hi",
+        F.lead("day").over(w).alias("day_next"),
+        F.row_number().over(w).alias("rn"),
+    )
+    run = F.expr(
+        """
+        concat(
+          CASE WHEN rn = 1 AND day > lo
+               THEN transform(sequence(lo, date_sub(day, 1), interval 1 day),
+                              d -> struct(d AS day,
+                                          CAST(NULL AS DECIMAL(24,2)) AS v))
+               ELSE array() END,
+          transform(sequence(day, coalesce(date_sub(day_next, 1), hi),
+                             interval 1 day),
+                    d -> struct(d AS day, day_value AS v)))
+        """
+    )
+    return segs.select("user_id", F.explode(run).alias("s")).select(
+        "user_id",
+        F.col("s.day").alias("day"),
+        F.col("s.v").cast("double").alias("locf_value"),
     )
 
 

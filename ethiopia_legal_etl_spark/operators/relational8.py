@@ -182,3 +182,50 @@ def arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(count_tokens, "doc_id long, n_tokens_ws long")
+
+
+@register(
+    "grouped_agg_weighted_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4)
+             AS disc_weighted_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="GROUPED_AGG pandas UDF: discount-weighted mean price per "
+    "return flag, the one UDF variant the other queries don't cover "
+    "(scalar pandas_udf -> relational2, grouped-map applyInPandas -> "
+    "relational4, mapInPandas -> ingest, mapInArrow -> arrow_token_"
+    "count). The UDF receives each group's columns as whole pandas "
+    "Series and returns one scalar; usable in groupBy().agg and as a "
+    "window aggregate. Scale note: unlike built-in aggs there is NO "
+    "map-side partial aggregation — every group's rows ship to one "
+    "task — so built-ins stay preferred in hot paths; this exists for "
+    "genuinely non-SQL group reductions. Oracle is the declarative "
+    "weighted-mean spelling (4dp round absorbs double summation-order "
+    "differences).",
+)
+def grouped_agg_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, disc: pd.Series) -> float:
+        return float((price * disc).sum() / disc.sum())
+
+    # Spark disallows mixing GROUPED_AGG UDFs with built-in aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) -> count via a second
+    # pandas aggregate
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        return int(len(price))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_discount"), 4).alias(
+            "disc_weighted_price"
+        ),
+        n_rows("l_extendedprice").alias("n_rows"),
+    )

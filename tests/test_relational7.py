@@ -133,3 +133,19 @@ def test_wave8_shapes(spark, sf_dir):
         )
     )
     assert arrow.exceptAll(sql_twin).count() == 0
+
+
+def test_cache_reuse_appears_in_plan(spark, sf_dir):
+    """df.persist() materializes a reused subplan once: dependent plans
+    read InMemoryTableScan instead of re-scanning parquet. The
+    cache-the-dim pattern for iterative/multi-query sessions."""
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dim.persist()
+    try:
+        dim.count()  # materialize
+        plan = dim.groupBy("c_nationkey").count()._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        dim.unpersist()
