@@ -24,7 +24,12 @@ split, no driver bottleneck); each task streams rows via a generator
 per-job.
 """
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -64,6 +69,32 @@ class LegalFeedReader(DataSourceReader):
             yield _fake_fetch(i)
 
 
+class LegalFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the feed: the offset is simply the next doc
+    index, so each microbatch drains up to `batchsize` new documents
+    and `availableNow` terminates once `ndocs` is reached. Offsets are
+    plain dicts checkpointed by the engine — restart-safe replay comes
+    for free (readBetweenOffsets re-yields any committed range
+    deterministically, which `_fake_fetch`'s seeding guarantees)."""
+
+    def __init__(self, options):
+        self.ndocs = int(options.get("ndocs", 100))
+        self.batch = int(options.get("batchsize", 25))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.batch, self.ndocs)
+        return iter([_fake_fetch(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_fake_fetch(i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+
 class LegalFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -74,3 +105,6 @@ class LegalFeedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> LegalFeedReader:
         return LegalFeedReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> LegalFeedStreamReader:
+        return LegalFeedStreamReader(self.options)

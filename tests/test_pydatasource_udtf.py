@@ -110,3 +110,49 @@ def test_extract_links_udtf_agrees_with_sql_spelling(spark, sf_dir):
         for r in html_link_extraction(spark, sf_dir).collect()
     }
     assert udtf_urls == sql_urls
+
+
+def test_legalfeed_stream_reader_drains_feed(spark, tmp_path):
+    """readStream on the same Python DataSource: availableNow drains
+    the feed in batchsize-increments through the checkpointed offset
+    log, and the streamed rows equal the batch read exactly."""
+    from ethiopia_legal_etl_spark.sources.pydatasource import LegalFeedDataSource
+
+    try:
+        spark.dataSource.register(LegalFeedDataSource)
+    except Exception:
+        pass  # already registered by another test
+
+    sdf = (
+        spark.readStream.format("legalfeed")
+        .option("ndocs", 90)
+        .option("batchsize", 40)
+        .load()
+    )
+    # availableNow only covers the offset prefetched at start for
+    # simple stream readers -> run microbatches until the feed drains
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("feed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) AS n FROM feed_stream").first()["n"] >= 90:
+            break
+        time.sleep(1)
+    q.stop()
+    streamed = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM feed_stream").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in spark.read.format("legalfeed").option("ndocs", 90).load().collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 90
