@@ -267,6 +267,12 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    maxes = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    if maxes[0] is None:  # empty input: nothing to lay out or compare
+        return spark.createDataFrame(
+            [], "layout string, col string, files_total long, files_hit long"
+        )
+
     base = tempfile.mkdtemp(prefix="elel_spark_z_")
     li.repartition(16).write.mode("overwrite").parquet(f"{base}/hash")
     (
@@ -276,8 +282,6 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/single")
     )
     write_zorder_clustered(li, f"{base}/zorder", ["l_partkey", "l_suppkey"], 16)
-
-    maxes = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
 
     def file_ranges(path: str, column: str):
         out = []

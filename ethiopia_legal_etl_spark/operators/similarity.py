@@ -167,6 +167,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = emb.select(
         "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
     )
+    if feats.isEmpty():  # .fit requires rows; empty scan -> empty result
+        return spark.createDataFrame(
+            [], "q_id bigint, vec_id bigint, l2_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0,
         numHashTables=4, seed=42,
@@ -201,6 +205,10 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).withColumn("features", array_to_vector(F.col("e")))
+    if feats.isEmpty():  # .fit requires rows; empty scan -> empty result
+        return spark.createDataFrame(
+            [], "q_id bigint, vec_id bigint, cos_sim double, rn int"
+        )
     km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
     assigned = model.transform(feats).select("vec_id", "e", "cell")
