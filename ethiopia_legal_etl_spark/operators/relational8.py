@@ -229,3 +229,28 @@ def grouped_agg_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_rows("l_extendedprice").alias("n_rows"),
     )
+
+
+_PAGINATION_SQL = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register(
+    "pagination_offset_orders",
+    oracle=_PAGINATION_SQL,
+    doc="keyset-free pagination: ORDER BY ... LIMIT 20 OFFSET 40 (page "
+    "3 of the priciest orders), identical SQL text on both engines. "
+    "The total order (price DESC, then key) makes the page "
+    "deterministic. Scale note: OFFSET still sorts/skips the head on "
+    "the driver side of the limit — fine for report pages; deep "
+    "pagination at 100 TB should switch to keyset predicates "
+    "(WHERE (price, key) < last_seen ORDER BY ... LIMIT k), which "
+    "pushes into the scan.",
+)
+def pagination_offset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PAGINATION_SQL)
