@@ -125,11 +125,11 @@ def doc_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       REPLACE(REGEXP_REPLACE(REGEXP_EXTRACT(
-          CONCAT('https://fsc.example.et/files/', source, '/vol%20',
+          CONCAT('https://fsc.example.et/files/', COALESCE(source, ''), '/vol%20',
                  CAST(doc_id AS VARCHAR), '.pdf'),
           '([^/]+)\\z', 1), '([^.])\\.[^.]*\\z', '\\1'), '%20', '_')  AS base_name,
       REPLACE(REPLACE(REGEXP_REPLACE(REGEXP_EXTRACT(
-          CONCAT('https://fsc.example.et/files/', source, '/vol%20',
+          CONCAT('https://fsc.example.et/files/', COALESCE(source, ''), '/vol%20',
                  CAST(doc_id AS VARCHAR), '.pdf'),
           '([^/]+)\\z', 1), '([^.])\\.[^.]*\\z', '\\1'), '%20', '_'), '_', ' ') AS title,
       REGEXP_EXTRACT(SUBSTRING(text, 1, 1000),
@@ -147,9 +147,11 @@ def doc_record_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # synthesize a reference-shaped URL so the A-10 chain (basename →
     # splitext → %20→_, fetch_legal_docs.py:35-38) has real work to do
+    # COALESCE the nullable source on BOTH sides: Spark's concat
+    # null-propagates while DuckDB's skips nulls — make the '' explicit
     url = F.concat(
         F.lit("https://fsc.example.et/files/"),
-        F.col("source"),
+        F.coalesce(F.col("source"), F.lit("")),
         F.lit("/vol%20"),
         F.col("doc_id").cast("string"),
         F.lit(".pdf"),

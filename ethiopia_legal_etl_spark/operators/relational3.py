@@ -18,9 +18,9 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     "window_ntile_percent_rank",
     oracle="""
     SELECT o_orderkey,
-           NTILE(4)       OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
-           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+           NTILE(4)       OVER (ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey), 6) AS cume
     FROM orders
     WHERE o_custkey < 50
     """,
@@ -31,7 +31,9 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    # explicit null placement: Spark defaults ASC NULLS FIRST, DuckDB
+    # NULLS LAST — pin it so both engines rank null prices identically
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_first(), "o_orderkey")
     return orders.select(
         "o_orderkey",
         F.ntile(4).over(w).alias("price_quartile"),
@@ -45,7 +47,8 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_type AS (
       SELECT user_id, event_type, COUNT(*) AS cnt
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id,
            MAX(CASE WHEN event_type = 'error'    THEN cnt END) AS error_cnt,
@@ -60,7 +63,13 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_ops_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    # map keys cannot be null (NULL_MAP_KEY): null event types are
+    # excluded on BOTH sides — an unknown type is absent, not a key
+    per_type = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     as_map = per_type.groupBy("user_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("event_type", "cnt"))

@@ -28,7 +28,8 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(14,2))) AS day_value
-      FROM events WHERE user_id < 20 GROUP BY 1, 2
+      FROM events WHERE user_id < 20 AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
     spine AS (
@@ -61,7 +62,12 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     "replaced (same oracle hash).",
 )
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    # null-valued events are NOT observations: the oracle's IGNORE
+    # NULLS skips them, so a day whose values are all null must be a
+    # GAP (filled from the previous day), not an observed null
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20) & F.col("value").isNotNull()
+    )
     day_expr = F.to_date(F.date_trunc("day", "ts"))
     bounds = ev.agg(
         F.min(day_expr).alias("lo"), F.max(day_expr).alias("hi")
@@ -237,7 +243,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregate hashes the UTF8String payload, i.e. the raw UTF-8
     # bytes -> query with byte[] (estimateCount(String) hashes the same
     # bytes; both spellings verified equal in tests)
-    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    # the aggregate skips nulls; a null key cannot be queried either
+    types = sorted(
+        r[0]
+        for r in ev.select("event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+        .collect()
+    )
     rows = [(t, int(cms.estimateCount(bytearray(t.encode())))) for t in types]
     return spark.createDataFrame(rows, "event_type string, est_count long")
 

@@ -1,0 +1,80 @@
+"""Null-injection robustness mirror: copy the driver tables with ~10%
+deterministic NULLs in nullable non-key columns, then run the full
+oracle gate against the mirror:
+
+    python tools/nulls_mirror.py [dest_dir]      # build the mirror
+    python tools/check_oracle.py <dest_dir>      # full cross-engine gate
+
+This catches the cross-engine null-semantics divergences the clean
+testdata can't see. Divergences it has already caught (each fixed by
+making the semantics explicit on BOTH sides — see git history):
+- Spark concat() null-propagates, DuckDB concat() skips nulls
+  (doc_record_projection: COALESCE made explicit);
+- default null sort order: Spark ASC NULLS FIRST, DuckDB NULLS LAST
+  (window_ntile_percent_rank: NULLS FIRST pinned in both);
+- null map keys are illegal in Spark (map_ops_user_stats: null event
+  types excluded on both sides);
+- a day whose values are all NULL is a GAP, not an observed null, under
+  IGNORE-NULLS LOCF (timeseries_gapfill_locf: null values filtered);
+- a NULL sketch key can be neither counted nor queried
+  (heavy_hitters_cms: nulls excluded from the key list).
+
+The mirror is built with DuckDB so each table stays a single parquet
+FILE (the oracle registers `<dir>/<table>.parquet` as one file).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+# nullable non-key columns only: join keys and identity columns stay
+# intact so query topology is preserved
+NULLABLE = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_tax", "l_discount"],
+    "orders": ["o_orderpriority", "o_totalprice"],
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name"],
+    "documents": ["lang", "source"],
+    "events": ["event_type", "value", "props"],
+}
+
+
+def build(dst: str, src: str = SRC) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()
+        ]
+        first = cols[0]
+        sel = [
+            (
+                f"CASE WHEN abs(hash({first} :: VARCHAR || '{c}')) % 10 = 0 "
+                f"THEN NULL ELSE {c} END AS {c}"
+                if c in NULLABLE.get(t, [])
+                else c
+            )
+            for c in cols
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+if __name__ == "__main__":
+    import os
+
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/elel_nulls_sf0.001"
+    os.makedirs(dest, exist_ok=True)
+    build(dest)
+    print(dest)
