@@ -85,6 +85,7 @@ def all_queries() -> dict[str, Query]:
         relational6,
         relational7,
         relational8,
+        relational9,
         similarity,
         textstats,
     )

@@ -38,6 +38,44 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``sc.addPyFile``.
+
+    cloudpickle serializes module-level UDF callables (applyInPandas,
+    cogroup, mapInPandas, pandas_udf) by reference, so every executor's
+    Python worker must be able to ``import ethiopia_legal_etl_spark``.
+    When the driver process happens to run from the repo root the cwd
+    makes that work by accident; an externally built session running
+    anywhere else — and every real multi-node cluster — needs the
+    package shipped. One zip per SparkContext, cached on app id."""
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"ethiopia_legal_etl_spark_pyfiles_{os.getpid()}"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+    try:
+        sc.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # e.g. Spark Connect sessions without an sc; cwd fallback applies
+    _SHIPPED_APP_IDS.add(app_id)
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an externally built
     session. Called by every registered query builder so correctness
@@ -47,6 +85,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: builder-set sessions already have it
+    ensure_package_on_executors(spark)
     return spark
 
 
