@@ -86,6 +86,7 @@ def all_queries() -> dict[str, Query]:
         relational7,
         relational8,
         relational9,
+        relational10,
         similarity,
         textstats,
     )
