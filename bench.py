@@ -27,6 +27,7 @@ HEADLINE = [
     "q5_region_revenue",
     "sql_q6_forecast_revenue",
     "q8_market_share",
+    "q9_product_profit",
     "q10_returned_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",

@@ -87,6 +87,7 @@ def all_queries() -> dict[str, Query]:
         relational8,
         relational9,
         relational10,
+        relational11,
         similarity,
         textstats,
     )
