@@ -88,6 +88,7 @@ def all_queries() -> dict[str, Query]:
         relational9,
         relational10,
         relational11,
+        relational12,
         similarity,
         textstats,
     )
