@@ -346,6 +346,51 @@ def gapfill_probe(spark, out: str) -> dict:
     return res
 
 
+def analytics_probe(spark, scratch: str) -> list[dict]:
+    """Product-analytics suite scaling: funnel / retention / transition
+    matrix over replicated events at 1× / 10× / 100× (100k → 10M rows).
+
+    user_id and event_id shift per copy, so USER cardinality scales
+    with the data while the 30-day window stays fixed — the realistic
+    growth axis for a behavioral pipeline (more users, same horizon).
+    Every stage shuffles on user_id, so this measures whether the
+    per-user reduction keeps the joins dimension-sized as users grow.
+    """
+    from ethiopia_legal_etl_spark.operators.relational12 import (
+        event_transition_matrix,
+        funnel_signup_purchase_7d,
+        retention_cohort_weekly,
+    )
+
+    builders = {
+        "funnel": funnel_signup_purchase_7d,
+        "retention": retention_cohort_weekly,
+        "transitions": event_transition_matrix,
+    }
+    out = []
+    for factor in (1, 10, 100):
+        if factor == 1:
+            d = SF_DIR
+        else:
+            d = f"{scratch}/ev_x{factor}"
+            replicate(
+                spark, SF_DIR, "events", factor, d,
+                {"user_id": 1, "event_id": 1},
+            )
+        for name, b in builders.items():
+            run_noop(b(spark, d))  # warm
+            sec = timed(lambda: run_noop(b(spark, d)))
+            out.append(
+                {
+                    "exp": f"analytics_{name}",
+                    "factor": factor,
+                    "rows": 100_000 * factor,
+                    "sec": sec,
+                }
+            )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -356,6 +401,8 @@ def main() -> None:
                     help="runtime Bloom-filter join-pruning experiment (~3 min)")
     ap.add_argument("--gapfill", action="store_true",
                     help="LOCF gap-fill spine-join vs segment-explode (~2 min)")
+    ap.add_argument("--analytics", action="store_true",
+                    help="funnel/retention/transition scaling to 10M events (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -386,6 +433,9 @@ def main() -> None:
             print(json.dumps({"exp": "bloom_prune", **bloom_probe(spark, scratch)}))
         if args.gapfill:
             print(json.dumps({"exp": "gapfill", **gapfill_probe(spark, scratch)}))
+        if args.analytics:
+            for r in analytics_probe(spark, scratch):
+                print(json.dumps(r))
     finally:
         if not args.keep:
             shutil.rmtree(scratch, ignore_errors=True)
