@@ -89,6 +89,7 @@ def all_queries() -> dict[str, Query]:
         relational10,
         relational11,
         relational12,
+        relational13,
         similarity,
         textstats,
     )
