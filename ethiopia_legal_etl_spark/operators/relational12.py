@@ -11,8 +11,12 @@ SURVEY.md §2.A "explicitly absent"); Layer-B surface per BASELINE.json.
 
 Cross-engine precision rules (see sources/tables.py): events.ts is
 TIMESTAMP(NANOS) in parquet — Spark floors to µs, DuckDB keeps ns, so
-no query emits raw ts; comparisons only span intervals ≥ minutes where
-a sub-µs truncation cannot flip a boundary. Window order uses
+no query emits raw ts. Interval comparisons (e.g. the funnel's 7-day
+window) agree across engines only because the generator emits whole-µs
+timestamps: a ts with sub-µs residue landing inside (boundary,
+boundary+1µs) would pass Spark's floored comparison and fail DuckDB's
+ns one. The guarantee is conditional on generator granularity, not
+unconditional. Window order uses
 `event_id`, which is verified monotone with ts per user (ingestion
 order), so both engines sort identically with no ns-tie hazard.
 

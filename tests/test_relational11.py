@@ -52,12 +52,27 @@ def test_q9_covers_all_bolt_nations(spark, sf_dir):
 
 def test_q11_rows_beat_threshold(spark, sf_dir):
     out = q11_important_parts(spark, sf_dir)
-    total = out.agg(F.sum("part_value")).first()[0]
     rows = out.collect()
     assert rows
-    # every kept part's value exceeds 0.05% of the (larger) full total,
-    # so certainly of the kept subtotal — weak but engine-independent
-    assert all(r["part_value"] > 0.0005 * 0 for r in rows) and total > 0
+    # recompute the global total independently: sum of per-part value
+    # over ALL AFRICA-qualified parts, with no threshold filter — the
+    # scalar-subquery denominator the query must have used
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    full_total = (
+        li.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("t"))
+        .first()["t"]
+    )
+    assert full_total is not None and float(full_total) > 0
+    threshold = 0.0005 * float(full_total)
+    # threshold dominance: every kept part strictly beats 0.05% of the
+    # unfiltered global total
+    assert all(r["part_value"] > threshold for r in rows)
 
 
 def test_q16_excludes_complaint_suppliers(spark, sf_dir):
