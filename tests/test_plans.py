@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "theta_nation_pairs",       # pure non-equi join, 25×25
     "scalar_subquery_above_avg",  # scalar agg joined into the filter
     "q22_idle_balances",        # 1-row avg-balance cutoff broadcast
+    "q11_important_parts",      # 1-row value-threshold broadcast crossJoin
     "text_tfidf_top_terms",     # 1-row corpus-size aggregate broadcast
     "fuzzy_pairs_levenshtein",  # genuine non-equi edit-distance join (doc'd)
     "timeseries_gapfill_locf",  # 1-row date-bounds broadcast crossJoin
