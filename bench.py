@@ -60,17 +60,22 @@ def main() -> None:
     # warm up: JVM, parquet footer cache, codegen
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # 4 runs per query: run 1 pays one-time codegen/JIT and is dropped;
+    # report the MEDIAN of the remaining 3 (robust to one noisy run)
+    # plus the spread (max-min of those 3) so ±15% machine noise is
+    # visible instead of masquerading as a perf change across rounds.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        # best of 3: run 1 pays one-time codegen/JIT per query; the min
-        # of the rest is steady-state, robust to background load noise
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        for _ in range(4):
             df = qs[name].builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        steady = sorted(runs[1:])
+        timings[name] = round(steady[len(steady) // 2], 3)
+        spreads[name] = round(steady[-1] - steady[0], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -80,6 +85,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "n_runs": 4,
+                "stat": "median_of_last_3",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -73,47 +73,107 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
 
 
+# Deterministic MinHash banding, expressible identically in Spark and
+# DuckDB: signature i = MIN over distinct tokens of md5(i || ':' || tok)
+# (lowercase-hex strings compare identically in both engines), banded
+# r=2 rows x b=4 bands. Candidates come from an equi-join on
+# (band, band_key) — never an all-pairs block — then exact token-set
+# Jaccard verifies each candidate. Both engines run the SAME generator,
+# so the oracle match is exact (recall at s=0.5 is 1-(1-s^2)^4 ~ 0.68
+# by construction — that is the banding trade-off, identically applied).
+_MINHASH_SEEDS = 8
+_MINHASH_BANDS = 4  # r = 2 signatures per band
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
     WITH d AS (
-      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       FROM documents WHERE doc_id < 300
+    ),
+    sigs AS (
+      SELECT doc_id, toks,
+             [list_min(list_transform(toks, t -> md5(CAST(i AS VARCHAR) || ':' || t))),
+              list_min(list_transform(toks, t -> md5(CAST(i + 4 AS VARCHAR) || ':' || t)))]
+               AS band_sig,
+             i AS band
+      FROM d, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / LEN(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
-          / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(LEN(list_intersect(da.toks, db.toks)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(da.toks, db.toks))), 4) AS jaccard
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b
+    WHERE CAST(LEN(list_intersect(da.toks, db.toks)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(da.toks, db.toks))) >= 0.5
     """,
-    doc="token-set Jaccard similarity on candidate pairs (exact "
-    "verification stage of a near-dup pipeline; candidates bounded "
-    "by id window + language blocking — never a full cross join)",
+    doc="near-dup pipeline with equi-join-bounded candidate generation: "
+    "deterministic MinHash (md5-based, engine-portable) banded 4x2, "
+    "candidates = equi-join on (band, band_key), then exact token-set "
+    "Jaccard >= 0.5 verify on candidates only. The shuffle key is the "
+    "band value — never an all-pairs block — so candidate cost is "
+    "~|bucket collisions| at 100 TB. Oracle mirrors the generator "
+    "exactly (same md5 min-hash), so the match is exact.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     d = docs.select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = inter.cast("double") / union
-    return (
+
+    def min_hash(seed: int):
+        return F.array_min(
+            F.transform(
+                "toks", lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
+            )
+        )
+
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array(min_hash(i), min_hash(i + 4)).alias("band_sig"),
+                    )
+                    for i in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .where(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -54,9 +54,11 @@ def default_fetcher(url: str) -> tuple[int, str, bytes]:
 
 
 def default_extractor(body: bytes) -> list[str]:
-    """pdfplumber first, PyMuPDF fallback (reference requirements.txt
-    has both). Raises ImportError if neither is available — tests
-    inject a fake."""
+    """pdfplumber first, PyMuPDF second (reference requirements.txt has
+    both), then the engine's dependency-free pure-Python extractor
+    (functions/pdftext.py — FlateDecode text objects + ToUnicode CMaps,
+    sufficient for the reference's own fixtures vol01/vol02.pdf and
+    golden-tested against them)."""
     try:
         import io
 
@@ -66,10 +68,16 @@ def default_extractor(body: bytes) -> list[str]:
             return [p.extract_text() or "" for p in pdf.pages]
     except ImportError:
         pass
-    import fitz  # PyMuPDF
+    try:
+        import fitz  # PyMuPDF
 
-    with fitz.open(stream=body, filetype="pdf") as doc:
-        return [page.get_text() for page in doc]
+        with fitz.open(stream=body, filetype="pdf") as doc:
+            return [page.get_text() for page in doc]
+    except ImportError:
+        pass
+    from ethiopia_legal_etl_spark.functions.pdftext import extract_pages
+
+    return extract_pages(body)
 
 
 def incremental_skip(links: DataFrame, done_base_names: DataFrame) -> DataFrame:

@@ -229,10 +229,28 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    return _heavy_hitters_cms(spark, ev, "event_type")
+
+
+def _heavy_hitters_cms(
+    spark: SparkSession, ev: DataFrame, key: str, max_ndv: int = 10_000
+) -> DataFrame:
+    # CMS probing is inherently driver-side (the sketch answers point
+    # queries); bound the distinct-key collect so a high-NDV column
+    # fails fast instead of OOMing the driver. approx_count_distinct
+    # is one pass, no shuffle of raw keys.
+    ndv = ev.agg(F.approx_count_distinct(key).alias("ndv")).head()["ndv"]
+    if ndv > max_ndv:
+        raise ValueError(
+            f"heavy_hitters_cms: ~{ndv} distinct values of {key!r} exceeds "
+            f"the driver-probe bound ({max_ndv}); probe an explicit "
+            "candidate list (e.g. a frequent-items pre-pass) instead of "
+            "collecting all distinct keys"
+        )
     raw = bytes(
         ev.agg(
             F.count_min_sketch(
-                "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+                key, F.lit(0.001), F.lit(0.99), F.lit(42)
             ).alias("sk")
         ).head()["sk"]
     )
@@ -246,9 +264,10 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregate skips nulls; a null key cannot be queried either
     types = sorted(
         r[0]
-        for r in ev.select("event_type")
-        .where(F.col("event_type").isNotNull())
+        for r in ev.select(key)
+        .where(F.col(key).isNotNull())
         .distinct()
+        .limit(max_ndv + 1)
         .collect()
     )
     rows = [(t, int(cms.estimateCount(bytearray(t.encode())))) for t in types]

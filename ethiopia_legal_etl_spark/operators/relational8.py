@@ -254,3 +254,65 @@ LIMIT 20 OFFSET 40
 def pagination_offset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PAGINATION_SQL)
+
+
+@register(
+    "pagination_keyset_orders",
+    oracle="""
+    WITH ls AS (
+      SELECT o_totalprice AS ls_price, o_orderkey AS ls_key
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1 OFFSET 39
+    )
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders, ls
+    WHERE o_totalprice < ls_price
+       OR (o_totalprice = ls_price AND o_orderkey > ls_key)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="keyset (seek-method) pagination — the 100 TB-safe twin of "
+    "pagination_offset_orders: the client passes the last-seen "
+    "(o_totalprice, o_orderkey) as literals, so the page predicate "
+    "`price < p OR (price = p AND key > k)` is PUSHED INTO THE SCAN "
+    "(PushedFilters; plan-asserted in tests/test_plans.py) and the "
+    "prefix is never re-read, unlike OFFSET which sorts/skips the "
+    "head at every depth. Returns the same page 3 as the OFFSET "
+    "query. The one-row boundary fetch is TakeOrderedAndProject "
+    "(top-40 heap, no global sort).",
+)
+def pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # boundary = last row of page 2 (row 40 of the total order); in a
+    # real API the client sends these two scalars back — fetching them
+    # here keeps the query self-contained and deterministic
+    head = (
+        orders.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(40)
+        .collect()
+    )
+    if len(head) < 40:  # fewer than 2 full pages -> page 3 is empty
+        return (
+            orders.limit(0)
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("total_price"),
+            )
+        )
+    ls_price, ls_key = head[-1]["o_totalprice"], head[-1]["o_orderkey"]
+    return (
+        orders.where(
+            (F.col("o_totalprice") < F.lit(ls_price))
+            | (
+                (F.col("o_totalprice") == F.lit(ls_price))
+                & (F.col("o_orderkey") > F.lit(ls_key))
+            )
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+    )

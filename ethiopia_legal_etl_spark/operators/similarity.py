@@ -127,8 +127,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE LIST_COSINE_SIMILARITY(a.e, b.e) > 0.9
     """,
-    doc="embedding-cosine near-dup on candidate pairs, blocked by "
-    "cluster label (the IVF-style blocking key)",
+    doc="embedding-cosine near-dup VERIFY stage on candidate pairs, "
+    "blocked by cluster label (the IVF-style blocking key). Scale "
+    "bound: cost is sum over cells of |cell|^2, so the blocking key "
+    "must keep cells bounded — at 100 TB use the learned KMeans "
+    "quantizer (similarity_ivf_topk) with a target cell size of ~1e4 "
+    "vectors (re-split oversized cells by a secondary hash); this "
+    "query is that verify stage, not a standalone all-pairs scan.",
 )
 def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)

@@ -209,12 +209,25 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sources with availableNow; not oracle-checkable -> not registered).
 # ---------------------------------------------------------------------
 
+
+def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time
+    zone) so `withWatermark` accepts it.
+
+    The driver testdata's events.ts loads as TIMESTAMP_NTZ, and Spark 4
+    raises [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] when a watermark is
+    applied to NTZ. The session time zone is pinned UTC
+    (session.RUNTIME_CONFS), so NTZ -> LTZ is value-identical; on an
+    already-LTZ column the cast is a no-op."""
+    return df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+
+
 def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
     """readStream twin of stream_tumbling_window with a 10-min
     watermark: late events beyond the watermark are dropped, state is
     bounded. Append-mode compatible (aggregation keyed on the window)."""
     return (
-        events_stream.withWatermark("ts", "10 minutes")
+        as_event_time(events_stream).withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -230,8 +243,10 @@ def streaming_dedup_within_watermark(events_stream: DataFrame) -> DataFrame:
     """Stateful streaming dedup: drop duplicate event_ids arriving
     within the watermark horizon (exactly-once-per-event_id analog of
     the reference's incremental skip, A-6)."""
-    return events_stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
-        ["event_id"]
+    return (
+        as_event_time(events_stream)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 

@@ -225,3 +225,17 @@ def test_shuffled_hash_join_strategy_available(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keyset_pagination_filter_pushed(spark, sf_dir):
+    """Keyset pagination's literal boundary predicate reaches the scan
+    (the whole point vs OFFSET: no prefix re-read at depth)."""
+    from ethiopia_legal_etl_spark.operators.relational8 import (
+        pagination_keyset_orders,
+    )
+
+    plan = formatted_plan(pagination_keyset_orders(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
+    # page fetch is a bounded heap, not a global sort
+    assert "TakeOrderedAndProject" in plan

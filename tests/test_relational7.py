@@ -149,3 +149,15 @@ def test_cache_reuse_appears_in_plan(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         dim.unpersist()
+
+
+def test_heavy_hitters_cms_high_ndv_guard(spark):
+    """A high-NDV key must fail fast instead of collecting every
+    distinct value to the driver."""
+    import pytest
+
+    from ethiopia_legal_etl_spark.operators.relational7 import _heavy_hitters_cms
+
+    wide = spark.range(1000).selectExpr("CAST(id AS STRING) AS k")
+    with pytest.raises(ValueError, match="exceeds the driver-probe bound"):
+        _heavy_hitters_cms(spark, wide, "k", max_ndv=100)

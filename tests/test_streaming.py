@@ -135,13 +135,15 @@ def test_stream_stream_interval_join(spark, events_stream_dir):
     """Stream-stream inner join with watermarks + an event-time range
     condition: each error joined to purchases of the same user within
     the preceding hour. Verified against the identical batch join."""
+    # ts loads as TIMESTAMP_NTZ from the testdata parquet; watermarks
+    # need LTZ (session tz is UTC, so the cast is value-identical)
     base = read_stream(spark, events_stream_dir)
     err = (
         base.where("event_type = 'error'")
         .select(
             F.col("event_id").alias("e_id"),
             F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
+            F.col("ts").cast("timestamp_ltz").alias("e_ts"),
         )
         .withWatermark("e_ts", "2 hours")
     )
@@ -151,7 +153,7 @@ def test_stream_stream_interval_join(spark, events_stream_dir):
         .select(
             F.col("event_id").alias("p_id"),
             F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+            F.col("ts").cast("timestamp_ltz").alias("p_ts"),
         )
         .withWatermark("p_ts", "2 hours")
     )
