@@ -85,6 +85,90 @@ _MINHASH_SEEDS = 8
 _MINHASH_BANDS = 4  # r = 2 signatures per band
 
 
+def banded_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The reusable pipeline behind dedup_ngram_jaccard: deterministic
+    md5-MinHash banding over (doc_id, text) -> equi-join candidates ->
+    exact-Jaccard verify. Also driven by tools/scale_probe.py at
+    growing corpus sizes against the all-pairs baseline."""
+    d = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+    def min_hash(seed: int):
+        return F.array_min(
+            F.transform(
+                "toks", lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
+            )
+        )
+
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array(min_hash(i), min_hash(i + 4)).alias("band_sig"),
+                    )
+                    for i in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, d, threshold)
+
+
+def jaccard_verify(
+    cand: DataFrame, d: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs; `d` = (doc_id, toks)."""
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def allpairs_jaccard_blocked(
+    docs: DataFrame, block_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """The pre-round-3 shape, kept ONLY as the scale-probe baseline:
+    all pairs within a block (n²/|blocks| candidates — the thing
+    banding exists to avoid)."""
+    d = docs.select(
+        "doc_id", block_col, F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cand = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+    return jaccard_verify(cand, d.select("doc_id", "toks"), threshold)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -125,56 +209,7 @@ _MINHASH_BANDS = 4  # r = 2 signatures per band
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    d = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-
-    def min_hash(seed: int):
-        return F.array_min(
-            F.transform(
-                "toks", lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
-            )
-        )
-
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.array(min_hash(i), min_hash(i + 4)).alias("band_sig"),
-                    )
-                    for i in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    jac = inter.cast("double") / union
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return banded_jaccard_pairs(docs)
 
 
 @register(

@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "text_tfidf_top_terms",     # 1-row corpus-size aggregate broadcast
     "fuzzy_pairs_levenshtein",  # genuine non-equi edit-distance join (doc'd)
     "timeseries_gapfill_locf",  # 1-row date-bounds broadcast crossJoin
+    "text_unigram_logprob",     # 1-row token-total broadcast crossJoin
 }
 
 

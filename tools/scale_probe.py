@@ -391,6 +391,74 @@ def analytics_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def neardup_probe(spark, scratch: str) -> list[dict]:
+    """Banded MinHash near-dup vs the all-pairs baseline as the corpus
+    grows 1× / 4× / 16× (2k → 32k docs).
+
+    Each replica's tokens get a copy-specific prefix, so cross-copy
+    Jaccard is 0 and the TRUE near-dup structure scales linearly — the
+    honest regime for comparing candidate-generation cost: banding's
+    candidates grow ~linearly (bucket collisions), all-pairs grows
+    n²/|blocks| regardless of how many true pairs exist. The all-pairs
+    arm is skipped at 16× (projected ≫ the probe budget — that is the
+    point)."""
+    from ethiopia_legal_etl_spark.operators.dedup import (
+        allpairs_jaccard_blocked,
+        banded_jaccard_pairs,
+    )
+
+    base_n = 2000
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < base_n)
+        .select("doc_id", "text", "lang")
+    )
+    out = []
+    for factor in (1, 4, 16):
+        parts = []
+        for i in range(factor):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * base_n)).alias("doc_id"),
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ).alias("text"),
+                    "lang",
+                )
+            )
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionByName(p)
+        path = f"{scratch}/docs_x{factor}"
+        docs.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+
+        run_noop(banded_jaccard_pairs(docs))  # warm
+        banded_sec = timed(lambda: run_noop(banded_jaccard_pairs(docs)))
+        n_banded = banded_jaccard_pairs(docs).count()
+        rec = {
+            "exp": "neardup_banded",
+            "factor": factor,
+            "docs": base_n * factor,
+            "sec": banded_sec,
+            "true_pairs": n_banded,
+        }
+        out.append(rec)
+        if factor <= 4:
+            run_noop(allpairs_jaccard_blocked(docs, "lang"))  # warm
+            ap_sec = timed(lambda: run_noop(allpairs_jaccard_blocked(docs, "lang")))
+            out.append(
+                {
+                    "exp": "neardup_allpairs",
+                    "factor": factor,
+                    "docs": base_n * factor,
+                    "sec": ap_sec,
+                }
+            )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -403,6 +471,8 @@ def main() -> None:
                     help="LOCF gap-fill spine-join vs segment-explode (~2 min)")
     ap.add_argument("--analytics", action="store_true",
                     help="funnel/retention/transition scaling to 10M events (~3 min)")
+    ap.add_argument("--neardup", action="store_true",
+                    help="banded MinHash vs all-pairs near-dup scaling to 32k docs (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -435,6 +505,9 @@ def main() -> None:
             print(json.dumps({"exp": "gapfill", **gapfill_probe(spark, scratch)}))
         if args.analytics:
             for r in analytics_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.neardup:
+            for r in neardup_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
