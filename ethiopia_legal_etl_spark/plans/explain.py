@@ -24,3 +24,13 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
     plan = formatted_plan(df)
     present = [n for n in needles if n in plan]
     assert not present, f"plan unexpectedly contains {present}:\n{plan}"
+
+
+def count_data_shuffles(plan: str) -> int:
+    """Hash/range Exchange count in a formatted plan — the number of
+    real data shuffles. Broadcast distribution is excluded (it moves a
+    dim-sized table, not the data). Formatted plans list each node in
+    the tree AND in the details section, hence the halving (same
+    convention as tools/dump_plans.py)."""
+    n_bcast = plan.count("BroadcastExchange") // 2
+    return plan.count("Exchange") // 2 - n_bcast

@@ -240,3 +240,53 @@ def test_keyset_pagination_filter_pushed(spark, sf_dir):
     assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
     # page fetch is a bounded heap, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+# Shuffle budgets for every bench headline query: the number of real
+# (hash/range) Exchanges each plan is ALLOWED — pinned at the audited
+# round-3 values so a refactor that silently adds a shuffle fails CI.
+# Broadcast distribution is excluded (dim-sized, not data-sized).
+SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_region_revenue": 1,
+    "sql_q6_forecast_revenue": 1,
+    "q8_market_share": 1,
+    "q9_product_profit": 1,
+    "q10_returned_revenue": 1,
+    "q18_large_orders": 1,
+    "q19_disjunctive_revenue": 1,
+    "q21_sole_return_supplier": 1,
+    "window_running_user_value": 1,
+    "window_range_7day_frame": 1,
+    "topk_orders_by_price": 0,
+    "asof_error_prev_purchase": 2,
+    "interval_join_error_purchase": 0,
+    "dedup_exact_hash": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_simhash_band": 1,
+    "text_term_frequency": 1,
+    "text_tfidf_top_terms": 5,
+    "similarity_cosine_topk": 1,
+    "timeseries_gapfill_locf": 2,
+    "stream_tumbling_window": 1,
+    "stream_session_window": 1,
+    "doc_record_projection": 0,
+    "multimodal_decode_stub": 1,
+    "pipeline_training_corpus": 1,
+}
+
+
+def test_headline_shuffle_budgets(spark, sf_dir):
+    """A 100 TB regression guard: every headline plan stays within its
+    audited shuffle budget."""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+    from ethiopia_legal_etl_spark.plans.explain import count_data_shuffles
+
+    qs = all_queries()
+    over = []
+    for name, budget in SHUFFLE_BUDGET.items():
+        got = count_data_shuffles(formatted_plan(qs[name].builder(spark, sf_dir)))
+        if got > budget:
+            over.append(f"{name}: {got} > budget {budget}")
+    assert not over, over
