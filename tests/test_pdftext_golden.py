@@ -91,3 +91,28 @@ def test_default_extractor_real_bytes_through_spark(spark):
         first_1000 = r["content"][:1000]
         m = re.search(r"\b(19[5-9]\d|20\d{2})\b", first_1000)
         assert r["year"] == (m.group(1) if m else "")
+
+
+@needs_fixtures
+def test_extract_pages_robust_to_corrupt_bytes():
+    """Truncations and byte flips must terminate promptly (raise or
+    return partial text) — per-record error isolation upstream (A-19)
+    relies on the extractor never hanging a task."""
+    import time
+
+    body = open(VOL01, "rb").read()
+    cases = [
+        body[: len(body) // 2],            # truncated mid-file
+        body[:1024],                        # header + a few objects
+        body.replace(b"endstream", b"endXtream", 3),  # broken stream ends
+        body.replace(b"/Type/Page", b"/Type/Blob", 2),  # page tree damage
+        b"%PDF-1.5\r\n" + body[5000:6000],  # header glued to garbage
+    ]
+    for i, corrupt in enumerate(cases):
+        t0 = time.monotonic()
+        try:
+            pages = extract_pages(corrupt)
+            assert isinstance(pages, list)
+        except Exception:
+            pass  # raising is fine; hanging is not
+        assert time.monotonic() - t0 < 30, f"case {i} too slow"
