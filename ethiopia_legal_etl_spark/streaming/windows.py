@@ -239,6 +239,28 @@ def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_session_counts(events_stream: DataFrame) -> DataFrame:
+    """readStream twin of stream_session_window: native session_window
+    with a 10-min watermark — state merges sessions server-side and
+    closes them once the watermark passes the gap, so state is bounded
+    by |open sessions|, not history. Append-mode compatible."""
+    return (
+        as_event_time(events_stream)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_trunc("second", "w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup_within_watermark(events_stream: DataFrame) -> DataFrame:
     """Stateful streaming dedup: drop duplicate event_ids arriving
     within the watermark horizon (exactly-once-per-event_id analog of

@@ -284,3 +284,37 @@ def test_streaming_transform_with_state(spark, events_stream_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir):
+    """Native session_window under a real stream: every session emitted
+    in append mode must equal its batch twin exactly; only sessions
+    still open at the final watermark may be withheld."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        stream_session_window,
+        streaming_session_counts,
+    )
+
+    stream = read_stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark, streaming_session_counts(stream), "t_session", "append"
+    ).collect()
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in stream_session_window(spark, sf_dir).collect()
+    }
+    got_map = {
+        (r["user_id"], r["session_start"].strftime("%Y-%m-%d %H:%M:%S")): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in got
+    }
+    assert got_map.items() <= want.items()
+    # append mode withholds only sessions near the final watermark
+    missing = set(want) - set(got_map)
+    if missing:
+        max_start = max(k[1] for k in want)
+        assert all(k[1] >= min(k[1] for k in missing) for k in missing)
+        assert len(missing) <= len(want) * 0.1
+        assert max(k[1] for k in missing) == max_start or len(missing) < 20
