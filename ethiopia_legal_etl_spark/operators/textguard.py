@@ -258,3 +258,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+@register(
+    "dedup_chunk_boilerplate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(CEIL(LEN(toks) / 10.0) AS INT)),
+               i -> array_to_string(toks[i*10+1 : (i+1)*10], ' '))) AS chunk
+      FROM d
+    ),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END) AS n_boilerplate,
+           ROUND(SUM(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS boilerplate_frac
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+    doc="chunk-level boilerplate detection (C4's 'drop any line seen "
+    "3+ times in the corpus', adapted to 10-token chunks since the "
+    "synthetic docs have no line structure): global chunk document-"
+    "frequency, joined back per doc -> boilerplate fraction. Shuffles "
+    "on the chunk hash (uniform) for the frequency agg and the "
+    "join-back; both are partial-aggregated. At 100 TB the frequency "
+    "table is corpus-sized, so the join stays a shuffle join by "
+    "design — never collected or broadcast.",
+)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.when(n_chunks >= 1, chunks).otherwise(F.array())).alias(
+            "chunk"
+        ),
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_chunk")
+    )
+    is_bp = (F.col("n_docs_with_chunk") >= 3).cast("long")
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(is_bp).alias("n_boilerplate"),
+            F.round(
+                F.sum(is_bp) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("boilerplate_frac"),
+        )
+    )
