@@ -185,12 +185,15 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     """All `N G obj` bodies -> {num: (value, stream_bytes|None)},
     including objects packed inside ObjStm object streams."""
     objects: dict[int, tuple[object, bytes | None]] = {}
+    # pass 1: values + raw stream extents (Length may be an indirect
+    # reference to an object we have not scanned yet)
+    extents: dict[int, int] = {}  # num -> stream start offset
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         i = m.end()
         try:
             val, j = _parse_value(data, i)
-        except (ValueError, IndexError):
+        except (ValueError, IndexError, RecursionError):
             continue
         stream = None
         j2 = _skip_ws(data, j)
@@ -201,11 +204,23 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
             elif data[j2 : j2 + 1] in (b"\n", b"\r"):
                 j2 += 1
             end = data.find(b"endstream", j2)
-            stream = data[j2:end]
-            # /Length is authoritative when direct (trailing EOL junk)
-            if isinstance(val, dict) and isinstance(val.get("Length"), int):
-                stream = stream[: val["Length"]]
+            # byte-scan fallback; an in-stream literal `endstream` is
+            # repaired in pass 2 when /Length resolves
+            stream = data[j2:end] if end >= 0 else None
+            extents[num] = j2
         objects[num] = (val, stream)
+    # pass 2: /Length is authoritative now that every object is known —
+    # it both trims trailing EOL junk and survives compressed payloads
+    # that happen to contain the literal bytes `endstream`
+    for num, j2 in extents.items():
+        val, _stream = objects[num]
+        if not isinstance(val, dict):
+            continue
+        length = val.get("Length")
+        if isinstance(length, _Ref):
+            length = objects.get(length.num, (None, None))[0]
+        if isinstance(length, int) and 0 <= length <= len(data) - j2:
+            objects[num] = (val, data[j2 : j2 + length])
     # expand object streams (PDF 1.5 §7.5.7)
     for num in list(objects):
         val, stream = objects[num]
@@ -477,9 +492,7 @@ def _page_text(doc: _Doc, page: dict, fonts: dict[str, _FontMap]) -> str:
             # inline image: skip to EI
             end = data.find(b"EI", i)
             i = n if end < 0 else end + 2
-        stack.clear() if op not in (b"Tf",) else None
-        if op == b"Tf":
-            stack.clear()
+        stack.clear()
     # collapse the newline-per-Td artifacts: runs of blank lines -> one
     text = "".join(out)
     text = re.sub(r"\n{2,}", "\n", text)

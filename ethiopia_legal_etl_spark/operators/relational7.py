@@ -262,14 +262,22 @@ def _heavy_hitters_cms(
     # bytes -> query with byte[] (estimateCount(String) hashes the same
     # bytes; both spellings verified equal in tests)
     # the aggregate skips nulls; a null key cannot be queried either
-    types = sorted(
-        r[0]
-        for r in ev.select(key)
+    collected = (
+        ev.select(key)
         .where(F.col(key).isNotNull())
         .distinct()
         .limit(max_ndv + 1)
         .collect()
     )
+    if len(collected) > max_ndv:
+        # the approx guard (default ~5% rsd) underestimated; never
+        # probe a silently truncated, nondeterministic key subset
+        raise ValueError(
+            f"heavy_hitters_cms: >{max_ndv} distinct values of {key!r} "
+            "(approx guard underestimated); probe an explicit candidate "
+            "list instead"
+        )
+    types = sorted(r[0] for r in collected)
     rows = [(t, int(cms.estimateCount(bytearray(t.encode())))) for t in types]
     return spark.createDataFrame(rows, "event_type string, est_count long")
 

@@ -82,8 +82,9 @@ def _ngrams(toks: Column, n: int) -> Column:
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat_ws(
-        "",
+    # F.concat, not concat_ws: NULL text must propagate to NULL output
+    # exactly like the oracle's `||` (concat_ws would skip the NULL)
+    aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),

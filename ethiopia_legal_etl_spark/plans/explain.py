@@ -29,8 +29,11 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 def count_data_shuffles(plan: str) -> int:
     """Hash/range Exchange count in a formatted plan — the number of
     real data shuffles. Broadcast distribution is excluded (it moves a
-    dim-sized table, not the data). Formatted plans list each node in
-    the tree AND in the details section, hence the halving (same
-    convention as tools/dump_plans.py)."""
+    dim-sized table, not the data), and so is ReusedExchange (it reuses
+    an already-counted exchange, performing no new shuffle). Formatted
+    plans list each node in the tree AND in the details section, hence
+    the halving. tools/dump_plans.py imports this — single source of
+    the convention."""
     n_bcast = plan.count("BroadcastExchange") // 2
-    return plan.count("Exchange") // 2 - n_bcast
+    n_reused = plan.count("ReusedExchange") // 2
+    return plan.count("Exchange") // 2 - n_bcast - n_reused

@@ -311,10 +311,19 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir
         for r in got
     }
     assert got_map.items() <= want.items()
-    # append mode withholds only sessions near the final watermark
+    # append mode may withhold only sessions still open at the final
+    # watermark: every missing session must START within the last
+    # (watermark 10 min + gap 5 min) of event time
     missing = set(want) - set(got_map)
     if missing:
-        max_start = max(k[1] for k in want)
-        assert all(k[1] >= min(k[1] for k in missing) for k in missing)
+        import datetime as dt
+
+        fmt = "%Y-%m-%d %H:%M:%S"
+        horizon = dt.datetime.strptime(
+            max(k[1] for k in want), fmt
+        ) - dt.timedelta(minutes=15)
+        late_only = all(
+            dt.datetime.strptime(k[1], fmt) >= horizon for k in missing
+        )
+        assert late_only, sorted(missing)[:5]
         assert len(missing) <= len(want) * 0.1
-        assert max(k[1] for k in missing) == max_start or len(missing) < 20

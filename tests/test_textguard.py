@@ -69,12 +69,33 @@ def test_contamination_benchmark_side_broadcast(spark, sf_dir):
 
 def test_unigram_logprob_rare_above_common(spark, sf_dir):
     """A doc of rare tokens must score higher (more surprising) than a
-    doc of the corpus's most common tokens — checked on real docs via
-    the score's correlation with mean token frequency."""
+    doc of the corpus's most common tokens — checked on real docs by
+    comparing the score against an independently computed mean token
+    frequency per document."""
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
     out = text_unigram_logprob(spark, sf_dir)
     rows = out.collect()
     assert all(r["avg_neg_logp"] > 0 for r in rows)
     assert len(rows) == out.select("doc_id").distinct().count()
+
+    # independent mean-corpus-frequency per doc (plain recomputation)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").count()
+    meanfreq = {
+        r["doc_id"]: r["mf"]
+        for r in tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.avg("count").alias("mf"))
+        .collect()
+    }
+    score = {r["doc_id"]: r["avg_neg_logp"] for r in rows}
+    most_surprising = max(score, key=score.get)
+    least_surprising = min(score, key=score.get)
+    # the ordering property: high surprise <-> rarer tokens on average
+    assert meanfreq[most_surprising] < meanfreq[least_surprising]
 
 
 def test_ngram_guard_short_docs(spark):
