@@ -323,3 +323,56 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+@register(
+    "pack_sequences_offsets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 16 AS shard,
+             LEN(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_offset,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS pack_id
+    FROM d
+    """,
+    doc="pretraining sequence packing (concat-and-chunk): within each "
+    "shard, documents are concatenated in doc_id order and split every "
+    "2048 tokens; emits each document's global token start_offset and "
+    "the pack (training sequence) it starts in. Pure shard-partitioned "
+    "window arithmetic — 16 shards here, thousands at 100 TB, so the "
+    "running sum parallelizes per shard and no global window exists. "
+    "This is the exact offsets computation a tokenize-and-pack job "
+    "needs before writing fixed-length training sequences.",
+)
+def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / 2048).cast("long").alias("pack_id"),
+    )
