@@ -239,6 +239,24 @@ def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(events_stream: DataFrame) -> DataFrame:
+    """readStream twin of stream_sliding_window (10-min window, 5-min
+    hop — each event lands in 2 windows) with a 10-min watermark."""
+    return (
+        as_event_time(events_stream)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
+    )
+
+
 def streaming_session_counts(events_stream: DataFrame) -> DataFrame:
     """readStream twin of stream_session_window: native session_window
     with a 10-min watermark — state merges sessions server-side and

@@ -327,3 +327,36 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir
         )
         assert late_only, sorted(missing)[:5]
         assert len(missing) <= len(want) * 0.1
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir, events_stream_dir):
+    """Sliding windows under a real stream: every emitted (window, cnt,
+    avg) must equal the oracle-checked batch twin; append mode may
+    withhold only windows still open at the final watermark."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        stream_sliding_window,
+        streaming_sliding_counts,
+    )
+
+    stream = read_stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark, streaming_sliding_counts(stream), "t_sliding", "append"
+    ).collect()
+    want = {
+        r["window_start"]: (r["cnt"], round(r["avg_value"], 6))
+        for r in stream_sliding_window(spark, sf_dir).collect()
+    }
+    got_map = {
+        r["window_start"].strftime("%Y-%m-%d %H:%M:%S"): (
+            r["cnt"],
+            round(r["avg_value"], 6),
+        )
+        for r in got
+    }
+    assert got_map.items() <= want.items()
+    missing = sorted(set(want) - set(got_map))
+    # hop=5min: at most the last few windows (those overlapping the
+    # final watermark horizon) may be withheld
+    assert len(missing) <= 3
+    if missing:
+        assert min(missing) >= sorted(want)[-4]
