@@ -74,13 +74,19 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic MinHash banding, expressible identically in Spark and
-# DuckDB: signature i = MIN over distinct tokens of md5(i || ':' || tok)
-# (lowercase-hex strings compare identically in both engines), banded
-# r=2 rows x b=4 bands. Candidates come from an equi-join on
-# (band, band_key) — never an all-pairs block — then exact token-set
-# Jaccard verifies each candidate. Both engines run the SAME generator,
-# so the oracle match is exact (recall at s=0.5 is 1-(1-s^2)^4 ~ 0.68
-# by construction — that is the banding trade-off, identically applied).
+# DuckDB. Each token is md5-hashed ONCE; seed-hash i is the hex string
+# rotated left by 4*i characters (the leading 16 bits of rotation i are
+# independent bits of the digest, so the 8 per-seed minima behave like
+# independent hash functions at ~1/8 the hashing cost of hashing per
+# seed). Signature i = MIN over distinct tokens of rotate_i(md5(tok)),
+# banded r=2 rows x b=4 bands. Candidates come from an equi-join on
+# (band, band_sig) — never an all-pairs block — then exact token-set
+# Jaccard verifies each candidate (so precision is exact by
+# construction; banding only affects recall). Both engines run the SAME
+# generator, so the oracle match is exact (recall at s=0.5 is
+# 1-(1-s^2)^4 ~ 0.68 by construction — the banding trade-off,
+# identically applied; an independent precision/recall gate vs exact
+# all-pairs lives in tests/test_dedup_similarity.py).
 _MINHASH_SEEDS = 8
 _MINHASH_BANDS = 4  # r = 2 signatures per band
 
@@ -93,15 +99,26 @@ def banded_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    # single hashing pass: one md5 per distinct token
+    hashed = d.withColumn("hs", F.transform("toks", lambda t: F.md5(t)))
 
     def min_hash(seed: int):
+        # seed-hash = md5 hex rotated left by 4*seed chars; seed 0 is
+        # the digest itself. substring len 32 clips at end-of-string in
+        # both engines, so concat(substr(h, 4s+1, 32), substr(h, 1, 4s))
+        # is the exact rotation.
+        if seed == 0:
+            return F.array_min("hs")
         return F.array_min(
             F.transform(
-                "toks", lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
+                "hs",
+                lambda h: F.concat(
+                    F.substring(h, 4 * seed + 1, 32), F.substring(h, 1, 4 * seed)
+                ),
             )
         )
 
-    bands = d.select(
+    bands = hashed.select(
         "doc_id",
         F.explode(
             F.array(
@@ -176,13 +193,16 @@ def allpairs_jaccard_blocked(
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       FROM documents WHERE doc_id < 300
     ),
+    h AS (
+      SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+    ),
     sigs AS (
-      SELECT doc_id, toks,
-             [list_min(list_transform(toks, t -> md5(CAST(i AS VARCHAR) || ':' || t))),
-              list_min(list_transform(toks, t -> md5(CAST(i + 4 AS VARCHAR) || ':' || t)))]
+      SELECT doc_id,
+             [list_min(list_transform(hs, x -> substr(x, 4*i + 1, 32) || substr(x, 1, 4*i))),
+              list_min(list_transform(hs, x -> substr(x, 4*(i+4) + 1, 32) || substr(x, 1, 4*(i+4))))]
                AS band_sig,
              i AS band
-      FROM d, UNNEST([0, 1, 2, 3]) AS u(i)
+      FROM h, UNNEST([0, 1, 2, 3]) AS u(i)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -110,6 +110,60 @@ def test_planted_near_dup_recall(spark, sf_dir, monkeypatch):
     assert sim_recall >= 0.5, f"simhash recall {sim_recall}"
 
 
+def test_banded_jaccard_vs_exact_allpairs_ground_truth(spark, sf_dir):
+    """Independent ground truth for the banded generator (the oracle
+    mirrors the generator, so a shared banding bug would pass both
+    engines — this test does NOT). Exact all-pairs Jaccard over the
+    same corpus is the truth set; assertions:
+    - banded output ⊆ exact pairs at the same threshold (precision
+      100%: every emitted pair truly has Jaccard ≥ 0.5 — guaranteed
+      by the verify stage, checked here against an INDEPENDENT path)
+    - per-pair jaccard values agree exactly with the all-pairs path
+    - recall pinned at measured-minus-5pts (0.9334 measured at
+      sf0.001, r=2 b=4 banding; theory floor at s=0.5 is ~0.68 but
+      this corpus's true pairs skew high-similarity)
+    """
+    import ethiopia_legal_etl_spark.operators.dedup as dd
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.allpairs_jaccard_blocked(
+            docs.withColumn("blk", F.lit(1)), "blk"
+        ).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.banded_jaccard_pairs(docs).collect()
+    }
+    assert set(banded) <= set(exact), "banded emitted a pair below threshold"
+    assert all(abs(banded[k] - exact[k]) < 1e-9 for k in banded)
+    recall = len(banded) / len(exact)
+    assert recall >= 0.88, f"banded recall regressed: {recall:.4f} (was 0.9334)"
+
+
+def test_minhash_lsh_recall_vs_exact_allpairs(spark, sf_dir):
+    """Recall gate for the rows-only MinHashLSH entry: candidates at
+    Jaccard-distance ≤ 0.4 must recover ≥ 0.91 of the exact all-pairs
+    truth at Jaccard ≥ 0.6 (measured 0.9679 at sf0.001; LSH word
+    tokenization differs slightly from split-on-space, hence the
+    recall < 1 even before banding loss)."""
+    import ethiopia_legal_etl_spark.operators.dedup as dd
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    exact06 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.allpairs_jaccard_blocked(
+            docs.withColumn("blk", F.lit(1)), "blk", threshold=0.6
+        ).collect()
+    }
+    mh = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()}
+    recall = len(mh & exact06) / max(1, len(exact06))
+    assert recall >= 0.91, f"minhash-LSH recall regressed: {recall:.4f} (was 0.9679)"
+
+
 def test_connected_components_transitive_closure(spark):
     """Known graph: {1-2, 2-3} ∪ {10-11} ∪ isolated-by-selfloop 20-20.
     Components must be the transitive closure with min-id labels."""
@@ -147,7 +201,9 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     a_rows = approx.collect()
     a = {(r["q_id"], r["vec_id"]) for r in a_rows}
     recall = len(e & a) / len(e)
-    assert recall >= 0.08, f"IVF recall below probed-fraction floor: {recall}"
+    # pinned at measured-minus-5pts (0.22 measured at sf0.001); the
+    # old 0.08 probed-fraction floor let a silent halving pass
+    assert recall >= 0.17, f"IVF recall regressed: {recall} (was 0.22)"
     # per-query: exactly 10 results, ranked by descending similarity
     by_q: dict = {}
     for r in a_rows:
@@ -166,13 +222,27 @@ def test_ivf_kmeans_recall_and_structure(spark, sf_dir):
     rows = similarity_ivf_kmeans(spark, sf_dir).collect()
     approx = {(r["q_id"], r["vec_id"]) for r in rows}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.1, f"kmeans-IVF recall {recall}"
+    # pinned at measured-minus-5pts (0.58 measured at sf0.001, seeded
+    # KMeans is deterministic on fixed data)
+    assert recall >= 0.53, f"kmeans-IVF recall regressed: {recall} (was 0.58)"
     by_q: dict = {}
     for r in rows:
         by_q.setdefault(r["q_id"], []).append(r)
     for rs in by_q.values():
         sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_buckets_recall_vs_brute_force(spark, sf_dir):
+    """Recall@10 gate for the rows-only similarity_lsh_buckets entry
+    vs the exact cosine top-k ground truth; pinned at
+    measured-minus-5pts (0.96 measured at sf0.001)."""
+    from ethiopia_legal_etl_spark.operators.similarity import similarity_lsh_buckets
+
+    exact = {(r["q_id"], r["vec_id"]) for r in similarity_cosine_topk(spark, sf_dir).collect()}
+    approx = {(r["q_id"], r["vec_id"]) for r in similarity_lsh_buckets(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.91, f"LSH-bucket recall regressed: {recall} (was 0.96)"
 
 
 def test_brute_force_topk_selfconsistency(spark, sf_dir):
