@@ -257,6 +257,58 @@ def test_brute_force_topk_selfconsistency(spark, sf_dir):
         assert all(-1.0001 <= s <= 1.0001 for s in sims)
 
 
+def test_oversized_cell_resplit_bounds_verify_work(spark):
+    """The bounded-cell guard for the embedding near-dup verify stage:
+    a fat label cell (200 vectors, bound 50) must be re-split into
+    sub-cells so pair-generation work is ~|cell| * bound, never
+    |cell|^2; small cells must be untouched (exact semantics)."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        near_dup_cosine_pairs,
+        resplit_oversized_cells,
+    )
+
+    # 200 "hot"-label vectors in 10 direction-groups (within-group
+    # cosine ~1 -> plenty of true near-dup pairs), 20 "cold" vectors
+    rows = []
+    for i in range(220):
+        label = "hot" if i < 200 else "cold"
+        g = i % 10
+        e = [0.0] * 12
+        e[g] = 1.0
+        e[(g + 1) % 12] = 0.01 * (i % 7)  # small within-group jitter
+        rows.append((i, label, e))
+    d = spark.createDataFrame(rows, "vec_id: long, label: string, e: array<double>")
+
+    split = resplit_oversized_cells(d, "label", "vec_id", max_cell_size=50)
+    by_cell = {
+        (r["label"], r["sub"]): r["n"]
+        for r in split.groupBy("label", "sub").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot_subs = {k: v for k, v in by_cell.items() if k[0] == "hot"}
+    cold_subs = {k: v for k, v in by_cell.items() if k[0] == "cold"}
+    assert len(hot_subs) == 4, f"200/50 must give 4 sub-cells, got {hot_subs}"
+    assert cold_subs == {("cold", 0): 20}  # under the bound: untouched
+    # bounded work: candidate pairs sum(n_i choose 2) << 200 choose 2
+    cand_bounded = sum(n * (n - 1) // 2 for n in hot_subs.values())
+    assert cand_bounded < 0.40 * (200 * 199 // 2), f"{cand_bounded} pairs"
+
+    unbounded = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_cosine_pairs(d, 0.9, max_cell_size=10_000).collect()
+    }
+    bounded = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_cosine_pairs(d, 0.9, max_cell_size=50).collect()
+    }
+    assert bounded <= unbounded  # never invents pairs
+    # cells at/under the bound keep exact semantics
+    cold_pairs_ub = {p for p in unbounded if p[0] >= 200}
+    cold_pairs_b = {p for p in bounded if p[0] >= 200}
+    assert cold_pairs_b == cold_pairs_ub and len(cold_pairs_ub) > 0
+    # re-split still finds the within-sub-cell share of true pairs
+    assert len(bounded) > 0
+
+
 def test_hll_sketch_merge_matches_exact(spark, sf_dir):
     """Merged per-day HLL sketches estimate the global distinct user
     count within HLL's error envelope (lgK=12 default → ~1.6% rse;
