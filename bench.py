@@ -66,6 +66,7 @@ def main() -> None:
     # visible instead of masquerading as a perf change across rounds.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    min_timings: dict[str, float] = {}
     for name in HEADLINE:
         runs: list[float] = []
         for _ in range(4):
@@ -76,6 +77,7 @@ def main() -> None:
         steady = sorted(runs[1:])
         timings[name] = round(steady[len(steady) // 2], 3)
         spreads[name] = round(steady[-1] - steady[0], 3)
+        min_timings[name] = round(steady[0], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,6 +90,12 @@ def main() -> None:
                 "spread": spreads,
                 "n_runs": 4,
                 "stat": "median_of_last_3",
+                # r2 and earlier reported best-of-3; emitted alongside
+                # so cross-round diffs don't read the r3 methodology
+                # change as a perf change (ADVICE r3)
+                "value_min_of_runs": round(
+                    sum(min_timings.values()), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -506,14 +506,26 @@ def extract_pages(body: bytes) -> list[str]:
     Raises ValueError if the bytes are not a parseable PDF (per-record
     error isolation upstream turns that into an `error` column, A-19).
     """
+    import zlib
+
     if not body.lstrip()[:5].startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    doc = _Doc(body)
-    pages = doc.pages()
-    if not pages:
-        raise ValueError("no pages found")
-    out = []
-    for page in pages:
-        fonts = _font_maps(doc, page)
-        out.append(_page_text(doc, page, fonts))
-    return out
+    # malformed structures surface as IndexError (e.g. a trailing
+    # backslash in a literal string reading past the end), ValueError
+    # (bytes.index misses) or zlib.error (corrupt FlateDecode) in the
+    # parsing internals — normalize all of them to the documented
+    # ValueError so the error-column taxonomy holds for direct callers
+    try:
+        doc = _Doc(body)
+        pages = doc.pages()
+        if not pages:
+            raise ValueError("no pages found")
+        out = []
+        for page in pages:
+            fonts = _font_maps(doc, page)
+            out.append(_page_text(doc, page, fonts))
+        return out
+    except ValueError:
+        raise
+    except (IndexError, KeyError, AssertionError, zlib.error) as e:
+        raise ValueError(f"unparseable PDF: {type(e).__name__}: {e}") from e

@@ -5,6 +5,8 @@ scan, dims broadcast, no cartesian where an equi-join was intended).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -26,14 +28,34 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
     assert not present, f"plan unexpectedly contains {present}:\n{plan}"
 
 
+# detail-section header of a physical node, e.g. "(15) Exchange";
+# matching headers (not substring counts) makes the count structural:
+# each node is counted exactly once, independent of how many times its
+# name appears as a substring in the tree section.
+_EXCHANGE_HEADER = re.compile(
+    r"^\((\d+)\) (Exchange|BroadcastExchange|ReusedExchange)\b", re.M
+)
+
+
 def count_data_shuffles(plan: str) -> int:
     """Hash/range Exchange count in a formatted plan — the number of
     real data shuffles. Broadcast distribution is excluded (it moves a
     dim-sized table, not the data), and so is ReusedExchange (it reuses
-    an already-counted exchange, performing no new shuffle). Formatted
-    plans list each node in the tree AND in the details section, hence
-    the halving. tools/dump_plans.py imports this — single source of
-    the convention."""
-    n_bcast = plan.count("BroadcastExchange") // 2
-    n_reused = plan.count("ReusedExchange") // 2
-    return plan.count("Exchange") // 2 - n_bcast - n_reused
+    an already-counted exchange, performing no new shuffle). Counted
+    structurally from the detail-section headers. Once an AQE plan has
+    executed (isFinalPlan=true) the print carries an '== Initial Plan
+    ==' section whose nodes get their own ids in the details — those
+    ids are excluded so only the final plan is counted.
+    tools/dump_plans.py imports this — single source of the
+    convention."""
+    exclude: set[str] = set()
+    if "== Initial Plan ==" in plan:
+        # the initial-plan tree segment ends at the first blank line;
+        # every "(N)" in it is an initial-plan node id
+        tree = plan.split("== Initial Plan ==", 1)[1].split("\n\n", 1)[0]
+        exclude = set(re.findall(r"\((\d+)\)", tree))
+    seen: dict[str, str] = {}
+    for nid, kind in _EXCHANGE_HEADER.findall(plan):
+        if nid not in exclude:
+            seen[nid] = kind
+    return sum(1 for kind in seen.values() if kind == "Exchange")

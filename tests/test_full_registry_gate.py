@@ -1,0 +1,35 @@
+"""Hard CI gate over the FULL registry (ADVICE r3, medium): the
+driver's external harness checks only the first 50 entries
+(registry.DRIVER_WINDOW — disclosed in COVERAGE.md and README), which
+means a regression in any of the ~107 entries outside the window would
+be invisible to the driver. This test closes that hole: every
+registered query runs against its DuckDB oracle at sf0.001 on every
+pytest run, so the unchecked remainder cannot silently regress.
+
+sf0.001 keeps the wall cost ~2 min; the sf0.01 replica
+(tools/check_oracle.py) remains the pre-commit / pre-round deep check.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+_SPEC = importlib.util.spec_from_file_location(
+    "check_oracle", Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py"
+)
+check_oracle = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(check_oracle)
+
+
+def test_full_registry_matches_oracles(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.registry import DRIVER_WINDOW, all_queries
+
+    names = sorted(all_queries())
+    # sanity: the window the driver samples is a strict subset — the
+    # point of this gate is everything OUTSIDE it
+    assert set(DRIVER_WINDOW) <= set(names)
+    assert len(names) > len(DRIVER_WINDOW)
+
+    failures = check_oracle.run(sf_dir, [], spark=spark)
+    assert failures == 0, f"{failures} registry entries diverged from their oracles"

@@ -113,6 +113,51 @@ def test_extract_pages_robust_to_corrupt_bytes():
         try:
             pages = extract_pages(corrupt)
             assert isinstance(pages, list)
-        except Exception:
-            pass  # raising is fine; hanging is not
+        except ValueError:
+            pass  # the documented failure mode; hanging is not
         assert time.monotonic() - t0 < 30, f"case {i} too slow"
+
+
+def test_extract_pages_valueerror_contract():
+    """extract_pages promises ValueError on unparseable input; the
+    internals can hit IndexError (trailing backslash reading past the
+    end of a literal string), bare ValueError (bytes.index miss) or
+    zlib.error — all must surface as ValueError, never leak raw."""
+
+    # a minimal one-page PDF wrapping an arbitrary content stream
+    def mini_pdf(content: bytes) -> bytes:
+        objs = [
+            b"<</Type/Catalog/Pages 2 0 R>>",
+            b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            b"<</Type/Page/Parent 2 0 R/Contents 4 0 R"
+            b"/Resources<</Font<</F1 5 0 R>>>>>>",
+            b"<</Length %d>>stream\n%s\nendstream" % (len(content), content),
+            b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for n, o in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (n, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref)
+        )
+        return bytes(out)
+
+    malformed = [
+        mini_pdf(b"BT /F1 12 Tf (dangling escape\\"),  # trailing backslash
+        mini_pdf(b"BT /F1 12 Tf <4e6f2074 hex never closed"),
+        mini_pdf(b"BT (unbalanced paren"),  # unterminated literal
+    ]
+    for i, body in enumerate(malformed):
+        try:
+            pages = extract_pages(body)
+            assert isinstance(pages, list), f"case {i}"
+        except ValueError:
+            pass  # the documented contract
+        # any other exception type propagates and fails the test

@@ -277,6 +277,44 @@ SHUFFLE_BUDGET = {
 }
 
 
+def test_count_data_shuffles_structural_convention(spark, sf_dir):
+    """Pin the formatted-plan assumptions behind count_data_shuffles:
+    node headers '(N) Exchange' are counted once per node id, so the
+    count survives tree-vs-details repetition, AQE wrappers, and an
+    executed plan's 'Initial Plan' section (where node ids repeat)."""
+    from ethiopia_legal_etl_spark.plans.explain import (
+        _EXCHANGE_HEADER,
+        count_data_shuffles,
+        formatted_plan,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    agg = nation.groupBy("n_regionkey").count()
+    plan = formatted_plan(agg)
+    assert "AdaptiveSparkPlan" in plan  # AQE is on in the session
+    assert count_data_shuffles(plan) == 1
+    # the raw substring appears more than once (tree + details) — the
+    # structural header count is what keeps the convention honest
+    assert plan.count("Exchange") > 1
+
+    bcast = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    bplan = formatted_plan(bcast)
+    kinds = [k for _, k in _EXCHANGE_HEADER.findall(bplan)]
+    assert "BroadcastExchange" in kinds
+    assert count_data_shuffles(bplan) == 0
+
+    # executed AQE plan: isFinalPlan=true prints final + Initial Plan
+    # sections with repeated node ids; dedup must not double count
+    agg.collect()
+    eplan = formatted_plan(agg)
+    assert "isFinalPlan=true" in eplan
+    assert count_data_shuffles(eplan) == 1
+
+
 def test_headline_shuffle_budgets(spark, sf_dir):
     """A 100 TB regression guard: every headline plan stays within its
     audited shuffle budget."""

@@ -43,8 +43,10 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
-def run(sf_dir: str, only: list[str]) -> int:
-    spark = get_spark()
+def run(sf_dir: str, only: list[str], spark=None) -> int:
+    # an existing session (e.g. the pytest fixture) can be passed in so
+    # the full-registry gate test reuses it instead of building its own
+    spark = spark if spark is not None else get_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(
