@@ -281,3 +281,36 @@ def write_documents_json(docs: DataFrame, path: str) -> None:
     pretty-printed file per doc, fetch_legal_docs.py:88-89 — same
     records, distributed layout)."""
     docs.write.mode("overwrite").json(path)
+
+
+def write_documents_json_files(
+    docs: DataFrame, out_dir: str, name_col: str = "base_name"
+) -> None:
+    """A-15 byte-parity sink: one pretty-printed UTF-8 JSON file per
+    document, byte-identical to the reference's
+    `json.dump(doc, f, ensure_ascii=False, indent=2)`
+    (fetch_legal_docs.py:88-89). File name = `<base_name>.json`
+    (fetch_legal_docs.py:36-38).
+
+    Executor-side writes via foreachPartition (same pattern as
+    write_binary_files, A-9): no driver collect, each partition
+    serializes its own rows. Byte parity relies on two stable facts:
+    Row.asDict(recursive=True) preserves schema field order, and
+    build_document_record projects fields in the reference dict's
+    literal order — json.dumps then reproduces the exact bytes.
+    """
+
+    def write_partition(rows) -> None:
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            d = row.asDict(recursive=True)
+            name = d.pop(name_col)
+            with open(
+                os.path.join(out_dir, f"{name}.json"), "w", encoding="utf-8"
+            ) as fh:
+                json.dump(d, fh, ensure_ascii=False, indent=2)
+
+    docs.foreachPartition(write_partition)

@@ -118,6 +118,81 @@ def test_extract_pages_robust_to_corrupt_bytes():
         assert time.monotonic() - t0 < 30, f"case {i} too slow"
 
 
+@needs_fixtures
+def test_json_file_sink_byte_parity_with_reference(spark, tmp_path):
+    """A-15 byte parity (VERDICT r3 #5): write_documents_json_files
+    must produce files byte-identical to the reference's
+    `json.dump(doc, f, ensure_ascii=False, indent=2)`
+    (fetch_legal_docs.py:74-89), re-executed here in plain Python on
+    the same extraction output (pdfplumber is absent, so our extractor
+    stands in on BOTH sides; what this pins is the dict shape, key
+    order, unicode passthrough, and pretty-print bytes)."""
+    import json
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.functions.text import base_name_from_url
+    from ethiopia_legal_etl_spark.operators.ingest import (
+        ingest_pipeline,
+        write_documents_json_files,
+    )
+
+    base = "https://fsc.example.et/files"
+    bodies = {
+        f"{base}/vol01.pdf": open(VOL01, "rb").read(),
+        f"{base}/vol02.pdf": open(VOL02, "rb").read(),
+    }
+    ingest_date = "2025-11-30"
+
+    # --- expected: the reference's own logic, line by line -----------
+    expected_dir = tmp_path / "expected"
+    expected_dir.mkdir()
+    for url, body in bodies.items():
+        pdf_filename = os.path.basename(urlparse(url).path)
+        base_name = os.path.splitext(pdf_filename)[0]
+        pages_text = [p for p in extract_pages(body) if p]
+        text = "\n".join(pages_text)
+        m = re.search(r"\b(19[5-9]\d|20\d{2})\b", text[:1000])
+        year = m.group(1) if m else ""
+        doc = {
+            "title": base_name.replace("_", " "),
+            "year": year,
+            "sourceURL": url,
+            "dateIngested": ingest_date,
+            "category": "CassationDecision",
+            "tags": ["CassationDecision"],
+            "content": text,
+            "caseFields": {"issue": "", "holding": "", "ratio": ""},
+            "legisFields": {"scope": "", "keyArticles": [], "effectiveDate": ""},
+            "templateFields": {"placeholders": []},
+        }
+        with open(expected_dir / f"{base_name}.json", "w", encoding="utf-8") as f:
+            json.dump(doc, f, ensure_ascii=False, indent=2)
+
+    # --- actual: the Spark pipeline + byte-parity sink ---------------
+    links = spark.createDataFrame([(u,) for u in bodies], "url: string")
+    done = spark.createDataFrame([], "base_name: string")
+    docs, rejects = ingest_pipeline(
+        links,
+        done,
+        fetcher=lambda url: (200, "application/pdf", bodies[url]),
+        ingest_date=ingest_date,
+    )
+    assert rejects.count() == 0
+    out_dir = tmp_path / "actual"
+    write_documents_json_files(
+        docs.withColumn("base_name", base_name_from_url(F.col("sourceURL"))),
+        str(out_dir),
+    )
+
+    for name in ("vol01", "vol02"):
+        exp = (expected_dir / f"{name}.json").read_bytes()
+        act = (out_dir / f"{name}.json").read_bytes()
+        assert act == exp, f"{name}.json differs ({len(act)} vs {len(exp)} bytes)"
+    assert len(list(out_dir.iterdir())) == 2
+
+
 def test_extract_pages_valueerror_contract():
     """extract_pages promises ValueError on unparseable input; the
     internals can hit IndexError (trailing backslash reading past the
