@@ -223,6 +223,71 @@ def test_streaming_foreach_batch_sink(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_foreach_batch_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Restart recovery for the foreachBatch sink (VERDICT r3 #7): the
+    query is killed AFTER a batch's output is written but BEFORE its
+    checkpoint commit — the worst-case window. On restart from the
+    same checkpoint that batch is re-delivered; the batch-id-keyed
+    overwrite sink makes the redelivery idempotent, so the final
+    output holds every source row exactly once (the exactly-once
+    recipe: replayable source + checkpoint + idempotent sink)."""
+    src = str(tmp_path / "eo_src")
+    ckpt = str(tmp_path / "eo_ckpt")
+    out = str(tmp_path / "eo_out")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    crash = {"armed": True, "batches_before_crash": 0}
+
+    def sink(batch_df, batch_id: int):
+        # idempotent: keyed by batch id, overwrite on redelivery
+        batch_df.write.mode("overwrite").parquet(f"{out}/bid={batch_id}")
+        if crash["armed"] and batch_id >= 1:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after write, before commit")
+        crash["batches_before_crash"] += 1
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+            return None
+        except Exception as exc:  # StreamingQueryException wraps the sink error
+            return exc
+
+    first_err = run()
+    assert first_err is not None and "injected crash" in str(first_err)
+    assert crash["batches_before_crash"] >= 1  # some batches committed pre-crash
+
+    second_err = run()  # same checkpoint; crash disarmed
+    assert second_err is None
+
+    got = spark.read.parquet(out)
+    n_src = events.count()
+    # exactly once: every source row present, no row duplicated by the
+    # redelivered batch (an append sink would have double-counted it)
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+    assert got.select(F.sum("value")).first()[0] == pytest.approx(
+        events.select(F.sum("value")).first()[0]
+    )
+    # the redelivered batch really ran twice: restart reprocessed it
+    bids = {r["bid"] for r in got.select("bid").distinct().collect()}
+    assert len(bids) >= 2  # multiple micro-batches actually happened
+
+
 def test_streaming_custom_state_running_totals(spark, events_stream_dir):
     stream = read_stream(spark, events_stream_dir)
     got = run_to_memory(
