@@ -460,6 +460,76 @@ def neardup_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def guards_probe(spark, scratch: str) -> list[dict]:
+    """Corpus-guard scaling (VERDICT r3 #6): the one operator family
+    whose cost is an exploded n-gram/chunk stream shuffle.
+
+    - contamination_ngram_overlap runs on PLAIN replication (same text,
+      shifted doc_ids): the benchmark trigram set stays constant (the
+      realistic regime — benchmarks don't grow with the corpus) while
+      the corpus-side trigram stream grows linearly; the broadcast of
+      the bench set must stay flat.
+    - dedup_chunk_boilerplate runs on COPY-PREFIXED replication (each
+      replica's tokens carry a copy tag): the distinct-chunk frequency
+      table grows linearly WITH the corpus — the honest stress for the
+      'deliberately never broadcast' shuffle join on chunk hash.
+    """
+    from ethiopia_legal_etl_spark.operators.textguard import (
+        contamination_ngram_overlap,
+        dedup_chunk_boilerplate,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    out = []
+    for factor in (1, 10, 30):
+        plain_d = f"{scratch}/guards_plain_x{factor}"
+        pfx_d = f"{scratch}/guards_pfx_x{factor}"
+        parts_plain, parts_pfx = [], []
+        for i in range(factor):
+            shifted = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * base_n)
+            )
+            parts_plain.append(shifted)
+            parts_pfx.append(
+                shifted.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ),
+                )
+            )
+        for parts, d in ((parts_plain, plain_d), (parts_pfx, pfx_d)):
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+        run_noop(contamination_ngram_overlap(spark, plain_d))  # warm
+        sec_c = timed(lambda: run_noop(contamination_ngram_overlap(spark, plain_d)))
+        out.append(
+            {
+                "exp": "guard_contamination",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec_c,
+            }
+        )
+        run_noop(dedup_chunk_boilerplate(spark, pfx_d))  # warm
+        sec_b = timed(lambda: run_noop(dedup_chunk_boilerplate(spark, pfx_d)))
+        out.append(
+            {
+                "exp": "guard_boilerplate",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec_b,
+            }
+        )
+    return out
+
+
 def ingest_probe(spark) -> list[dict]:
     """End-to-end ingest throughput: the reference's architecture (one
     serial per-record Python loop, fetch_legal_docs.py:32-96) vs the
@@ -552,6 +622,8 @@ def main() -> None:
                     help="banded MinHash vs all-pairs near-dup scaling to 32k docs (~3 min)")
     ap.add_argument("--ingest", action="store_true",
                     help="serial reference-style loop vs partitioned ingest pipeline (~1 min)")
+    ap.add_argument("--guards", action="store_true",
+                    help="contamination + chunk-boilerplate guard scaling to 30x docs (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -590,6 +662,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.ingest:
             for r in ingest_probe(spark):
+                print(json.dumps(r))
+        if args.guards:
+            for r in guards_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
