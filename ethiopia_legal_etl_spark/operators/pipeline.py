@@ -99,6 +99,98 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             SUM(LEN(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    shares AS (
+      SELECT lang, source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+             POWER(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.7)
+               AS wraw
+      FROM stats
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(wraw / SUM(wraw) OVER (), 6) AS sample_weight
+    FROM shares
+    """,
+    doc="pretraining mixture weighting: per-(lang, source) token "
+    "accounting plus temperature-scaled sampling weights "
+    "(w ∝ share^0.7, the standard multilingual rebalancing — rare "
+    "languages oversampled relative to their token share). The "
+    "global windows run on the POST-AGGREGATION frame "
+    "(|langs|×|sources| rows, bounded regardless of corpus size), "
+    "never on the corpus — the only corpus-sized work is the one "
+    "groupBy shuffle.",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()  # tiny aggregated frame; see doc
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    shares = stats.withColumn("share", share).withColumn(
+        "wraw", F.pow(F.col("share"), F.lit(0.7))
+    )
+    return shares.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(F.col("wraw") / F.sum("wraw").over(w_all), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+# mixture downsampling rates by language (en is the dominant lang in
+# the corpus -> downsampled hardest; zh kept whole)
+_STRATA_RATES = {"en": 0.25, "zh": 1.0}
+_STRATA_DEFAULT = 0.5
+_KNUTH = 2654435761  # multiplicative hash constant, exact in int64
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id % 1000000007) * 2654435761 % 1000000
+          < CAST(1000000 * (CASE WHEN lang = 'en' THEN 0.25
+                                 WHEN lang = 'zh' THEN 1.0
+                                 ELSE 0.5 END) AS BIGINT)
+    """,
+    doc="deterministic stratified downsampling for mixture control: "
+    "keep each document iff knuth_hash(doc_id) mod 1e6 falls under "
+    "its language's rate. Pure integer arithmetic (exact in both "
+    "engines, no RNG state), so the sample is reproducible, "
+    "order-independent, and partition-count-independent — the "
+    "properties a resumable 100 TB sampling job needs. Shuffle-free: "
+    "the predicate evaluates map-side inside the scan's "
+    "WholeStageCodegen span (arithmetic predicates don't reach "
+    "PushedFilters; only the IsNotNull guard does).",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % 1000000
+    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"]))
+    for lang, r in _STRATA_RATES.items():
+        if lang != "en":
+            rate = rate.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(_STRATA_DEFAULT))
+    threshold = (F.lit(1000000) * rate).cast("bigint")
+    return docs.where(bucket < threshold).select("doc_id", "lang", "source")
+
+
 def observed_training_corpus(spark: SparkSession, sf_dir: str):
     """The pipeline instrumented with df.observe() CollectMetrics:
     per-run data-quality counters (rows in, survivors, quality mass)
