@@ -527,5 +527,12 @@ def extract_pages(body: bytes) -> list[str]:
         return out
     except ValueError:
         raise
-    except (IndexError, KeyError, AssertionError, zlib.error) as e:
+    except (
+        IndexError,
+        KeyError,
+        AssertionError,
+        AttributeError,  # e.g. /Resources or /Font resolving to a non-dict
+        TypeError,  # e.g. /Kids resolving to a non-list
+        zlib.error,
+    ) as e:
         raise ValueError(f"unparseable PDF: {type(e).__name__}: {e}") from e

@@ -298,19 +298,30 @@ def write_documents_json_files(
     Row.asDict(recursive=True) preserves schema field order, and
     build_document_record projects fields in the reference dict's
     literal order — json.dumps then reproduces the exact bytes.
+
+    Rows sharing a base_name (two URLs whose paths end in the same
+    file name) can land in different partitions; each write goes to a
+    task-unique temp file and is published with an atomic os.replace,
+    so concurrent writers can never interleave bytes into one file —
+    the outcome is a last-wins whole file (the reference's serial loop
+    is first-wins via its exists-check; dedupe base_name upstream with
+    incremental_skip if that distinction matters).
     """
 
     def write_partition(rows) -> None:
         import json
         import os
+        import uuid
 
         os.makedirs(out_dir, exist_ok=True)
+        tag = uuid.uuid4().hex  # task-unique; avoids cross-writer tmp collisions
         for row in rows:
             d = row.asDict(recursive=True)
             name = d.pop(name_col)
-            with open(
-                os.path.join(out_dir, f"{name}.json"), "w", encoding="utf-8"
-            ) as fh:
+            final = os.path.join(out_dir, f"{name}.json")
+            tmp = f"{final}.{tag}.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(d, fh, ensure_ascii=False, indent=2)
+            os.replace(tmp, final)
 
     docs.foreachPartition(write_partition)

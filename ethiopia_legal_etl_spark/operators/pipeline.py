@@ -111,23 +111,28 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares AS (
       SELECT lang, source, n_docs, n_tokens,
              CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
-             POWER(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.7)
-               AS wraw
+             CAST(SQRT(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
+                  AS DECIMAL(20,12)) AS wdec
       FROM stats
     )
     SELECT lang, source, n_docs, n_tokens,
            ROUND(share, 6) AS token_share,
-           ROUND(wraw / SUM(wraw) OVER (), 6) AS sample_weight
+           ROUND(CAST(wdec AS DOUBLE)
+                 / CAST(SUM(wdec) OVER () AS DOUBLE), 6) AS sample_weight
     FROM shares
     """,
     doc="pretraining mixture weighting: per-(lang, source) token "
-    "accounting plus temperature-scaled sampling weights "
-    "(w ∝ share^0.7, the standard multilingual rebalancing — rare "
-    "languages oversampled relative to their token share). The "
-    "global windows run on the POST-AGGREGATION frame "
-    "(|langs|×|sources| rows, bounded regardless of corpus size), "
-    "never on the corpus — the only corpus-sized work is the one "
-    "groupBy shuffle.",
+    "accounting plus temperature-scaled sampling weights (w ∝ "
+    "share^0.5, multilingual rebalancing — rare languages oversampled "
+    "relative to their token share). Cross-engine-deterministic by "
+    "construction: integer token sums are exact; share is one IEEE "
+    "division; the temperature uses sqrt (correctly rounded per "
+    "IEEE-754, unlike libm pow); weights are quantized to "
+    "DECIMAL(20,12) and summed EXACTLY (order-independent — a double "
+    "window-sum would depend on row arrival order). The global "
+    "windows run on the POST-AGGREGATION frame (|langs|×|sources| "
+    "rows, bounded regardless of corpus size), never on the corpus — "
+    "the only corpus-sized work is the one groupBy shuffle.",
 )
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -138,7 +143,7 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()  # tiny aggregated frame; see doc
     share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
     shares = stats.withColumn("share", share).withColumn(
-        "wraw", F.pow(F.col("share"), F.lit(0.7))
+        "wdec", F.sqrt(F.col("share")).cast("decimal(20,12)")
     )
     return shares.select(
         "lang",
@@ -146,9 +151,11 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         F.round("share", 6).alias("token_share"),
-        F.round(F.col("wraw") / F.sum("wraw").over(w_all), 6).alias(
-            "sample_weight"
-        ),
+        F.round(
+            F.col("wdec").cast("double")
+            / F.sum("wdec").over(w_all).cast("double"),
+            6,
+        ).alias("sample_weight"),
     )
 
 

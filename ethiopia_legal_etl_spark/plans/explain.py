@@ -49,11 +49,13 @@ def count_data_shuffles(plan: str) -> int:
     tools/dump_plans.py imports this — single source of the
     convention."""
     exclude: set[str] = set()
-    if "== Initial Plan ==" in plan:
-        # the initial-plan tree segment ends at the first blank line;
-        # every "(N)" in it is an initial-plan node id
-        tree = plan.split("== Initial Plan ==", 1)[1].split("\n\n", 1)[0]
-        exclude = set(re.findall(r"\((\d+)\)", tree))
+    # one "== Initial Plan ==" section appears PER AdaptiveSparkPlan in
+    # an executed print (main plan + each subquery subtree), so every
+    # occurrence must be harvested; each tree segment ends at the first
+    # blank line, and every "(N)" in it is an initial-plan node id
+    for seg in plan.split("== Initial Plan ==")[1:]:
+        tree = seg.split("\n\n", 1)[0]
+        exclude.update(re.findall(r"\((\d+)\)", tree))
     seen: dict[str, str] = {}
     for nid, kind in _EXCHANGE_HEADER.findall(plan):
         if nid not in exclude:

@@ -314,6 +314,18 @@ def test_count_data_shuffles_structural_convention(spark, sf_dir):
     assert "isFinalPlan=true" in eplan
     assert count_data_shuffles(eplan) == 1
 
+    # executed plan with a scalar subquery: one '== Initial Plan =='
+    # section PER AdaptiveSparkPlan (main + each subquery subtree) —
+    # every one must be excluded, not just the first
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    q = all_queries()["scalar_subquery_above_avg"].builder(spark, sf_dir)
+    before = count_data_shuffles(formatted_plan(q))
+    q.collect()
+    splan = formatted_plan(q)
+    assert splan.count("== Initial Plan ==") >= 2  # main + subquery AQE trees
+    assert count_data_shuffles(splan) == before, "executed count must not inflate"
+
 
 def test_headline_shuffle_budgets(spark, sf_dir):
     """A 100 TB regression guard: every headline plan stays within its

@@ -465,7 +465,10 @@ def guards_probe(spark, scratch: str) -> list[dict]:
     whose cost is an exploded n-gram/chunk stream shuffle.
 
     - contamination_ngram_overlap runs on PLAIN replication (same text,
-      shifted doc_ids): the benchmark trigram set stays constant (the
+      doc_ids shifted by a MULTIPLE OF 97 — the operator selects its
+      benchmark docs by doc_id % 97 == 0, so a 97-aligned shift keeps
+      every copy's benchmark docs the same residue class and the same
+      texts): the benchmark's distinct trigram set stays constant (the
       realistic regime — benchmarks don't grow with the corpus) while
       the corpus-side trigram stream grows linearly; the broadcast of
       the bench set must stay flat.
@@ -481,6 +484,10 @@ def guards_probe(spark, scratch: str) -> list[dict]:
 
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base_n = base.count()
+    # 97-aligned shift: keeps doc_id % 97 stable across copies, so the
+    # contamination benchmark (doc_id % 97 == 0) selects the SAME texts
+    # in every replica
+    shift = ((base_n + 96) // 97) * 97
     out = []
     for factor in (1, 10, 30):
         plain_d = f"{scratch}/guards_plain_x{factor}"
@@ -488,7 +495,7 @@ def guards_probe(spark, scratch: str) -> list[dict]:
         parts_plain, parts_pfx = [], []
         for i in range(factor):
             shifted = base.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(i * base_n)
+                "doc_id", F.col("doc_id") + F.lit(i * shift)
             )
             parts_plain.append(shifted)
             parts_pfx.append(
