@@ -193,6 +193,37 @@ def test_json_file_sink_byte_parity_with_reference(spark, tmp_path):
     assert len(list(out_dir.iterdir())) == 2
 
 
+def test_json_file_sink_duplicate_base_name_stays_parseable(spark, tmp_path):
+    """Two rows sharing a base_name from different partitions must
+    never interleave bytes: the atomic temp-file + os.replace publish
+    guarantees the surviving file is one whole, parseable record."""
+    import json
+
+    rows = [
+        ("vol01", {"title": "a", "content": "x" * 10000}),
+        ("vol01", {"title": "b", "content": "y" * 10000}),
+        ("other", {"title": "c", "content": "z"}),
+    ]
+    df = spark.createDataFrame(
+        [(n, d["title"], d["content"]) for n, d in rows],
+        "base_name: string, title: string, content: string",
+    ).repartition(3)  # force the duplicates into separate partitions
+
+    from ethiopia_legal_etl_spark.operators.ingest import (
+        write_documents_json_files,
+    )
+
+    out = tmp_path / "dup_sink"
+    write_documents_json_files(df, str(out))
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["other.json", "vol01.json"]  # no stray .tmp files
+    got = json.loads((out / "vol01.json").read_text(encoding="utf-8"))
+    assert got in (
+        {"title": "a", "content": "x" * 10000},
+        {"title": "b", "content": "y" * 10000},
+    )  # one whole record, last-wins — never an interleaving
+
+
 def test_extract_pages_valueerror_contract():
     """extract_pages promises ValueError on unparseable input; the
     internals can hit IndexError (trailing backslash reading past the
