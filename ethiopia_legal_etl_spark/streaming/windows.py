@@ -176,6 +176,60 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the partial-agg tree a time-series store maintains, expressed "
     "as a single shuffle with grouping-set expansion)",
 )
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN SUM(value) >= 100 THEN 'high' ELSE 'low' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT STRFTIME(time_bucket(INTERVAL 10 MINUTE, e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           d.tier,
+           COUNT(*)             AS cnt,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY time_bucket(INTERVAL 10 MINUTE, e.ts), d.tier
+    """,
+    doc="stream-static enrichment join, batch twin: events joined to a "
+    "static per-user tier dimension (derived once from history), then "
+    "tumbling 10-min counts per tier. The streaming variant "
+    "(streaming_enriched_counts) broadcast-joins the SAME dim to each "
+    "micro-batch — the standard enrichment pattern where only the "
+    "stream shuffles (on the window/tier agg key) and the dim never "
+    "does.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = user_tier_dim(ev)
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "tier",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def user_tier_dim(events: DataFrame) -> DataFrame:
+    """Static per-user tier dimension: total historical value >= 100 →
+    'high', else 'low'. Built once from a batch read; at 100 TB this is
+    the precomputed dim table the stream enriches against."""
+    return events.groupBy("user_id").agg(
+        F.when(F.sum("value") >= 100, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("tier")
+    )
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.select(
@@ -235,6 +289,30 @@ def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+def streaming_enriched_counts(
+    events_stream: DataFrame, user_dim: DataFrame
+) -> DataFrame:
+    """readStream twin of stream_static_enrich: stream-STATIC join —
+    each micro-batch broadcast-joins the static per-user dim (no
+    watermark needed on the static side, no join state kept; the only
+    stateful op is the windowed agg). The dim is re-resolved per
+    micro-batch, so a dim refresh (rewritten table) is picked up
+    without restarting the query."""
+    return (
+        as_event_time(events_stream)
+        .withWatermark("ts", "10 minutes")
+        .join(F.broadcast(user_dim), "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "tier", "cnt", "sum_value"
         )
     )
 

@@ -68,6 +68,41 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
     assert all(k[0] >= max_start for k in missing) and len(missing) <= 2
 
 
+def test_streaming_stream_static_join_matches_batch(
+    spark, sf_dir, events_stream_dir
+):
+    """Stream-static enrichment: the streaming variant broadcast-joins
+    a static per-user dim into each micro-batch; results must match
+    the oracle-checked batch twin (modulo windows still open at the
+    final watermark, which append mode withholds)."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        stream_static_enrich,
+        streaming_enriched_counts,
+        user_tier_dim,
+    )
+
+    dim = user_tier_dim(spark.read.parquet(events_stream_dir))
+    stream = read_stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark, streaming_enriched_counts(stream, dim), "t_enrich", "append"
+    ).collect()
+    want = {
+        (r["window_start"], r["tier"]): (r["cnt"], r["sum_value"])
+        for r in stream_static_enrich(spark, sf_dir).collect()
+    }
+    got_map = {
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["tier"]): (
+            r["cnt"],
+            r["sum_value"],
+        )
+        for r in got
+    }
+    assert got_map.items() <= want.items()
+    missing = sorted(set(want) - set(got_map))
+    max_start = max(k[0] for k in want)
+    assert all(k[0] >= max_start for k in missing) and len(missing) <= 2
+
+
 def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     stream = read_stream(spark, events_stream_dir)
     doubled = stream.union(stream)  # duplicate every event
