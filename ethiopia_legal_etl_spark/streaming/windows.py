@@ -176,6 +176,34 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the partial-agg tree a time-series store maintains, expressed "
     "as a single shuffle with grouping-set expansion)",
 )
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("minute", "ts").alias("minute_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("v_events_rollup")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
+               WHEN GROUPING(hour_b)   = 0 THEN 'hour'
+               ELSE 'day' END AS resolution,
+          DATE_FORMAT(COALESCE(minute_b, hour_b, day_b),
+                      'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+          event_type,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM v_events_rollup
+        GROUP BY GROUPING SETS (
+          (minute_b, event_type), (hour_b, event_type), (day_b, event_type)
+        )
+        """
+    )
+
+
 @register(
     "stream_static_enrich",
     oracle="""
@@ -227,34 +255,6 @@ def user_tier_dim(events: DataFrame) -> DataFrame:
         F.when(F.sum("value") >= 100, F.lit("high"))
         .otherwise(F.lit("low"))
         .alias("tier")
-    )
-
-
-def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ev.select(
-        F.date_trunc("minute", "ts").alias("minute_b"),
-        F.date_trunc("hour", "ts").alias("hour_b"),
-        F.date_trunc("day", "ts").alias("day_b"),
-        "event_type",
-        "value",
-    ).createOrReplaceTempView("v_events_rollup")
-    return spark.sql(
-        """
-        SELECT
-          CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
-               WHEN GROUPING(hour_b)   = 0 THEN 'hour'
-               ELSE 'day' END AS resolution,
-          DATE_FORMAT(COALESCE(minute_b, hour_b, day_b),
-                      'yyyy-MM-dd HH:mm:ss') AS bucket_start,
-          event_type,
-          COUNT(*) AS cnt,
-          CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-        FROM v_events_rollup
-        GROUP BY GROUPING SETS (
-          (minute_b, event_type), (hour_b, event_type), (day_b, event_type)
-        )
-        """
     )
 
 
