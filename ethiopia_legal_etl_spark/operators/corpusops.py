@@ -1,0 +1,261 @@
+"""Corpus-construction operators a 100 TB pretraining pipeline runs
+between raw ingest and tokenization: paragraph-level exact dedup with
+document reconstruction (the Lee-et-al "deduplicating training data"
+rule at chunk granularity), per-host document caps (RefinedWeb-style
+domain balancing), overlapping context-window chunking (RAG / long-doc
+training prep), and token-distribution entropy gating (Gopher-style
+quality rule). Complements operators/dedup.py (whole-doc dedup),
+textguard.py (PII / repetition / contamination), and pipeline.py
+(mixture weights, stratified sampling).
+
+All hot-path logic is built-in column expressions (split, transform,
+slice, explode, window, groupBy) — JVM-side, whole-stage codegen, zero
+Python. Every query is DuckDB-oracle-checked.
+
+Scale notes (100 TB):
+- paragraph dedup shuffles the exploded block stream twice: once on
+  the block text (uniform key — block content hashes spread evenly;
+  AQE splits any residual hot block) and once on doc_id to
+  reassemble. The block text must travel regardless: reconstruction
+  needs the bytes at the reducer. A digest-first variant (shuffle
+  32-byte hashes, rejoin winners) trades one extra shuffle for
+  smaller payloads and wins only when blocks are long; with ~50-byte
+  blocks the direct plan moves less total data.
+- host caps use a per-host window; host key skew (one giant domain)
+  is the known hazard, handled by AQE skew-split plus the fact that
+  the rank predicate truncates each host's output at K rows. For
+  pathological hosts a pre-filter on hash-bucket < ~4K/|host|·M can
+  shrink the sort input probabilistically before the exact rank.
+- overlap chunking is shuffle-free: pure per-row transform+explode
+  inside the scan's codegen span; output is ~n_tokens/stride larger
+  than input, which is the operator's intrinsic cost.
+- token entropy shuffles (doc_id, token) pairs; doc_id in the key
+  spreads stopword skew exactly like textguard's repetition metrics,
+  and partial aggregation collapses per-partition duplicates.
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+_BLK = 8  # paragraph-dedup block size (tokens); docs are 10-99 tokens
+_KNUTH = 2654435761  # multiplicative hash constant, exact in int64
+_HOST_CAP = 15  # max docs kept per source
+_WIN = 32  # chunk window (tokens)
+_STRIDE = 24  # chunk stride (tokens) -> 8-token overlap
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             CAST(CEIL(LEN(toks) / {_BLK}.0) AS BIGINT) AS total_blocks,
+             i AS blk_idx,
+             array_to_string(toks[i*{_BLK}+1 : (i+1)*{_BLK}], ' ') AS blk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, CAST(CEIL(LEN(toks) / {_BLK}.0) AS INT)))
+      ) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, total_blocks, blk_idx, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY doc_id, blk_idx) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(blk, ' ' ORDER BY blk_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text,
+           COUNT(*) FILTER (WHERE rn = 1) AS kept_blocks,
+           MAX(total_blocks) AS total_blocks
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    doc="paragraph-level exact dedup with reconstruction (Lee et al. "
+    "'Deduplicating Training Data Makes Language Models Better', "
+    "arXiv:2107.06499, at fixed 8-token block granularity since the "
+    "synthetic docs have no line structure): every block that already "
+    "appeared earlier in the corpus — ordered by (doc_id, blk_idx) — "
+    "is dropped, and each document's text is reassembled from its "
+    "surviving blocks (possibly empty). Keep-first is deterministic "
+    "and order-independent: the winner per block value is the "
+    "lexicographic minimum, not an arrival-order artifact. Two "
+    "shuffles: block-value window (uniform key), doc_id regroup.",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("bigint")
+    blocks_arr = F.transform(
+        F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * _BLK + 1, _BLK), " "),
+    )
+    blocks = docs.select(
+        "doc_id",
+        n_blocks.alias("total_blocks"),
+        F.posexplode(blocks_arr).alias("blk_idx", "blk"),
+    )
+    w_blk = Window.partitionBy("blk").orderBy("doc_id", "blk_idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(w_blk))
+    kept = F.col("rn") == 1
+    kept_struct = F.when(kept, F.struct("blk_idx", "blk"))
+    return ranked.groupBy("doc_id", "total_blocks").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(kept, 1)).alias("kept_blocks"),
+    ).select("doc_id", "clean_text", "kept_blocks", "total_blocks")
+
+
+@register(
+    "corpus_host_cap",
+    oracle=f"""
+    SELECT doc_id, source, host_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id % 1000000007) * {_KNUTH} % 1000000,
+                        doc_id) AS host_rank
+      FROM documents)
+    WHERE host_rank <= {_HOST_CAP}
+    """,
+    doc="per-host document cap (RefinedWeb/CCNet-style domain "
+    "balancing: no single host may dominate the corpus): keep at most "
+    f"{_HOST_CAP} documents per source, chosen by deterministic "
+    "Knuth-hash order rather than doc_id order so the kept subset is "
+    "an unbiased, reproducible sample of each host — first-K-by-id "
+    "would systematically prefer whatever the crawler fetched first. "
+    "One shuffle on the host key; the rank predicate truncates each "
+    "host at K rows so output is bounded by K·|hosts|.",
+)
+def corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % 1000000
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("host_rank"))
+        .where(F.col("host_rank") <= _HOST_CAP)
+    )
+
+
+@register(
+    "chunk_overlap_windows",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             LEN(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= {_WIN} THEN 1
+                  ELSE 1 + CAST(CEIL((n_tok - {_WIN}) / {_STRIDE}.0) AS INT)
+             END AS n_win
+      FROM d
+    )
+    SELECT d.doc_id,
+           i AS win_idx,
+           i * {_STRIDE} AS start_tok,
+           LEN(d.toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_WIN}]) AS win_len,
+           array_to_string(d.toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_WIN}], ' ')
+             AS win_text
+    FROM d JOIN wins USING (doc_id),
+         LATERAL (SELECT unnest(range(0, wins.n_win))) AS g(i)
+    """,
+    doc="overlapping context-window chunking (training/RAG prep): "
+    f"each document becomes windows of {_WIN} tokens at stride "
+    f"{_STRIDE} ({_WIN - _STRIDE}-token overlap so no span is split "
+    "across a boundary without also appearing whole in a neighbor); "
+    "the final window is the ragged tail. Shuffle-free: per-row "
+    "sequence+transform+posexplode inside the scan's codegen span — "
+    "the ~n_tok/stride output amplification is the operator's "
+    "intrinsic cost, not a plan artifact.",
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_win = F.when(n_tok <= _WIN, F.lit(1)).otherwise(
+        (F.ceil((n_tok - _WIN) / F.lit(float(_STRIDE))) + 1).cast("int")
+    )
+    wins_arr = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.slice(toks, i * _STRIDE + 1, _WIN),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(wins_arr).alias("win_idx", "win_toks"),
+    ).select(
+        "doc_id",
+        "win_idx",
+        (F.col("win_idx") * _STRIDE).alias("start_tok"),
+        F.size("win_toks").alias("win_len"),
+        F.array_join("win_toks", " ").alias("win_text"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(LN(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE), 4) AS entropy,
+           (LN(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE)) >= 2.0
+             AS passes_gate
+    FROM tot
+    """,
+    doc="token-distribution Shannon entropy per document plus a "
+    "quality gate (Gopher-style repetition rule: near-zero entropy = "
+    "one token repeated = garbage): H = ln(n) - sum(c*ln(c))/n, the "
+    "algebraically-stable form that needs one ln per DISTINCT token "
+    "instead of one division+ln per token — fewer irrational ops, "
+    "less float divergence (ROUND 4dp per the registry float "
+    "policy; the gate compares the unrounded value in both engines). "
+    "Shuffles (doc_id, token) pairs — doc_id in the key spreads "
+    "stopword skew — then per-doc aggregation; both partial-agg "
+    "collapse map-side.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sum_clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return tot.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 4).alias("entropy"),
+        (h >= 2.0).alias("passes_gate"),
+    )
