@@ -88,7 +88,12 @@ _STRIDE = 24  # chunk stride (tokens) -> 8-token overlap
     "shuffles: block-value window (uniform key), doc_id regroup.",
 )
 def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Core of dedup_paragraph_exact over any (doc_id, text) frame —
+    separated so tools/scale_probe.py can drive replicated corpora."""
     toks = F.split("text", " ")
     n_blocks = F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("bigint")
     blocks_arr = F.transform(

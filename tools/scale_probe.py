@@ -537,6 +537,63 @@ def guards_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def corpusops_probe(spark, scratch: str) -> list[dict]:
+    """Paragraph-dedup scaling in its two real-world regimes:
+
+    - COPY-PREFIXED replication (distinct corpus growth): the block
+      stream AND the distinct-block key space grow linearly — the
+      window's per-key group stays ~constant, so wall time should
+      track the shuffle volume ~linearly.
+    - PLAIN replication (duplicate-heavy growth, the regime the
+      operator exists for): the block stream grows linearly but the
+      distinct-key space stays FIXED, so every block value's window
+      group grows ×factor. Keep-first only ever emits one winner per
+      value, so reducer output stays bounded; this arm checks that
+      per-key group growth (the skew-shaped hazard) doesn't go
+      super-linear thanks to AQE and the rank's early truncation.
+    """
+    from ethiopia_legal_etl_spark.operators.corpusops import paragraph_dedup
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base_n = base.count()
+    out = []
+    for factor in (1, 10, 30):
+        for regime in ("prefixed", "plain"):
+            parts = []
+            for i in range(factor):
+                shifted = base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * base_n)
+                )
+                if regime == "prefixed":
+                    shifted = shifted.withColumn(
+                        "text",
+                        F.concat(
+                            F.lit(f"c{i}_"),
+                            F.regexp_replace("text", " ", f" c{i}_"),
+                        ),
+                    )
+                parts.append(shifted)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            path = f"{scratch}/para_{regime}_x{factor}"
+            df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(path)
+            docs = spark.read.parquet(path)
+            run_noop(paragraph_dedup(docs))  # warm
+            sec = timed(lambda: run_noop(paragraph_dedup(docs)))
+            out.append(
+                {
+                    "exp": f"paragraph_dedup_{regime}",
+                    "factor": factor,
+                    "docs": base_n * factor,
+                    "sec": sec,
+                }
+            )
+    return out
+
+
 def ingest_probe(spark) -> list[dict]:
     """End-to-end ingest throughput: the reference's architecture (one
     serial per-record Python loop, fetch_legal_docs.py:32-96) vs the
@@ -631,6 +688,8 @@ def main() -> None:
                     help="serial reference-style loop vs partitioned ingest pipeline (~1 min)")
     ap.add_argument("--guards", action="store_true",
                     help="contamination + chunk-boilerplate guard scaling to 30x docs (~3 min)")
+    ap.add_argument("--corpusops", action="store_true",
+                    help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -672,6 +731,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.guards:
             for r in guards_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.corpusops:
+            for r in corpusops_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
