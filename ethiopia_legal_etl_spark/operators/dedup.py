@@ -151,11 +151,25 @@ def banded_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def jaccard_verify(
     cand: DataFrame, d: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs; `d` = (doc_id, toks)."""
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    """Exact token-set Jaccard on candidate pairs; `d` = (doc_id, toks).
+
+    |A∪B| is derived as |A|+|B|−|A∩B| (exact for the distinct-token
+    sets `d` carries) so the hot per-pair path builds ONE intersection
+    array instead of an intersection plus a union — the verify stage's
+    cost is candidate-volume-proportional, so halving per-pair array
+    construction is the lever that matters at 100 TB."""
+    da = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("n_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("n_b"),
+    )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = inter.cast("double") / union
     return (
         cand.join(da, "doc_a")
