@@ -274,6 +274,11 @@ SHUFFLE_BUDGET = {
     "doc_record_projection": 0,
     "multimodal_decode_stub": 1,
     "pipeline_training_corpus": 1,
+    # corpus-construction ops (not in bench HEADLINE, same guard)
+    "dedup_paragraph_exact": 2,
+    "corpus_host_cap": 1,
+    "chunk_overlap_windows": 0,
+    "text_token_entropy": 2,
 }
 
 
