@@ -247,6 +247,39 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_twin",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="stateful streaming dedup, batch twin: the input stream is "
+    "doubled (every event delivered twice — the at-least-once "
+    "redelivery regime dropDuplicatesWithinWatermark exists for), "
+    "deduped to exactly one row per event_id, then aggregated per "
+    "event_type. The oracle is the UN-doubled corpus aggregate, so "
+    "the check proves the dedup removed exactly the redeliveries and "
+    "nothing else. The true-stream variant "
+    "(streaming_dedup_within_watermark) holds only a watermark-"
+    "bounded event_id state window — the 100 TB story: state is "
+    "|ids in horizon|, not |history|. Batch side shuffles once on "
+    "event_id (dedup) and once on the tiny event_type key.",
+)
+def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def user_tier_dim(events: DataFrame) -> DataFrame:
     """Static per-user tier dimension: total historical value >= 100 →
     'high', else 'low'. Built once from a batch read; at 100 TB this is

@@ -95,6 +95,58 @@ def test_paragraph_dedup_shuffle_budget(spark, sf_dir):
     assert count_data_shuffles(plan) <= 2
 
 
+def _py_paragraph_dedup(corpus: list[tuple[int, str]]):
+    """Independent pure-Python model of the keep-first block dedup
+    (ground truth the oracle SQL and Spark plan must both match)."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(corpus):
+        toks = text.split(" ")
+        blocks = [
+            " ".join(toks[i : i + _BLK]) for i in range(0, len(toks), _BLK)
+        ]
+        kept = [b for b in blocks if b not in seen]
+        seen.update(blocks)
+        out[doc_id] = (" ".join(kept), len(kept), len(blocks))
+    return out
+
+
+def test_paragraph_dedup_matches_python_model_on_random_corpus(spark):
+    """Differential ground truth: deterministic random corpora with
+    planted cross-document block duplication, checked block-for-block
+    against an independent in-memory implementation."""
+    import random
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]
+        corpus = []
+        for doc_id in range(60):
+            n = rng.randrange(10, 90)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            corpus.append((doc_id, " ".join(toks)))
+        # plant exact block duplication: doc 50+ reuse doc i's prefix
+        for i in range(10):
+            base = corpus[i][1].split(" ")[: _BLK * 2]
+            did, text = corpus[50 + i]
+            corpus[50 + i] = (did, " ".join(base + text.split(" ")))
+        expect = _py_paragraph_dedup(corpus)
+        from ethiopia_legal_etl_spark.operators.corpusops import (
+            paragraph_dedup,
+        )
+
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["clean_text"],
+                r["kept_blocks"],
+                r["total_blocks"],
+            )
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == expect
+
+
 # ---------- corpus_host_cap ----------
 
 

@@ -112,6 +112,32 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     assert got.count() == n_src  # exactly one row per event_id
 
 
+def test_streaming_dedup_matches_batch_twin(spark, sf_dir, events_stream_dir):
+    """The true stream's post-dedup aggregate equals the oracle-checked
+    batch twin (stream_dedup_twin): redeliveries removed, nothing else."""
+    from ethiopia_legal_etl_spark.streaming.windows import stream_dedup_twin
+
+    stream = read_stream(spark, events_stream_dir)
+    deduped = streaming_dedup_within_watermark(stream.union(stream))
+    got = run_to_memory(spark, deduped, "t_dedup_agg", "append")
+    agg = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in stream_dedup_twin(spark, sf_dir).collect()
+    }
+    assert agg == want
+
+
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
     """Two runs against one checkpoint: run 2 carries an event OLDER
     than the checkpointed watermark from run 1 → it must be dropped
