@@ -91,9 +91,12 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def paragraph_dedup(docs: DataFrame) -> DataFrame:
+def paragraph_dedup(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Core of dedup_paragraph_exact over any (doc_id, text) frame —
-    separated so tools/scale_probe.py can drive replicated corpora."""
+    separated so tools/scale_probe.py can drive replicated corpora.
+    `carry` names per-doc columns to thread through the regroup (rides
+    the grouping key — functionally dependent on doc_id — instead of
+    costing a second join against the input)."""
     toks = F.split("text", " ")
     n_blocks = F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("bigint")
     blocks_arr = F.transform(
@@ -102,6 +105,7 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     )
     blocks = docs.select(
         "doc_id",
+        *carry,
         n_blocks.alias("total_blocks"),
         F.posexplode(blocks_arr).alias("blk_idx", "blk"),
     )
@@ -109,7 +113,7 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     ranked = blocks.withColumn("rn", F.row_number().over(w_blk))
     kept = F.col("rn") == 1
     kept_struct = F.when(kept, F.struct("blk_idx", "blk"))
-    return ranked.groupBy("doc_id", "total_blocks").agg(
+    return ranked.groupBy("doc_id", *carry, "total_blocks").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)),
@@ -118,7 +122,7 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("clean_text"),
         F.count(F.when(kept, 1)).alias("kept_blocks"),
-    ).select("doc_id", "clean_text", "kept_blocks", "total_blocks")
+    ).select("doc_id", *carry, "clean_text", "kept_blocks", "total_blocks")
 
 
 @register(
@@ -205,6 +209,120 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("win_idx") * _STRIDE).alias("start_tok"),
         F.size("win_toks").alias("win_len"),
         F.array_join("win_toks", " ").alias("win_text"),
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH capped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id % 1000000007) * {_KNUTH} % 1000000,
+                          doc_id) AS host_rank
+        FROM documents)
+      WHERE host_rank <= {_HOST_CAP}
+    ),
+    d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM capped
+    ),
+    blocks AS (
+      SELECT doc_id, lang, i AS blk_idx,
+             array_to_string(toks[i*{_BLK}+1 : (i+1)*{_BLK}], ' ') AS blk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, CAST(CEIL(LEN(toks) / {_BLK}.0) AS INT)))
+      ) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, blk_idx, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY doc_id, blk_idx) AS rn
+      FROM blocks
+    ),
+    cleaned AS (
+      SELECT doc_id, lang,
+             COALESCE(string_agg(blk, ' ' ORDER BY blk_idx)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+             COUNT(*) FILTER (WHERE rn = 1) AS kept_blocks
+      FROM ranked GROUP BY doc_id, lang
+    ),
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(clean_text, ' ')) AS tok
+      FROM cleaned WHERE kept_blocks > 0
+    ),
+    cnt AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, lang, tok
+    ),
+    tot AS (
+      SELECT doc_id, lang, SUM(c) AS n_tokens,
+             LN(CAST(SUM(c) AS DOUBLE))
+               - SUM(c * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+               AS h
+      FROM cnt GROUP BY doc_id, lang
+    ),
+    gated AS (
+      SELECT doc_id, lang, n_tokens, ROUND(h, 4) AS h4
+      FROM tot WHERE h >= 2.0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS n_tokens_kept,
+           ROUND(CAST(SUM(CAST(h4 AS DECIMAL(14,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_entropy
+    FROM gated GROUP BY lang
+    """,
+    doc="composed curation pipeline over the new corpus operators: "
+    "per-host cap (unbiased hash order) → paragraph-level exact dedup "
+    "with reconstruction → token-entropy quality gate → per-language "
+    "accounting. One plan, six necessary shuffles (host window; block "
+    "window; doc regroup; (doc,token) agg; doc agg; lang agg) — no "
+    "intermediate materialization, so at 100 TB the corpus streams "
+    "through once. Float policy: the entropy gate compares the "
+    "UNROUNDED h in both engines; the reported average sums per-doc "
+    "entropies ROUNDED to 4dp as exact DECIMALs (order-independent), "
+    "then divides by the count — no float-accumulation divergence.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % 1000000
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id"))
+    capped = (
+        docs.select(
+            "doc_id", "lang", "text", F.row_number().over(w).alias("host_rank")
+        )
+        .where(F.col("host_rank") <= _HOST_CAP)
+        .drop("host_rank")
+    )
+    cleaned = paragraph_dedup(capped, carry=("lang",))
+    kept = cleaned.where(F.col("kept_blocks") > 0)
+    cnt = (
+        kept.select(
+            "doc_id", "lang", F.explode(F.split("clean_text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sum_clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col(
+        "n_tokens"
+    ).cast("double")
+    gated = tot.where(h >= 2.0).select(
+        "lang", "n_tokens", F.round(h, 4).alias("h4")
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+        F.round(
+            F.sum(F.col("h4").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_entropy"),
     )
 
 

@@ -226,6 +226,45 @@ def test_overlap_windows_reconstruct_prefix(spark, sf_dir):
     assert mismatch == 0
 
 
+# ---------- corpus_curation_pipeline ----------
+
+
+def test_curation_pipeline_single_plan_shuffle_budget(spark, sf_dir):
+    """The composed pipeline must stay ONE plan with exactly the six
+    necessary shuffles (host window, block window, doc regroup,
+    (doc,token) agg, doc agg, lang agg) — no accidental extra exchange
+    from the composition."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        corpus_curation_pipeline,
+    )
+
+    plan = formatted_plan(corpus_curation_pipeline(spark, sf_dir))
+    assert count_data_shuffles(plan) <= 6
+
+
+def test_curation_pipeline_is_subset_of_stagewise_run(spark, sf_dir):
+    """Composition sanity: the pipeline's per-lang doc counts can never
+    exceed what the host cap alone admits."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        corpus_curation_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped_per_lang = {
+        r["lang"]: r["n"]
+        for r in corpus_host_cap(spark, sf_dir)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = corpus_curation_pipeline(spark, sf_dir).collect()
+    assert out  # something survives curation
+    for r in out:
+        assert r["n_docs_kept"] <= capped_per_lang[r["lang"]]
+        assert 0.0 <= r["avg_entropy"] <= 10.0
+
+
 # ---------- text_token_entropy ----------
 
 
