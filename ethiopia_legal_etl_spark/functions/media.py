@@ -1,0 +1,93 @@
+"""Real, dependency-free media codecs for UNCOMPRESSED formats:
+PCM WAV (RIFF chunk walk) and 24-bit BMP (BITMAPINFOHEADER). These are
+actual byte-format parsers — not stubs — implementable without codec
+libraries, so the multimodal decode path has executed-for-real evidence
+in this container; compressed formats (JPEG/MP3/H.264) remain behind
+the clearly-marked decode_stub in operators/multimodal.py and need
+PIL/ffmpeg on deployment.
+
+Parity note: generalizes the reference's binary-format handling
+(fetch_legal_docs.py downloads PDFs as opaque bytes; functions/
+pdftext.py parses them) to the audio/image formats a multimodal
+training pipeline carries.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic real PCM WAV: 16-bit mono, rate/length derived
+    from doc_id (canonical 44-byte header via the stdlib writer)."""
+    rate = 8000 * (1 + doc_id % 3)
+    n = 100 + doc_id % 50
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    frames = b"".join(
+        struct.pack("<h", ((doc_id * 31 + i * 7) % 2000) - 1000)
+        for i in range(n)
+    )
+    w.writeframes(frames)
+    w.close()
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE: walk chunks, read fmt + data. Raises ValueError
+    on non-WAV bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, meta = 12, {}
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and sz >= 16:
+            _, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            meta.update(n_channels=ch, sample_rate=rate, bits=bits)
+        elif cid == b"data":
+            if "n_channels" not in meta:
+                raise ValueError("data chunk before fmt")
+            meta["n_samples"] = sz // (
+                meta["n_channels"] * meta["bits"] // 8
+            )
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if "n_samples" not in meta:
+        raise ValueError("no data chunk")
+    meta["byte_len"] = len(payload)
+    meta["duration_us"] = meta["n_samples"] * 1_000_000 // meta["sample_rate"]
+    return meta
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic real 24-bit BMP with proper 4-byte row padding."""
+    w = 4 + doc_id % 32
+    h = 4 + (doc_id // 7) % 32
+    row = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * doc_id) % 256, (y * 3) % 256, (x + y) % 256))
+        px += b"\x00" * (row - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + row * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(px)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse BITMAPFILEHEADER + BITMAPINFOHEADER. Raises ValueError on
+    non-BMP bytes."""
+    if len(payload) < 30 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    size, _, _, _off = struct.unpack("<IHHI", payload[2:14])
+    _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+    return {"width": w, "height": abs(h), "bpp": bpp, "byte_len": size}

@@ -147,3 +147,115 @@ def multimodal_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.avg(l2), 4).alias("avg_emb_norm"),
     )
+
+
+def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media payloads, synthesized distributed: even doc_ids get a
+    genuine PCM WAV, odd doc_ids a genuine 24-bit BMP (functions/
+    media.py — dependency-free encoders). mapInPandas so the bytes are
+    built executor-side, never on the driver."""
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.media import synth_bmp, synth_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": [
+                        "audio" if i % 2 == 0 else "image" for i in ids
+                    ],
+                    "payload": [
+                        synth_wav(i) if i % 2 == 0 else synth_bmp(i)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END
+             AS media_type,
+           CASE WHEN doc_id % 2 = 0
+                THEN 44 + 2 * (100 + doc_id % 50)
+                ELSE 54 + (((4 + doc_id % 32) * 3 + 3) // 4) * 4
+                       * (4 + (doc_id // 7) % 32)
+           END AS byte_len,
+           CASE WHEN doc_id % 2 = 0
+                THEN 8000 * (1 + doc_id % 3) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN 100 + doc_id % 50 END AS n_samples,
+           CASE WHEN doc_id % 2 = 0
+                THEN (100 + doc_id % 50) * 1000000
+                       // (8000 * (1 + doc_id % 3)) END AS duration_us,
+           CASE WHEN doc_id % 2 = 1
+                THEN 4 + doc_id % 32 END AS width,
+           CASE WHEN doc_id % 2 = 1
+                THEN 4 + (doc_id // 7) % 32 END AS height
+    FROM documents
+    """,
+    doc="REAL multimodal decode, executed in-container: genuine PCM WAV "
+    "and 24-bit BMP payloads are synthesized executor-side, then parsed "
+    "back by dependency-free byte-format decoders (functions/media.py: "
+    "RIFF chunk walk, BITMAPINFOHEADER). The oracle derives every "
+    "metadata field from the doc_id formulas, so the hash match proves "
+    "the decoder exactly inverts the encoder — including canonical "
+    "file sizes (44-byte WAV header; BMP 4-byte row padding). "
+    "Compressed codecs (JPEG/MP3) remain stubbed (multimodal_decode_"
+    "stub) pending PIL/ffmpeg on deployment. Shuffle-free per-row "
+    "pipeline: synth -> decode in back-to-back Arrow-batched "
+    "mapInPandas stages.",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.media import decode_bmp, decode_wav
+
+    media = synth_media_real(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if mt == "audio":
+                    m = decode_wav(b)
+                    rows.append(
+                        (doc_id, mt, m["byte_len"], m["sample_rate"],
+                         m["n_samples"], m["duration_us"], None, None)
+                    )
+                else:
+                    m = decode_bmp(b)
+                    rows.append(
+                        (doc_id, mt, m["byte_len"], None, None, None,
+                         m["width"], m["height"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "byte_len", "sample_rate",
+                    "n_samples", "duration_us", "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, media_type string, byte_len long, "
+            "sample_rate long, n_samples long, duration_us long, "
+            "width long, height long"
+        ),
+    )

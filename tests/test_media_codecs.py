@@ -1,0 +1,71 @@
+"""Dependency-free media codecs (functions/media.py): encoder/decoder
+roundtrip, canonical sizes, malformed-input contract; plus the
+distributed real-decode operator's plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from ethiopia_legal_etl_spark.functions.media import (
+    decode_bmp,
+    decode_wav,
+    synth_bmp,
+    synth_wav,
+)
+
+
+def test_wav_roundtrip_and_canonical_header():
+    for doc_id in (0, 1, 7, 49, 123456):
+        b = synth_wav(doc_id)
+        m = decode_wav(b)
+        rate = 8000 * (1 + doc_id % 3)
+        n = 100 + doc_id % 50
+        assert m["sample_rate"] == rate
+        assert m["n_samples"] == n
+        assert m["n_channels"] == 1 and m["bits"] == 16
+        assert m["byte_len"] == 44 + 2 * n  # canonical stdlib header
+        assert m["duration_us"] == n * 1_000_000 // rate
+
+
+def test_bmp_roundtrip_with_row_padding():
+    for doc_id in (0, 3, 11, 31, 222):
+        b = synth_bmp(doc_id)
+        m = decode_bmp(b)
+        w = 4 + doc_id % 32
+        h = 4 + (doc_id // 7) % 32
+        row = (w * 3 + 3) & ~3
+        assert (m["width"], m["height"], m["bpp"]) == (w, h, 24)
+        assert m["byte_len"] == 54 + row * h == len(b)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"", b"RIFFxxxx", b"not media at all", b"BM", b"RIFF1234WAVE"],
+)
+def test_decoders_raise_valueerror_on_malformed(payload):
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+    with pytest.raises(ValueError):
+        decode_bmp(payload)
+
+
+def test_decoders_reject_cross_format():
+    with pytest.raises(ValueError):
+        decode_wav(synth_bmp(5))
+    with pytest.raises(ValueError):
+        decode_bmp(synth_wav(5))
+
+
+def test_real_decode_operator_is_shuffle_free(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.multimodal import (
+        multimodal_decode_real,
+    )
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_data_shuffles,
+        formatted_plan,
+    )
+
+    df = multimodal_decode_real(spark, sf_dir)
+    assert count_data_shuffles(formatted_plan(df)) == 0
+    sample = {r["media_type"] for r in df.limit(10).collect()}
+    assert sample <= {"audio", "image"}
