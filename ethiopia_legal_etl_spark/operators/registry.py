@@ -118,7 +118,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup / similarity / text / multimodal / pipeline
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # r4: swapped dedup_minhash_lsh (rows-only, which the driver can
+    # only record as "ran") for the oracle-checked real-decode proof;
+    # dedup_simhash_band keeps the rows-only path represented and
+    # minhash-LSH stays covered by the full-registry CI gate + recall
+    # property tests.
+    "multimodal_decode_real",
     "dedup_simhash_band",
     "similarity_cosine_topk",
     "embedding_near_dup_cosine",
