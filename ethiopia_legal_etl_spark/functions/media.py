@@ -48,9 +48,13 @@ def decode_wav(payload: bytes) -> dict:
         cid = payload[i : i + 4]
         sz = struct.unpack("<I", payload[i + 4 : i + 8])[0]
         if cid == b"fmt " and sz >= 16:
+            if i + 24 > len(payload):
+                raise ValueError("truncated fmt chunk")
             _, ch, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
+            if ch == 0 or bits < 8 or rate == 0:
+                raise ValueError("degenerate fmt chunk")
             meta.update(n_channels=ch, sample_rate=rate, bits=bits)
         elif cid == b"data":
             if "n_channels" not in meta:

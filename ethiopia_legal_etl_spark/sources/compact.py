@@ -59,7 +59,12 @@ def compact_parquet_dir(
     """Rewrite `path` into ceil(total/target) files; no-op (returns the
     stats with compacted=False) when already at-or-below the target
     count. Returns {files_before, files_after, total_bytes, n_target,
-    compacted}."""
+    compacted}.
+
+    NOTE: intended for FLAT parquet directories (streaming sink
+    output, incremental appends). A hive-partitioned directory
+    (`key=value/` subdirs) would be rewritten flat — compact each
+    partition directory individually instead."""
     files_before, total = parquet_file_stats(spark, path)
     n_target = max(1, math.ceil(total / target_file_bytes))
     if files_before <= max(n_target, min_files_to_compact - 1):

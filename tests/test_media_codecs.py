@@ -40,7 +40,19 @@ def test_bmp_roundtrip_with_row_padding():
 
 @pytest.mark.parametrize(
     "payload",
-    [b"", b"RIFFxxxx", b"not media at all", b"BM", b"RIFF1234WAVE"],
+    [
+        b"",
+        b"RIFFxxxx",
+        b"not media at all",
+        b"BM",
+        b"RIFF1234WAVE",
+        # truncated fmt chunk: header claims 16 bytes, payload ends
+        b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00",
+        # degenerate fmt: zero channels/rate/bits, then a data chunk
+        b"RIFF\x28\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+        + b"\x00" * 16
+        + b"data\x00\x00\x00\x00",
+    ],
 )
 def test_decoders_raise_valueerror_on_malformed(payload):
     with pytest.raises(ValueError):
