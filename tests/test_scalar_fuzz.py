@@ -129,6 +129,23 @@ PAIRS = [
     ("int_div", "i div 8", "i // 8"),
     ("regexp_digits", "regexp_extract(s, '[0-9]+', 0)", "regexp_extract(s, '[0-9]+', 0)"),
     ("if_pos", "if(i > 0, 'pos', 'nonpos')", "if(i > 0, 'pos', 'nonpos')"),
+    # r4 second wave: string predicates, codes, distance, bit/basing
+    ("reverse_ascii", "reverse(s)", "reverse(s)"),  # s is ASCII-only
+    ("startswith_s", "startswith(s, 'a')", "starts_with(s, 'a')"),
+    ("endswith_s", "endswith(s, 'a')", "ends_with(s, 'a')"),
+    ("contains_s", "contains(s, 'a')", "contains(s, 'a')"),
+    ("ascii_s", "ascii(s)", "ascii(s)"),
+    ("chr_i", "char(abs(i) % 26 + 65)",
+     "chr(CAST(abs(i) % 26 + 65 AS INTEGER))"),
+    ("levenshtein_s", "levenshtein(s, 'abc')", "levenshtein(s, 'abc')"),
+    ("bitcount_i", "bit_count(i)", "bit_count(i)"),
+    ("hex_i", "hex(abs(i))", "upper(to_hex(abs(i)))"),
+    # pmod: Spark has it natively; DuckDB spelled out
+    ("pmod_i", "pmod(i, 7)", "((i % 7) + 7) % 7"),
+    # try_divide: NULL-on-zero semantics vs the explicit CASE
+    ("try_div_ij", "cast(try_divide(i, j) as double)",
+     "CASE WHEN j = 0 THEN NULL ELSE i / CAST(j AS DOUBLE) END"),
+    ("octet_u", "octet_length(u)", "octet_length(encode(u))"),
 ]
 
 
