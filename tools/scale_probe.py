@@ -591,6 +591,43 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
                     "sec": sec,
                 }
             )
+    # composed curation pipeline on copy-prefixed replicas (needs the
+    # full documents schema on disk: lang/source drive the cap strata)
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        corpus_curation_pipeline,
+    )
+
+    full = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for factor in (1, 10, 30):
+        parts = []
+        for i in range(factor):
+            p = full.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+            if i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ),
+                )
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        d = f"{scratch}/cur_x{factor}"
+        df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        run_noop(corpus_curation_pipeline(spark, d))  # warm
+        sec = timed(lambda: run_noop(corpus_curation_pipeline(spark, d)))
+        out.append(
+            {
+                "exp": "curation_pipeline",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec,
+            }
+        )
     return out
 
 
