@@ -226,6 +226,83 @@ def test_overlap_windows_reconstruct_prefix(spark, sf_dir):
     assert mismatch == 0
 
 
+def test_overlap_windows_match_python_model_all_lengths(spark):
+    """Differential ground truth across every token count 1..120: the
+    Spark windowing must equal an independent Python model (including
+    the ragged tail and the n_tok <= WIN single-window case)."""
+    corpus = [
+        (n, " ".join(f"t{n}_{i}" for i in range(n))) for n in range(1, 121)
+    ]
+
+    def py_windows(doc_id, text):
+        toks = text.split(" ")
+        n = len(toks)
+        out = []
+        n_win = 1 if n <= _WIN else 1 + -(-(n - _WIN) // _STRIDE)
+        for w in range(n_win):
+            s = w * _STRIDE
+            sl = toks[s : s + _WIN]
+            out.append((doc_id, w, s, len(sl), " ".join(sl)))
+        return out
+
+    expect = sorted(r for d, t in corpus for r in py_windows(d, t))
+    from ethiopia_legal_etl_spark.operators.corpusops import _WIN as W  # noqa: F401
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    df.createOrReplaceTempView("overlap_model_docs")
+    from pyspark.sql import functions as SF
+
+    toks = SF.split("text", " ")
+    n_tok = SF.size(toks)
+    n_win = SF.when(n_tok <= _WIN, SF.lit(1)).otherwise(
+        (SF.ceil((n_tok - _WIN) / SF.lit(float(_STRIDE))) + 1).cast("int")
+    )
+    wins_arr = SF.transform(
+        SF.sequence(SF.lit(0), n_win - 1),
+        lambda i: SF.slice(toks, i * _STRIDE + 1, _WIN),
+    )
+    got = sorted(
+        (
+            r["doc_id"],
+            r["win_idx"],
+            r["win_idx"] * _STRIDE,
+            r["win_len"],
+            r["win_text"],
+        )
+        for r in df.select(
+            "doc_id", SF.posexplode(wins_arr).alias("win_idx", "win_toks")
+        )
+        .select(
+            "doc_id",
+            "win_idx",
+            SF.size("win_toks").alias("win_len"),
+            SF.array_join("win_toks", " ").alias("win_text"),
+        )
+        .collect()
+    )
+    assert got == expect
+
+
+def test_host_cap_matches_python_model(spark, sf_dir):
+    """Differential ground truth: the kept (doc_id, rank) per source
+    must equal an independent Python ranking by the same hash order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = [(r["doc_id"], r["source"]) for r in docs.collect()]
+    by_src: dict = {}
+    for doc_id, src in rows:
+        by_src.setdefault(src, []).append(doc_id)
+    expect = set()
+    for src, ids in by_src.items():
+        ids.sort(key=lambda d: ((d % 1000000007) * 2654435761 % 1000000, d))
+        for rank, d in enumerate(ids[:_HOST_CAP], start=1):
+            expect.add((d, src, rank))
+    got = {
+        (r["doc_id"], r["source"], r["host_rank"])
+        for r in corpus_host_cap(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 # ---------- corpus_curation_pipeline ----------
 
 
