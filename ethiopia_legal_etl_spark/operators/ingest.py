@@ -112,6 +112,73 @@ def fetch_stage(links: DataFrame, fetcher: Fetcher | None = None) -> DataFrame:
     return links.select("url").mapInPandas(run, schema=FETCHED_SCHEMA)
 
 
+def polite_fetch_stage(
+    links: DataFrame,
+    fetcher: Fetcher | None = None,
+    min_interval_s: float = 0.0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Crawler-politeness variant of fetch_stage: URLs are
+    repartitioned BY HOST so each host's requests run inside one task
+    (strictly serial per host), with a minimum inter-request interval
+    enforced task-side. Different hosts still fetch in parallel.
+
+    Why this exists: the reference fetches serially from one process
+    (fetch_legal_docs.py:32 loop) and is accidentally polite; naively
+    distributing that loop over 1000 executors turns the crawler into
+    a DDoS against the source site. Partition-by-host is the standard
+    Spark shape for per-key serialization — hash collisions may place
+    several hosts in one task (still polite, just less parallel),
+    never one host across several tasks (which would break the rate
+    contract). Same per-record error isolation as fetch_stage.
+
+    The host repartition uses an EXPLICIT partition count
+    (REPARTITION_BY_NUM): a plain repartition(col) is subject to AQE
+    partition coalescing, which on a small batch merges every host
+    into one task and silently serializes the whole crawl — measured
+    by the politeness tests before this was pinned."""
+    import pandas as pd
+
+    fetch = fetcher or default_fetcher
+    host_col = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        from urllib.parse import urlsplit
+
+        last: dict[str, float] = {}
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                host = urlsplit(url).netloc
+                if min_interval_s > 0:
+                    prev = last.get(host)
+                    if prev is not None:
+                        wait = min_interval_s - (time.monotonic() - prev)
+                        if wait > 0:
+                            time.sleep(wait)
+                    last[host] = time.monotonic()
+                try:
+                    status, ctype, body = fetch(url)
+                    rows.append((url, status, ctype, body, None))
+                except Exception as exc:  # per-record isolation (A-19)
+                    rows.append(
+                        (url, None, None, None, f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "status", "content_type", "body", "error"]
+            )
+
+    n = n_partitions or int(
+        links.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return (
+        links.select("url")
+        .repartition(n, host_col)
+        .mapInPandas(run, schema=FETCHED_SCHEMA)
+    )
+
+
 def content_type_filter(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
     """A-8: keep responses whose Content-Type CONTAINS application/pdf
     (substring, not equality — §2.C-5); everything else → rejects."""
