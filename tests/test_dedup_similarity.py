@@ -321,3 +321,97 @@ def test_hll_sketch_merge_matches_exact(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert abs(row["est_distinct_users"] - exact) <= max(1, 0.05 * exact)
     assert row["n_events"] == ev.count()
+
+
+# ---------- embedding storage ops (JL projection, int8 quantize) ----------
+
+
+def test_int8_quantize_bounds_and_reconstruction(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        embedding_int8_quantize,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    q = embedding_int8_quantize(spark, sf_dir)
+    bad = q.where((F.col("q_val") < -127) | (F.col("q_val") > 127)).count()
+    assert bad == 0
+    # dequantized value within half a quantization step of the original
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("idx"), "x")
+    joined = q.join(emb, ["vec_id", "idx"])
+    err = joined.select(
+        F.max(
+            F.abs(
+                F.col("q_val") * F.col("scale6") - F.col("x").cast("double")
+            )
+        ).alias("m"),
+        F.max(F.col("scale6")).alias("s"),
+    ).first()
+    assert err["m"] <= err["s"] * 0.51 + 1e-6  # half-step + scale6 rounding
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """The JL property this operator exists for: pairwise squared
+    distances in the 16-dim projection approximate the 64-dim ones.
+    Checked as a strong positive correlation on a 40-vector sample."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        embedding_random_projection,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 40)
+        .collect()
+    }
+    proj_rows = (
+        embedding_random_projection(spark, sf_dir)
+        .where(F.col("vec_id") < 40)
+        .collect()
+    )
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], {})[r["k"]] = r["proj_q4"] / 1e4
+    ids = sorted(orig)
+    d_o, d_p = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = orig[ids[i]], orig[ids[j]]
+            d_o.append(sum((x - y) ** 2 for x, y in zip(a, b)))
+            pa, pb = proj[ids[i]], proj[ids[j]]
+            d_p.append(
+                sum((pa[k] - pb[k]) ** 2 for k in range(1, 17))
+            )
+    n = len(d_o)
+    mo, mp = sum(d_o) / n, sum(d_p) / n
+    cov = sum((a - mo) * (b - mp) for a, b in zip(d_o, d_p)) / n
+    vo = sum((a - mo) ** 2 for a in d_o) / n
+    vp = sum((b - mp) ** 2 for b in d_p) / n
+    corr = cov / (vo**0.5 * vp**0.5)
+    # Calibration: freshly-sampled true-random ±1 matrices measure
+    # corr 0.32-0.40 at k=16 on this dataset (distance concentration
+    # at 64-dim caps it) — the deterministic matrix must be at parity,
+    # and far above the 0.15 a degenerate (rank-collapsed) formula
+    # scored before the i*k mixing fix.
+    assert corr > 0.25, corr
+
+
+def test_random_projection_matrix_is_not_degenerate():
+    """Pin the Rademacher formula's matrix quality so a future edit
+    cannot silently reintroduce a rank-collapsed sign pattern (the
+    original (i*31+k*17)%7 formula collapsed to a function of i+k)."""
+    sign = lambda i, k: (  # noqa: E731 — mirror of _rademacher_sign
+        1 if (((i * 89 + k) * (k * 71 + i) + i) % 127) % 2 == 0 else -1
+    )
+    cols = {k: [sign(i, k) for i in range(1, 65)] for k in range(1, 17)}
+    assert max(abs(sum(c)) for c in cols.values()) <= 24  # balanced
+    cross = max(
+        abs(sum(a * b for a, b in zip(cols[k1], cols[k2])))
+        for k1 in range(1, 17)
+        for k2 in range(k1 + 1, 17)
+    )
+    assert cross <= 32  # near-orthogonal columns (random-walk scale)
