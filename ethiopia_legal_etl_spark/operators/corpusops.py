@@ -382,3 +382,71 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("entropy"),
         (h >= 2.0).alias("passes_gate"),
     )
+
+
+_VOCAB_V = 20  # top-V vocabulary (the synthetic corpus has 31 distinct
+# tokens, so V=20 leaves a real OOV tail; at 100 TB V would be 32k-256k)
+
+
+@register(
+    "corpus_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_V}),
+    per AS (
+      SELECT t.doc_id, t.lang, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE v.tok IS NULL) AS oov
+      FROM tok t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n) AS total_tokens,
+           SUM(oov) AS total_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / SUM(n), 6) AS oov_rate
+    FROM per GROUP BY lang
+    """,
+    doc="tokenizer-prep vocabulary coverage: induce the top-V corpus "
+    "vocabulary (count-desc, token-asc — a TOTAL order, so the cut is "
+    "deterministic in both engines even at count ties), then measure "
+    "each language's out-of-vocabulary token rate — the metric that "
+    "sizes a tokenizer's vocab and exposes which languages a shared "
+    "vocab under-serves. Plan: one (token) agg for counts; top-V via "
+    "orderBy+limit (TakeOrderedAndProject, bounded, never a global "
+    "sort of the corpus); vocab is V rows → broadcast join against "
+    "the token stream; exact-integer OOV tallies per doc, one final "
+    "division per lang. The corpus-scale work is 2 shuffles (token "
+    "agg, doc agg) + the lang agg.",
+)
+def corpus_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_VOCAB_V)
+        .select("tok")
+    )
+    per = (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("in_v").isNull(), 1)).alias("oov"),
+        )
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("oov").alias("total_oov"),
+        F.round(
+            F.sum("oov").cast("double") / F.sum("n"), 6
+        ).alias("oov_rate"),
+    )
