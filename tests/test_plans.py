@@ -279,6 +279,12 @@ SHUFFLE_BUDGET = {
     "corpus_host_cap": 1,
     "chunk_overlap_windows": 0,
     "text_token_entropy": 2,
+    "corpus_curation_pipeline": 6,
+    "corpus_vocab_oov": 3,
+    "embedding_random_projection": 0,
+    "embedding_int8_quantize": 0,
+    "stream_dedup_twin": 2,
+    "multimodal_decode_real": 0,
 }
 
 
