@@ -450,3 +450,115 @@ def corpus_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oov").cast("double") / F.sum("n"), 6
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer TRAINING (merge learning) — the sentencepiece/GPT-2
+# formulation that scales: train on the word-FREQUENCY table, not the
+# raw corpus. The corpus is touched exactly once (one shuffle to build
+# word counts, Zipf-bounded output ≪ corpus); every merge iteration
+# then runs on the small cached frequency table. The per-iteration
+# argmax is a 1-row limit+collect — bounded by construction, the same
+# justification as heavy_hitters_cms's guarded probe.
+# ---------------------------------------------------------------------
+
+_EOW = "</w>"  # end-of-word marker (standard BPE)
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn the first `n_merges` BPE merges from the corpus.
+
+    Deterministic: ties on pair count break by lexicographic pair
+    order (the same total order the differential Python model uses),
+    so the learned merge table is reproducible run-to-run and
+    partition-independent. Returns (rank, left, right, merged,
+    pair_count) — rank 1 is the first merge learned.
+    """
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # symbolize: 'key' -> 'k e y </w>'
+    sym = F.concat_ws(
+        " ", F.array_join(F.split("w", ""), " "), F.lit(_EOW)
+    )
+    wf = wf.select(sym.alias("sym"), "freq").cache()
+    wf.count()  # materialize once; iterations reuse the cached table
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        toks = F.split("sym", " ")
+        n = F.size(toks)
+        pair_idx = F.sequence(F.lit(1), n - 1)
+        pairs = wf.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.concat_ws(
+                        "\x1f",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best_rows = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not best_rows:
+            break
+        left, right = best_rows[0]["pair"].split("\x1f")
+        count = best_rows[0]["c"]
+        merged = left + right
+        merges.append((rank, left, right, merged, count))
+        # apply the merge: 'L R' (whole symbols) -> 'LR'; lookarounds
+        # keep the shared spaces unconsumed so adjacent same-pair runs
+        # merge left-to-right exactly like reference BPE
+        pat = (
+            r"(?<=^|\s)"
+            + _re.escape(left)
+            + r" "
+            + _re.escape(right)
+            + r"(?=$|\s)"
+        )
+        repl = merged.replace("\\", "\\\\").replace("$", r"\$")
+        nxt = wf.select(
+            F.regexp_replace("sym", pat, repl).alias("sym"),
+            "freq",
+        ).cache()
+        nxt.count()
+        wf.unpersist()
+        wf = nxt
+    wf.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+register(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax chain — not SQL-expressible; the
+    # independent ground truth is the pure-Python differential test
+    # (same corpus, same tie-break) in tests/test_corpusops.py
+    doc="BPE tokenizer TRAINING (first 8 merges) in the scalable "
+    "word-frequency formulation: ONE corpus shuffle builds the "
+    "Zipf-bounded (word, freq) table; each merge iteration re-counts "
+    "weighted symbol bigrams on that small cached table and applies "
+    "the argmax merge via a lookaround regex (shared spaces stay "
+    "unconsumed, so adjacent same-pair runs merge left-to-right "
+    "exactly like reference BPE). Deterministic tie-break: count "
+    "desc, then lexicographic pair. The per-iteration argmax is a "
+    "1-row limit+collect — bounded by construction.",
+)(bpe_train_merges)

@@ -342,6 +342,68 @@ def test_curation_pipeline_is_subset_of_stagewise_run(spark, sf_dir):
         assert 0.0 <= r["avg_entropy"] <= 10.0
 
 
+# ---------- bpe_train_merges ----------
+
+
+def _py_bpe_train(word_freq: dict, n_merges: int):
+    """Independent reference BPE trainer (same tie-break: count desc,
+    then lexicographic '<left>\\x1f<right>' pair order)."""
+    syms = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for s, f in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1])
+        )
+        (left, right), c = best
+        merges.append((rank, left, right, left + right, c))
+        nxt = {}
+        for s, f in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        syms = nxt
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq: dict = {}
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    expect = _py_bpe_train(freq, 8)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir, 8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_merges_deterministic_across_runs(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
+
+    a = [tuple(r) for r in bpe_train_merges(spark, sf_dir, 4).collect()]
+    b = [tuple(r) for r in bpe_train_merges(spark, sf_dir, 4).collect()]
+    assert a == b and len(a) == 4
+
+
 # ---------- text_token_entropy ----------
 
 
