@@ -396,6 +396,51 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
     assert got == expect
 
 
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Apply stage ground truth: per-document token counts under the
+    Spark regex-chain encoder equal a pure-Python encode that uses the
+    SAME learned merges."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir, 4).orderBy("rank").collect()
+    ]
+
+    def py_encode_len(word):
+        s = list(word) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    docs = load_table(spark, sf_dir, "documents")
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r["text"].split(" ") if w]
+        expect[r["doc_id"]] = (
+            sum(py_encode_len(w) for w in words),
+            sum(len(w) + 1 for w in words),
+        )
+    got = {
+        r["doc_id"]: (r["bpe_tokens"], r["char_tokens"])
+        for r in bpe_encode_tokens(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # trained tokenizer must actually compress vs the char baseline
+    assert all(b < c for b, c in got.values())
+
+
 def test_bpe_merges_deterministic_across_runs(spark, sf_dir):
     from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
 
