@@ -628,6 +628,43 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
                 "sec": sec,
             }
         )
+    # BPE training: corpus grows, the word-frequency table it trains on
+    # is Zipf-bounded — iteration cost should stay ~flat; only the one
+    # corpus shuffle that builds the table scales. Plain replication
+    # (same vocabulary at every factor = the honest regime: natural-
+    # language vocab grows ~log n, not ~n).
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
+
+    for factor in (1, 10, 30):
+        d = f"{scratch}/cur_x{factor}" if factor > 1 else SF_DIR
+        if factor > 1:
+            # reuse the prefixed curation replicas? No: prefixes inflate
+            # vocab linearly. Build plain replicas instead.
+            d = f"{scratch}/bpe_x{factor}"
+            parts = [
+                full.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+                for i in range(factor)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+        import time as _t
+
+        t0 = _t.monotonic()
+        n_m = bpe_train_merges(spark, d, 6).count()
+        sec = round(_t.monotonic() - t0, 3)
+        out.append(
+            {
+                "exp": "bpe_train_6_merges",
+                "factor": factor,
+                "docs": base_n * factor,
+                "merges": n_m,
+                "sec": sec,
+            }
+        )
     return out
 
 
