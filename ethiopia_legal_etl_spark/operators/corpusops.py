@@ -631,3 +631,58 @@ register(
     "under the trained tokenizer vs the untrained character baseline "
     "(compression from 4 merges).",
 )(bpe_encode_tokens)
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' No' || chr(776) || 'el '
+                  || chr(7840) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(raw) AS len_before,
+           LENGTH(nfc_normalize(raw)) AS len_after,
+           nfc_normalize(raw) AS norm_text,
+           nfc_normalize(raw) <> raw AS changed
+    FROM aug
+    """,
+    doc="Unicode NFC normalization — the canonicalization a "
+    "multilingual pipeline runs BEFORE hashing/dedup (the decomposed "
+    "'e'+U+0301 and composed U+00E9 are different bytes but the same "
+    "text; unnormalized corpora silently miss exact duplicates). The "
+    "corpus is ASCII, so decomposed sequences are PLANTED per doc "
+    "(combining acute, combining diaeresis, and a precomposed char "
+    "that NFC keeps) — same pattern as text_pii_scrub's planted PII. "
+    "Spark side is a vectorized pandas UDF over unicodedata (Java "
+    "has java.text.Normalizer but no Catalyst function; Arrow "
+    "batches keep it off the slow path); the oracle is DuckDB's "
+    "native nfc_normalize — two independent UAX#15 implementations "
+    "agreeing codepoint-for-codepoint. Shuffle-free scan-span plan.",
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = " cafe\u0301 No\u0308el \u1EA0"  # U+1EA0 NFC-stable precomposed
+    aug = docs.select(
+        "doc_id", F.concat("text", F.lit(planted)).alias("raw")
+    )
+    return aug.select(
+        "doc_id",
+        F.length("raw").alias("len_before"),
+        F.length(nfc("raw")).alias("len_after"),
+        nfc("raw").alias("norm_text"),
+        (nfc("raw") != F.col("raw")).alias("changed"),
+    )
