@@ -285,6 +285,7 @@ SHUFFLE_BUDGET = {
     "embedding_int8_quantize": 0,
     "stream_dedup_twin": 2,
     "multimodal_decode_real": 0,
+    "text_unicode_nfc": 0,
 }
 
 
