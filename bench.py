@@ -52,6 +52,9 @@ HEADLINE = [
 ]
 
 
+LOAD_START = os.getloadavg()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ethiopia-legal-etl-spark-bench")
@@ -80,6 +83,7 @@ def main() -> None:
         min_timings[name] = round(steady[0], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -97,6 +101,12 @@ def main() -> None:
                     sum(min_timings.values()), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host 1/5/15-min load average at start and end of the
+                # measured window, so a noisy-box episode (like the
+                # uniform +13% in BENCH_r04) is diagnosable from the
+                # JSON alone instead of argued from min-of-runs.
+                "load_avg_start": [round(x, 2) for x in LOAD_START],
+                "load_avg_end": [round(x, 2) for x in load_end],
             }
         )
     )

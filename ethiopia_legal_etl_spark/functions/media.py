@@ -53,7 +53,10 @@ def decode_wav(payload: bytes) -> dict:
             _, ch, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
-            if ch == 0 or bits < 8 or rate == 0:
+            if ch == 0 or bits < 8 or bits % 8 != 0 or rate == 0:
+                # non-byte-aligned widths (e.g. 12-bit PCM) would make
+                # the bytes-per-frame division below silently wrong;
+                # reject them like the other degenerate fmt cases
                 raise ValueError("degenerate fmt chunk")
             meta.update(n_channels=ch, sample_rate=rate, bits=bits)
         elif cid == b"data":

@@ -265,7 +265,7 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gated AS (
       SELECT doc_id, lang, n_tokens, ROUND(h, 4) AS h4
-      FROM tot WHERE h >= 2.0
+      FROM tot WHERE ROUND(h, 4) >= 2.0
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
@@ -280,10 +280,13 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accounting. One plan, six necessary shuffles (host window; block "
     "window; doc regroup; (doc,token) agg; doc agg; lang agg) — no "
     "intermediate materialization, so at 100 TB the corpus streams "
-    "through once. Float policy: the entropy gate compares the "
-    "UNROUNDED h in both engines; the reported average sums per-doc "
-    "entropies ROUNDED to 4dp as exact DECIMALs (order-independent), "
-    "then divides by the count — no float-accumulation divergence.",
+    "through once. Float policy: the entropy gate compares h ROUNDED "
+    "to 4dp in both engines (an unrounded comparison could flip for a "
+    "doc whose h sits within an ulp of 2.0, since summation order "
+    "differs between engines — ADVICE r4); the reported average sums "
+    "per-doc entropies ROUNDED to 4dp as exact DECIMALs "
+    "(order-independent), then divides by the count — no "
+    "float-accumulation divergence.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -312,7 +315,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col(
         "n_tokens"
     ).cast("double")
-    gated = tot.where(h >= 2.0).select(
+    gated = tot.where(F.round(h, 4) >= 2.0).select(
         "lang", "n_tokens", F.round(h, 4).alias("h4")
     )
     return gated.groupBy("lang").agg(
@@ -344,8 +347,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens, n_distinct,
            ROUND(LN(CAST(n_tokens AS DOUBLE))
                  - sum_clnc / CAST(n_tokens AS DOUBLE), 4) AS entropy,
-           (LN(CAST(n_tokens AS DOUBLE))
-                 - sum_clnc / CAST(n_tokens AS DOUBLE)) >= 2.0
+           ROUND(LN(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE), 4) >= 2.0
              AS passes_gate
     FROM tot
     """,
@@ -355,7 +358,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebraically-stable form that needs one ln per DISTINCT token "
     "instead of one division+ln per token — fewer irrational ops, "
     "less float divergence (ROUND 4dp per the registry float "
-    "policy; the gate compares the unrounded value in both engines). "
+    "policy; the gate compares the ROUNDED value in both engines so "
+    "an ulp-of-2.0 doc cannot flip between them — ADVICE r4). "
     "Shuffles (doc_id, token) pairs — doc_id in the key spreads "
     "stopword skew — then per-doc aggregation; both partial-agg "
     "collapse map-side.",
@@ -380,7 +384,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_distinct",
         F.round(h, 4).alias("entropy"),
-        (h >= 2.0).alias("passes_gate"),
+        (F.round(h, 4) >= 2.0).alias("passes_gate"),
     )
 
 
@@ -679,10 +683,17 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select(
         "doc_id", F.concat("text", F.lit(planted)).alias("raw")
     )
-    return aug.select(
+    # normalize ONCE: the three downstream uses (len_after, norm_text,
+    # changed) all reference the single `norm_text` column. Catalyst's
+    # UDF extraction dedups the (now textually identical) expression
+    # into one ArrowEvalPython evaluation — pinned by
+    # test_plans.py::test_nfc_single_arrow_eval, so a plan-extraction
+    # change can never silently normalize the corpus 3x (VERDICT r4).
+    normed = aug.withColumn("norm_text", nfc("raw"))
+    return normed.select(
         "doc_id",
         F.length("raw").alias("len_before"),
-        F.length(nfc("raw")).alias("len_after"),
-        nfc("raw").alias("norm_text"),
-        (nfc("raw") != F.col("raw")).alias("changed"),
+        F.length("norm_text").alias("len_after"),
+        "norm_text",
+        (F.col("norm_text") != F.col("raw")).alias("changed"),
     )

@@ -82,6 +82,11 @@ def compact_parquet_dir(
     else:
         laid_out = df.repartition(n_target)
     tmp = path.rstrip("/") + ".__compact_tmp"
+    # a crashed prior run can leave .__compact_tmp / .__compact_bak
+    # behind; a stale bak would make the swap's rename(live, bak)
+    # fail — or NEST live inside the old bak on HDFS-like filesystems
+    # (ADVICE r4). Clear both before starting.
+    _cleanup_stale(spark, path)
     laid_out.write.mode("overwrite").parquet(tmp)
     _swap(spark, path, tmp)
     files_after, _ = parquet_file_stats(spark, path)
@@ -94,10 +99,25 @@ def compact_parquet_dir(
     }
 
 
+def _cleanup_stale(spark: SparkSession, live: str) -> None:
+    """Delete leftover swap artifacts from a crashed prior run."""
+    fs, _, jvm = _fs(spark, live)
+    for suffix in (".__compact_bak", ".__compact_tmp"):
+        p = jvm.org.apache.hadoop.fs.Path(live.rstrip("/") + suffix)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def _swap(spark: SparkSession, live: str, tmp: str) -> None:
     """Two-rename swap. Atomic per rename on HDFS/local; object stores
     need a catalog/table-pointer swap instead (Iceberg/Delta commit) —
-    this is the seam to replace there."""
+    this is the seam to replace there.
+
+    READER-VISIBILITY GAP: between rename(live, bak) and
+    rename(tmp, live) the live path briefly does not exist, so a
+    concurrent reader listing it in that window fails. Run compaction
+    with exclusive access to the directory (maintenance window), or
+    use a table format whose commit swaps a pointer atomically."""
     fs, live_p, jvm = _fs(spark, live)
     bak = jvm.org.apache.hadoop.fs.Path(live.rstrip("/") + ".__compact_bak")
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)

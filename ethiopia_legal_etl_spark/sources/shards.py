@@ -25,12 +25,37 @@ Why this layout at 100 TB:
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.sources.compact import _fs
+
 _SALT = 0x5EED
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem Spark
+    actually uses (same `_fs` seam as sources/compact.py), so the
+    manifest lands next to the shards on HDFS/S3A — a local
+    pathlib write would target a bogus local path for any
+    non-local URI (ADVICE r4)."""
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
 
 
 def assign_shard(n_shards: int):
@@ -81,8 +106,10 @@ def write_corpus_sharded(
             for r in stats
         ],
     }
-    Path(path, "_manifest.json").write_text(
-        json.dumps(manifest, indent=2), encoding="utf-8"
+    _write_text(
+        docs.sparkSession,
+        path.rstrip("/") + "/_manifest.json",
+        json.dumps(manifest, indent=2),
     )
     return manifest
 
@@ -99,5 +126,14 @@ def read_corpus_shards(
     return df
 
 
-def read_manifest(path: str) -> dict:
-    return json.loads(Path(path, "_manifest.json").read_text(encoding="utf-8"))
+def read_manifest(path: str, spark: SparkSession | None = None) -> dict:
+    """Read the shard manifest via the Hadoop FS API (pass `spark`;
+    defaults to the active session so existing one-arg callers keep
+    working on local paths and clusters alike)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("read_manifest needs an active SparkSession")
+    return json.loads(
+        _read_text(spark, path.rstrip("/") + "/_manifest.json")
+    )

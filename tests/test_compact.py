@@ -92,3 +92,25 @@ def test_compact_sorted_mode_preserves_pruning(spark, sf_dir, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
+
+
+def test_compact_clears_stale_swap_artifacts(spark, sf_dir, tmp_path):
+    """A crashed prior run leaves .__compact_bak/.__compact_tmp behind;
+    the next compaction must clear them and still succeed — a stale bak
+    would otherwise fail (or nest) the rename swap (ADVICE r4)."""
+    from pathlib import Path
+
+    path = _fragmented(spark, sf_dir, tmp_path, n_files=10)
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # simulate crash debris
+    bak = Path(path + ".__compact_bak")
+    tmp = Path(path + ".__compact_tmp")
+    bak.mkdir()
+    (bak / "junk.parquet").write_bytes(b"stale")
+    tmp.mkdir()
+    (tmp / "junk.parquet").write_bytes(b"stale")
+    _n, total = parquet_file_stats(spark, path)
+    res = compact_parquet_dir(spark, path, target_file_bytes=(total // 2) + 1)
+    assert res["compacted"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
+    assert not bak.exists() and not tmp.exists()

@@ -81,3 +81,18 @@ def test_real_decode_operator_is_shuffle_free(spark, sf_dir):
     assert count_data_shuffles(formatted_plan(df)) == 0
     sample = {r["media_type"] for r in df.limit(10).collect()}
     assert sample <= {"audio", "image"}
+
+
+def test_wav_rejects_non_byte_aligned_bits():
+    """12-bit PCM: bits%8 != 0 would make bytes-per-frame silently
+    wrong; the fmt guard must reject it like bits<8 (ADVICE r4)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 12)
+    payload = (
+        b"RIFF\x30\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+        + fmt
+        + b"data\x04\x00\x00\x00\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(payload)

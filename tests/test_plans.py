@@ -352,3 +352,21 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         if got > budget:
             over.append(f"{name}: {got} > budget {budget}")
     assert not over, over
+
+
+def test_nfc_single_arrow_eval(spark, sf_dir):
+    """text_unicode_nfc normalizes each document exactly ONCE: the
+    norm_text column feeds len_after/norm_text/changed, and Catalyst's
+    Python-UDF extraction must collapse that into a single
+    ArrowEvalPython node. Pinned so a plan-extraction change can never
+    silently run the normalizer 3x over the corpus (VERDICT r4 #4)."""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    df = all_queries()["text_unicode_nfc"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_nodes = len(
+        [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln and ln.strip().startswith("(")]
+    )
+    assert n_nodes == 1, f"expected exactly 1 ArrowEvalPython node, got {n_nodes}\n{plan}"
+    # and within that node, the UDF is invoked once, not three times
+    assert plan.count("nfc(") <= 2, plan  # header line + details line

@@ -636,10 +636,10 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
     from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
 
     for factor in (1, 10, 30):
-        d = f"{scratch}/cur_x{factor}" if factor > 1 else SF_DIR
+        d = SF_DIR
         if factor > 1:
-            # reuse the prefixed curation replicas? No: prefixes inflate
-            # vocab linearly. Build plain replicas instead.
+            # NOT the prefixed curation replicas (cur_x*): prefixes
+            # inflate vocab linearly. Build plain replicas instead.
             d = f"{scratch}/bpe_x{factor}"
             parts = [
                 full.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
