@@ -494,3 +494,150 @@ def test_entropy_degenerate_doc_is_zero(spark):
         .first()
     )
     assert abs(cnt["h"]) < 1e-12
+
+
+# ---------- BPE at real-vocab scale (VERDICT r4 #1) ----------
+
+
+def _rich_corpus(spark, tmp_path, n_words=400, n_docs=200):
+    """Synthetic corpus with enough distinct words that >=256 merges
+    exist (the sf tables have ~31 distinct tokens, which caps out far
+    below a real vocab). Deterministic: seeded RNG, sorted layout."""
+    import random
+
+    rng = random.Random(0x5EED)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randint(4, 12)))
+            for _ in range(n_words)
+        }
+    )
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(20, 60))))
+        for i in range(n_docs)
+    ]
+    d = str(tmp_path / "rich")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        4
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_bpe_train_256_merges_matches_python_reference(spark, tmp_path):
+    """Vocab-axis differential: the incremental driver-side trainer
+    must agree merge-for-merge with the independent recount-from-
+    scratch model at 256 merges (the scale the r4 regex-chain design
+    could not reach)."""
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_list
+
+    d = _rich_corpus(spark, tmp_path)
+    freq: dict = {}
+    for r in spark.read.parquet(f"{d}/documents.parquet").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    expect = _py_bpe_train(freq, 256)
+    got = bpe_train_list(spark, d, 256)
+    assert len(got) == 256 and len(expect) == 256
+    assert got == expect
+
+
+def test_bpe_train_driver_roundtrips_sublinear(spark, tmp_path):
+    """Training must run a CONSTANT number of Spark jobs regardless of
+    merge count — the r4 design ran 2 jobs + cache churn PER merge."""
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_list
+
+    d = _rich_corpus(spark, tmp_path)
+    sc = spark.sparkContext
+
+    def jobs_for(n_merges, group):
+        sc.setJobGroup(group, f"bpe train {n_merges}")
+        try:
+            out = bpe_train_list(spark, d, n_merges)
+        finally:
+            sc.setJobGroup("", "")
+        assert len(out) == n_merges
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j8 = jobs_for(8, "bpe8")
+    j256 = jobs_for(256, "bpe256")
+    # one logical collect; AQE may stage it as a few jobs, but the
+    # count must be small and CONSTANT in n_merges (r4 ran 2/merge)
+    assert j8 <= 4 and j256 == j8, (j8, j256)
+
+
+def test_bpe_encode_256_merges_matches_python_reference(spark, tmp_path):
+    """Broadcast-merge-table encode path (merges > compile threshold):
+    per-document token counts must equal the pure-Python SEQUENTIAL
+    merge application (rank order), proving the lowest-rank-first loop
+    is equivalent."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        bpe_encode_tokens,
+        bpe_train_list,
+    )
+
+    d = _rich_corpus(spark, tmp_path)
+    merges = [(m[1], m[2]) for m in bpe_train_list(spark, d, 256)]
+
+    def py_encode_len(word):
+        s = list(word) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    expect = {}
+    for r in spark.read.parquet(f"{d}/documents.parquet").collect():
+        words = [w for w in r["text"].split(" ") if w]
+        expect[r["doc_id"]] = (
+            sum(py_encode_len(w) for w in words),
+            sum(len(w) + 1 for w in words),
+        )
+    got = {
+        r["doc_id"]: (r["bpe_tokens"], r["char_tokens"])
+        for r in bpe_encode_tokens(spark, d, n_merges=256).collect()
+    }
+    assert got == expect
+    assert all(b < c for b, c in got.values())  # real compression
+
+
+def test_bpe_encode_large_vocab_plan_is_broadcast_not_regex_chain(
+    spark, tmp_path
+):
+    """Above the compile threshold the plan must be ONE Arrow-
+    vectorized Python stage, not a 256-deep regexp_replace chain."""
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_encode_tokens
+    from ethiopia_legal_etl_spark.plans.explain import formatted_plan
+
+    d = _rich_corpus(spark, tmp_path)
+    plan = formatted_plan(bpe_encode_tokens(spark, d, n_merges=256))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # vectorized, not row-at-a-time
+    assert plan.count("regexp_replace") < 10, "regex chain leaked into plan"
+    # and the small-vocab path keeps the zero-Python codegen plan
+    small = formatted_plan(bpe_encode_tokens(spark, d, n_merges=4))
+    assert "ArrowEvalPython" not in small and "Python" not in small
+
+
+def test_bpe_word_freq_caps(spark, tmp_path):
+    """min_freq drops the hapax tail; max_words keeps the top-K by
+    (count desc, word asc) — the 100 TB bounds on the driver table."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        _collect_word_freqs,
+    )
+
+    d = _rich_corpus(spark, tmp_path)
+    full = dict(_collect_word_freqs(spark, d))
+    capped = dict(_collect_word_freqs(spark, d, min_freq=3))
+    assert capped == {w: f for w, f in full.items() if f >= 3}
+    top = _collect_word_freqs(spark, d, max_words=50)
+    assert len(top) == 50
+    expect_top = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(top, key=lambda kv: (-kv[1], kv[0])) == expect_top
