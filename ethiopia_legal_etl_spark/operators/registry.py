@@ -87,15 +87,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_empty_filter_rejects",
     "html_link_extraction",
     # relational: agg / join / window / set / scalar classes
+    # r5 rotation (VERDICT r4 #5): q3_shipping_priority,
+    # join_full_nation_balance, theta_nation_pairs, q18_large_orders,
+    # text_term_frequency and text_lang_id_heuristic — all stable
+    # since r1 and each §2 row keeps another in-window representative
+    # — rotate OUT for six entries the driver has never checked
+    # (added at the end of the window below). Rotated-out names stay
+    # oracle-gated by tests/test_full_registry_gate.py on every run.
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
-    "q18_large_orders",
     "sql_q6_forecast_revenue",
     "join_left_order_counts",
-    "join_full_nation_balance",
     "semi_customers_with_orders",
-    "theta_nation_pairs",
     "interval_join_error_purchase",
     "asof_error_prev_purchase",
     "topk_orders_by_price",
@@ -127,9 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_band",
     "similarity_cosine_topk",
     "embedding_near_dup_cosine",
-    "text_term_frequency",
     "text_tfidf_top_terms",
-    "text_lang_id_heuristic",
     "multimodal_binary_meta",
     "pipeline_training_corpus",
     # streaming batch twins + UDF surface
@@ -137,6 +138,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window",
     "sql_udf_year_extract",
     "arrow_token_count",
+    # r5 rotation IN: never driver-checked before (replica-pass only
+    # until now) — keeps the externally-audited sample moving
+    "corpus_curation_pipeline",
+    "dedup_paragraph_exact",
+    "text_unicode_nfc",
+    "corpus_vocab_oov",
+    "stream_dedup_twin",
+    "text_quality_model_score",
 )
 
 
@@ -149,6 +158,7 @@ def all_queries() -> dict[str, Query]:
         etl,
         multimodal,
         pipeline,
+        quality,
         relational,
         relational2,
         relational3,

@@ -286,6 +286,7 @@ SHUFFLE_BUDGET = {
     "stream_dedup_twin": 2,
     "multimodal_decode_real": 0,
     "text_unicode_nfc": 0,
+    "text_quality_model_score": 1,
 }
 
 
