@@ -749,6 +749,141 @@ def bpe_encode_tokens(
     )
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str, str]],
+    alphabet: "list[str]",
+) -> dict[str, int]:
+    """Standard BPE vocabulary: base symbols first (the sorted
+    alphabet — fixed INDEPENDENTLY of the merges, exactly like GPT-2
+    fixes all 256 bytes, so rare characters that appear in no merge
+    still get ids), then the end-of-word marker, then one id per
+    merge in rank order — ids are stable under vocab growth (adding
+    merges never renumbers existing tokens)."""
+    vocab = {s: i for i, s in enumerate(sorted(set(alphabet)))}
+    vocab.setdefault(_EOW, len(vocab))
+    for _left, _right, merged in merges:
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    return vocab
+
+
+def _bpe_word_syms(word: str, ranks: dict, cache: dict) -> list:
+    """Symbol sequence of one word under the trained merges (same
+    lowest-rank-first loop as _bpe_word_len, returning the symbols)."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 32
+) -> DataFrame:
+    """The pipeline-ready tokenizer APPLY: per-document token-ID
+    arrays under the trained merges — what a tokenize-and-pack job
+    actually feeds `pack_sequences_offsets`, vs the count-only view of
+    bpe_encode_tokens. Unknown symbols (characters never seen in any
+    merge part) fall back to id -1, the honest placeholder for a
+    byte-fallback tier.
+
+    Plan: broadcast (ranks, vocab) → ONE Arrow-vectorized pandas UDF
+    with a per-batch distinct-word cache; shuffle-free map-only job at
+    any corpus size (token IDs are inexpressible in the regex-chain
+    path, so this operator is broadcast-UDF at every vocab size)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges3 = [
+        (left, right, merged)
+        for _rank, left, right, merged, _c in bpe_train_list(
+            spark, sf_dir, n_merges
+        )
+    ]
+    ranks = {(lf, rt): i for i, (lf, rt, _m) in enumerate(merges3)}
+    # base alphabet from the corpus itself (one tiny distinct-chars
+    # aggregate — the vocab-build step, run once per tokenizer), so
+    # every in-corpus character has an id regardless of merge coverage
+    docs = load_table(spark, sf_dir, "documents")
+    alphabet = [
+        r["ch"]
+        for r in docs.select(
+            F.explode(
+                F.split(F.regexp_replace("text", " ", ""), "")
+            ).alias("ch")
+        )
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()  # bounded: distinct characters, not tokens
+    ]
+    vocab = bpe_vocab(merges3, alphabet)
+    bc = spark.sparkContext.broadcast((ranks, vocab))
+
+    @pandas_udf("array<int>")
+    def encode_ids(texts: pd.Series) -> pd.Series:
+        rk, vb = bc.value
+        cache: dict = {}
+
+        def doc_ids(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                out.extend(
+                    vb.get(s, -1) for s in _bpe_word_syms(w, rk, cache)
+                )
+            return out
+
+        return texts.map(doc_ids)
+
+    # encode ONCE (same single-evaluation discipline as
+    # text_unicode_nfc); n_tokens derives from the materialized column
+    return (
+        docs.withColumn("token_ids", encode_ids("text"))
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
+register(
+    "bpe_encode_ids",
+    oracle=None,  # trained-merge-dependent; differential ground truth:
+    # pure-Python vocab + sequential-merge encode on the same merges,
+    # per-document id-sequence equality (tests/test_corpusops.py)
+    doc="BPE tokenizer APPLY producing token-ID arrays (GPT-2 vocab "
+    "construction: base chars, then merges in rank order — ids stable "
+    "under vocab growth), the form pack_sequences_offsets consumes. "
+    "Broadcast (ranks, vocab) + one Arrow-vectorized pandas UDF with "
+    "a distinct-word cache; shuffle-free map-only plan. Unknown "
+    "symbols -> -1 (byte-fallback tier placeholder).",
+)(bpe_encode_ids)
+
+
 register(
     "bpe_encode_tokens",
     oracle=None,  # depends on the trained merge list (iterative);

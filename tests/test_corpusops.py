@@ -641,3 +641,69 @@ def test_bpe_word_freq_caps(spark, tmp_path):
     assert len(top) == 50
     expect_top = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert sorted(top, key=lambda kv: (-kv[1], kv[0])) == expect_top
+
+
+def test_bpe_encode_ids_differential_and_roundtrip(spark, tmp_path):
+    """bpe_encode_ids ground truth: (a) id sequences equal a pure-
+    Python sequential-merge encode mapped through an independently
+    reconstructed GPT-2-style vocab; (b) decoding the ids through the
+    inverted vocab reconstructs every document exactly (lossless)."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        bpe_encode_ids,
+        bpe_train_list,
+    )
+
+    d = _rich_corpus(spark, tmp_path, n_words=120, n_docs=60)
+    merges = bpe_train_list(spark, d, 32)
+    pairs = [(m[1], m[2]) for m in merges]
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{d}/documents.parquet").collect()
+    }
+    # independent vocab reconstruction: corpus alphabet first (sorted
+    # distinct chars), then end-of-word marker, then merges in order
+    base = sorted({ch for t in texts.values() for ch in t if ch != " "})
+    vocab = {s: i for i, s in enumerate(base)}
+    vocab.setdefault("</w>", len(vocab))
+    for left, right in pairs:
+        m = left + right
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    inv = {i: s for s, i in vocab.items()}
+
+    def py_encode_syms(word):
+        s = list(word) + ["</w>"]
+        for left, right in pairs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    expect = {
+        did: [
+            vocab[s]
+            for w in t.split(" ")
+            if w
+            for s in py_encode_syms(w)
+        ]
+        for did, t in texts.items()
+    }
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(spark, d, n_merges=32).collect()
+    }
+    assert set(got) == set(expect)
+    for did, (ids, n) in got.items():
+        assert ids == expect[did], did
+        assert n == len(ids)
+        assert -1 not in ids  # every char was seen in some merge part
+        # lossless decode: concat symbols, word marker -> space
+        decoded = "".join(inv[i] for i in ids).replace("</w>", " ").rstrip()
+        assert decoded == texts[did], did

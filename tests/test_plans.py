@@ -287,6 +287,7 @@ SHUFFLE_BUDGET = {
     "multimodal_decode_real": 0,
     "text_unicode_nfc": 0,
     "text_quality_model_score": 1,
+    "bpe_encode_ids": 0,
 }
 
 

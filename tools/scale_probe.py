@@ -628,11 +628,11 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
                 "sec": sec,
             }
         )
-    # BPE training: corpus grows, the word-frequency table it trains on
-    # is Zipf-bounded — iteration cost should stay ~flat; only the one
-    # corpus shuffle that builds the table scales. Plain replication
-    # (same vocabulary at every factor = the honest regime: natural-
-    # language vocab grows ~log n, not ~n).
+    # BPE training, corpus axis: corpus grows, the word-frequency table
+    # it trains on is Zipf-bounded — the driver merge loop's cost stays
+    # ~flat; only the one corpus shuffle that builds the table scales.
+    # Plain replication (same vocabulary at every factor = the honest
+    # regime: natural-language vocab grows ~log n, not ~n).
     from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_merges
 
     for factor in (1, 10, 30):
@@ -662,6 +662,51 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
                 "factor": factor,
                 "docs": base_n * factor,
                 "merges": n_m,
+                "sec": sec,
+            }
+        )
+    # BPE training, VOCAB axis (r5): fixed corpus, growing merge count.
+    # The r4 design ran 2 Spark jobs per merge (linear driver traffic);
+    # the r5 trainer collects once and iterates driver-side, so wall
+    # time must grow far sublinearly in merges (the Spark part is
+    # constant; only the in-memory merge loop grows). The sf corpus has
+    # only 31 distinct tokens (~138 possible merges), so this axis gets
+    # a synthetic rich-vocabulary corpus: 4000 distinct seeded-random
+    # words — enough structure for 1024 real merges.
+    import random as _rnd
+
+    from ethiopia_legal_etl_spark.operators.corpusops import bpe_train_list
+
+    rng = _rnd.Random(0x5EED)
+    vocab = sorted(
+        {
+            "".join(
+                rng.choice("abcdefghijklmnopqrst")
+                for _ in range(rng.randint(4, 14))
+            )
+            for _ in range(4000)
+        }
+    )
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(40)))
+        for i in range(2000)
+    ]
+    rich = f"{scratch}/bpe_rich"
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        8
+    ).write.mode("overwrite").parquet(f"{rich}/documents.parquet")
+    for n_merges in (8, 64, 256, 1024):
+        import time as _t
+
+        t0 = _t.monotonic()
+        got = bpe_train_list(spark, rich, n_merges)
+        sec = round(_t.monotonic() - t0, 3)
+        out.append(
+            {
+                "exp": "bpe_train_vocab_axis",
+                "factor": 1,
+                "n_merges": n_merges,
+                "merges_learned": len(got),
                 "sec": sec,
             }
         )
