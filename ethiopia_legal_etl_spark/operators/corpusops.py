@@ -961,3 +961,81 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_text",
         (F.col("norm_text") != F.col("raw")).alias("changed"),
     )
+
+
+def pack_token_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 32,
+    seq_len: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Materialize fixed-length training sequences from the tokenized
+    corpus — the concat-and-chunk packing step that turns per-document
+    token-ID arrays into the (pack_id, token_ids[seq_len]) rows a
+    pretraining data loader reads. Completes the tokenize→pack chain:
+    bpe_train → bpe_encode_ids → THIS (pack_sequences_offsets computes
+    the same layout's offsets without materializing sequences).
+
+    Distributed shape (the part that matters at 100 TB): documents
+    never concatenate into one giant per-shard array. A per-shard
+    running-sum window assigns each document its global start offset;
+    posexplode gives every token its global position; tokens regroup
+    by (shard, floor(gpos/seq_len)) and reassemble via slot-sorted
+    collect_list, so the largest in-memory object anywhere is ONE
+    seq_len-sized pack. 2 data shuffles (shard window; pack regroup)
+    plus the tokenizer's own broadcast-UDF map stage.
+
+    Deterministic: shard = doc_id % n_shards, order by doc_id — two
+    runs produce byte-identical packs (the property a resumable
+    training job needs). The final pack per shard may be short
+    (n_filled < seq_len); a loader drops or pads it — kept here so
+    the accounting is lossless."""
+    ids = bpe_encode_ids(spark, sf_dir, n_merges)
+    d = ids.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # materialize the per-DOCUMENT offset BEFORE exploding: a window
+    # expression in the same select as a generator would be evaluated
+    # over the exploded rows (one n_tokens per token, not per doc)
+    offs = d.select("shard", "token_ids", start.alias("start"))
+    tok = offs.select(
+        "shard",
+        "start",
+        F.posexplode("token_ids").alias("pos", "tid"),
+    )
+    gpos = F.col("start") + F.col("pos")
+    packed = tok.select(
+        "shard",
+        F.floor(gpos / seq_len).cast("long").alias("pack_id"),
+        (gpos % seq_len).alias("slot"),
+        "tid",
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("slot", "tid"))),
+            lambda s: s["tid"].cast("int"),
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("int").alias("n_filled"),
+    )
+
+
+register(
+    "pack_token_sequences",
+    oracle=None,  # trained-merge-dependent ids; differential ground
+    # truth: pure-Python packing of the (already differential-tested)
+    # bpe_encode_ids output, pack-for-pack equality + lossless-
+    # concatenation property (tests/test_corpusops.py)
+    doc="concat-and-chunk packing of BPE token-ID arrays into fixed "
+    "seq_len training sequences: per-shard running-sum offsets -> "
+    "global token positions -> regroup by (shard, pack) with "
+    "slot-sorted reassembly, so nothing larger than one pack ever "
+    "materializes. 2 shuffles; deterministic (doc_id order) so two "
+    "runs produce byte-identical packs.",
+)(pack_token_sequences)

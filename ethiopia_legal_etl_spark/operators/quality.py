@@ -113,6 +113,14 @@ def score_documents(docs: DataFrame) -> DataFrame:
 _WLIST_SQL = "[" + ", ".join(WEIGHTS) + "]::DECIMAL(10,6)[]"
 
 
+def score_expr_per_token():
+    """(weight-of-token) column expression for an exploded `tok`
+    column — shared by the standalone scorer and the composed
+    curation pipeline."""
+    warr = F.array(*[F.lit(w).cast("decimal(10,6)") for w in WEIGHTS])
+    return F.element_at(warr, F.expr(_BUCKET_SQL) + 1)
+
+
 @register(
     "text_quality_model_score",
     oracle=f"""
@@ -155,3 +163,160 @@ _WLIST_SQL = "[" + ", ".join(WEIGHTS) + "]::DECIMAL(10,6)[]"
 )
 def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Composed curation with the MODEL gate — the full RefinedWeb-shaped
+# chain: per-host cap -> paragraph-level exact dedup -> trained quality
+# model -> per-language accounting, in ONE plan. Same skeleton as
+# corpusops.corpus_curation_pipeline but the heuristic entropy gate is
+# replaced by the trained classifier, which is how production corpus
+# pipelines stage it (heuristics first, model last).
+# ---------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        _BLK,
+        _HOST_CAP,
+        _KNUTH,
+    )
+
+    wlist = "[" + ", ".join(WEIGHTS) + "]::DECIMAL(10,6)[]"
+    return f"""
+    WITH capped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id % 1000000007) * {_KNUTH} % 1000000,
+                          doc_id) AS host_rank
+        FROM documents)
+      WHERE host_rank <= {_HOST_CAP}
+    ),
+    d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM capped
+    ),
+    blocks AS (
+      SELECT doc_id, lang, i AS blk_idx,
+             array_to_string(toks[i*{_BLK}+1 : (i+1)*{_BLK}], ' ') AS blk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, CAST(CEIL(LEN(toks) / {_BLK}.0) AS INT)))
+      ) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, blk_idx, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY doc_id, blk_idx) AS rn
+      FROM blocks
+    ),
+    cleaned AS (
+      SELECT doc_id, lang,
+             COALESCE(string_agg(blk, ' ' ORDER BY blk_idx)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+             COUNT(*) FILTER (WHERE rn = 1) AS kept_blocks
+      FROM ranked GROUP BY doc_id, lang
+    ),
+    tok AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(clean_text, ' ')) AS tok
+        FROM cleaned WHERE kept_blocks > 0)
+      WHERE tok <> ''
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+               % {_D} AS bkt
+      FROM tok
+    ),
+    per AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             SUM(({wlist})[bkt + 1]) AS sum_w
+      FROM b GROUP BY doc_id, lang
+    ),
+    gated AS (
+      SELECT doc_id, lang, n_tokens,
+             ROUND(1.0 / (1.0 + EXP(-(CAST(sum_w AS DOUBLE) / n_tokens
+                                      + ({BIAS})))), 4) AS s4
+      FROM per
+      WHERE (sum_w + CAST({BIAS} AS DECIMAL(10,6)) * n_tokens) > 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS n_tokens_kept,
+           ROUND(CAST(SUM(CAST(s4 AS DECIMAL(14,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_score
+    FROM gated GROUP BY lang
+    """
+
+
+@register(
+    "corpus_quality_curation",
+    oracle=_curation_oracle(),
+    doc="the full RefinedWeb-shaped curation chain with the TRAINED "
+    "model as the final gate: per-host cap (unbiased hash order) -> "
+    "paragraph-level exact dedup with reconstruction -> quality-model "
+    "gate (exact-decimal sum_w + bias*n > 0, flip-proof between "
+    "engines) -> per-language accounting. ONE plan, six necessary "
+    "shuffles (host window; block window; doc regroup; (doc,lang,"
+    "token) agg collapses the bucket weights map-side; doc agg; lang "
+    "agg) — the corpus streams through once; the 64-weight model is a "
+    "literal array, zero Python, zero joins. Float policy: the gate "
+    "compares exact decimals; reported avg_score sums 4dp-rounded "
+    "per-doc sigmoids as exact DECIMALs (order-independent) then "
+    "divides by the count.",
+)
+def corpus_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        _HOST_CAP,
+        _KNUTH,
+        paragraph_dedup,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % 1000000
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id"))
+    capped = (
+        docs.select(
+            "doc_id", "lang", "text", F.row_number().over(w).alias("host_rank")
+        )
+        .where(F.col("host_rank") <= _HOST_CAP)
+        .drop("host_rank")
+    )
+    cleaned = paragraph_dedup(capped, carry=("lang",))
+    kept = cleaned.where(F.col("kept_blocks") > 0)
+    tok = kept.select(
+        "doc_id", "lang",
+        F.explode(F.split("clean_text", " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per = tok.select(
+        "doc_id", "lang", score_expr_per_token().alias("wgt")
+    ).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("wgt").alias("sum_w"),
+    )
+    bias_dec = F.lit(BIAS).cast("decimal(10,6)")
+    z = (
+        F.col("sum_w").cast("double") / F.col("n_tokens")
+        + F.lit(float(BIAS))
+    )
+    gated = per.where(
+        (F.col("sum_w") + bias_dec * F.col("n_tokens"))
+        > F.lit(0).cast("decimal(10,6)")
+    ).select(
+        "lang",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("s4"),
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+        F.round(
+            F.sum(F.col("s4").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+    )

@@ -707,3 +707,64 @@ def test_bpe_encode_ids_differential_and_roundtrip(spark, tmp_path):
         # lossless decode: concat symbols, word marker -> space
         decoded = "".join(inv[i] for i in ids).replace("</w>", " ").rstrip()
         assert decoded == texts[did], did
+
+
+def test_pack_token_sequences_differential_and_properties(spark, tmp_path):
+    """Packing ground truth: pack-for-pack equality with a pure-Python
+    concat-and-chunk over the (already differential-tested)
+    bpe_encode_ids output; only the final pack per shard may be short;
+    two runs are byte-identical."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        bpe_encode_ids,
+        pack_token_sequences,
+    )
+
+    d = _rich_corpus(spark, tmp_path, n_words=80, n_docs=40)
+    ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(spark, d, 32).collect()
+    }
+    seq_len, n_shards = 64, 16
+    expect = {}
+    for shard in range(n_shards):
+        stream: list = []
+        for did in sorted(ids):
+            if did % n_shards == shard:
+                stream.extend(ids[did])
+        for p in range(0, len(stream), seq_len):
+            expect[(shard, p // seq_len)] = stream[p : p + seq_len]
+    got = {
+        (r["shard"], r["pack_id"]): (list(r["token_ids"]), r["n_filled"])
+        for r in pack_token_sequences(
+            spark, d, n_merges=32, seq_len=seq_len, n_shards=n_shards
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (tids, n) in got.items():
+        assert tids == expect[k], k
+        assert n == len(tids)
+    # only the final pack per shard may be short
+    last = {}
+    for shard, pid in got:
+        last[shard] = max(last.get(shard, -1), pid)
+    for (shard, pid), (tids, n) in got.items():
+        if pid != last[shard]:
+            assert n == seq_len, (shard, pid)
+    # deterministic across runs
+    again = {
+        (r["shard"], r["pack_id"]): list(r["token_ids"])
+        for r in pack_token_sequences(
+            spark, d, n_merges=32, seq_len=seq_len, n_shards=n_shards
+        ).collect()
+    }
+    assert again == {k: v for k, (v, _n) in got.items()}
+
+
+def test_pack_token_sequences_shuffle_budget(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        pack_token_sequences,
+    )
+
+    plan = formatted_plan(pack_token_sequences(spark, sf_dir))
+    # shard window + pack regroup; the tokenizer map stage adds none
+    assert count_data_shuffles(plan) <= 2

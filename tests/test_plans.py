@@ -288,6 +288,8 @@ SHUFFLE_BUDGET = {
     "text_unicode_nfc": 0,
     "text_quality_model_score": 1,
     "bpe_encode_ids": 0,
+    "corpus_quality_curation": 6,
+    "pack_token_sequences": 2,
 }
 
 
