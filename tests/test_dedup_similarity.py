@@ -415,3 +415,29 @@ def test_random_projection_matrix_is_not_degenerate():
         for k2 in range(k1 + 1, 17)
     )
     assert cross <= 32  # near-orthogonal columns (random-walk scale)
+
+
+def test_lsh_tuned_recall_and_candidate_fraction(spark, sf_dir):
+    """similarity_lsh_tuned closes the SCALING.md finding (untuned
+    r=3.0 retained ~93% of all pairs): the calibrated radius must keep
+    the candidate set a small fraction of all pairs WHILE preserving
+    top-k recall. Gates at measured-minus-margin: recall 0.96 -> 0.90,
+    fraction 0.060 -> 0.15 (sf0.001)."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        similarity_cosine_topk,
+        similarity_lsh_tuned,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity_cosine_topk(spark, sf_dir).collect()
+    }
+    cand = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity_lsh_tuned(spark, sf_dir).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    frac = len(cand) / (n * 5)
+    assert recall >= 0.90, f"tuned-LSH recall regressed: {recall:.3f}"
+    assert frac <= 0.15, f"tuned-LSH candidate fraction blew up: {frac:.3f}"

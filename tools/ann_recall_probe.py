@@ -49,6 +49,7 @@ def measure(spark, d, k):
         similarity_ivf_by_label,
         similarity_ivf_kmeans,
         similarity_lsh_buckets,
+        similarity_lsh_tuned,
     )
 
     n_vecs = spark.read.parquet(f"{d}/embeddings.parquet").count()
@@ -66,6 +67,7 @@ def measure(spark, d, k):
     ]
     for name, fn, is_topk in (
         ("lsh_buckets", similarity_lsh_buckets, False),
+        ("lsh_tuned", similarity_lsh_tuned, False),
         ("ivf_by_label", similarity_ivf_by_label, True),
         ("ivf_kmeans", similarity_ivf_kmeans, True),
     ):
