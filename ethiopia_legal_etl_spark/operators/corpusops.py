@@ -797,35 +797,12 @@ def _bpe_word_syms(word: str, ranks: dict, cache: dict) -> list:
     return syms
 
 
-def bpe_encode_ids(
-    spark: SparkSession, sf_dir: str, n_merges: int = 32
-) -> DataFrame:
-    """The pipeline-ready tokenizer APPLY: per-document token-ID
-    arrays under the trained merges — what a tokenize-and-pack job
-    actually feeds `pack_sequences_offsets`, vs the count-only view of
-    bpe_encode_tokens. Unknown symbols (characters never seen in any
-    merge part) fall back to id -1, the honest placeholder for a
-    byte-fallback tier.
-
-    Plan: broadcast (ranks, vocab) → ONE Arrow-vectorized pandas UDF
-    with a per-batch distinct-word cache; shuffle-free map-only job at
-    any corpus size (token IDs are inexpressible in the regex-chain
-    path, so this operator is broadcast-UDF at every vocab size)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    merges3 = [
-        (left, right, merged)
-        for _rank, left, right, merged, _c in bpe_train_list(
-            spark, sf_dir, n_merges
-        )
-    ]
-    ranks = {(lf, rt): i for i, (lf, rt, _m) in enumerate(merges3)}
-    # base alphabet from the corpus itself (one tiny distinct-chars
-    # aggregate — the vocab-build step, run once per tokenizer), so
-    # every in-corpus character has an id regardless of merge coverage
-    docs = load_table(spark, sf_dir, "documents")
-    alphabet = [
+def _corpus_alphabet(docs: DataFrame) -> list:
+    """Base alphabet from the corpus itself (one tiny distinct-chars
+    aggregate — the vocab-build step, run once per tokenizer), so
+    every in-corpus character has an id regardless of merge
+    coverage."""
+    return [
         r["ch"]
         for r in docs.select(
             F.explode(
@@ -836,7 +813,18 @@ def bpe_encode_ids(
         .distinct()
         .collect()  # bounded: distinct characters, not tokens
     ]
-    vocab = bpe_vocab(merges3, alphabet)
+
+
+def _encode_ids_df(
+    spark: SparkSession, docs: DataFrame, ranks: dict, vocab: dict
+) -> DataFrame:
+    """Encode (doc_id, text) to token-ID arrays with a given trained
+    tokenizer: broadcast (ranks, vocab) → ONE Arrow-vectorized pandas
+    UDF with a per-batch distinct-word cache; shuffle-free map-only
+    job at any corpus size."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     bc = spark.sparkContext.broadcast((ranks, vocab))
 
     @pandas_udf("array<int>")
@@ -867,6 +855,84 @@ def bpe_encode_ids(
             "token_ids",
             F.size("token_ids").alias("n_tokens"),
         )
+    )
+
+
+def bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 32
+) -> DataFrame:
+    """The pipeline-ready tokenizer APPLY: per-document token-ID
+    arrays under the trained merges — what a tokenize-and-pack job
+    actually feeds `pack_sequences_offsets`, vs the count-only view of
+    bpe_encode_tokens. Unknown symbols (characters never seen at
+    train time) fall back to id -1, the honest placeholder for a
+    byte-fallback tier. Trains in-line; a production pipeline trains
+    once, persists with `save_bpe_tokenizer`, and encodes any corpus
+    with `bpe_encode_ids_pretrained`."""
+    merges3 = [
+        (left, right, merged)
+        for _rank, left, right, merged, _c in bpe_train_list(
+            spark, sf_dir, n_merges
+        )
+    ]
+    ranks = {(lf, rt): i for i, (lf, rt, _m) in enumerate(merges3)}
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_vocab(merges3, _corpus_alphabet(docs))
+    return _encode_ids_df(spark, docs, ranks, vocab)
+
+
+def save_bpe_tokenizer(
+    spark: SparkSession, sf_dir: str, path: str, n_merges: int = 32
+) -> dict:
+    """Train on `sf_dir` and persist the tokenizer ARTIFACT — the
+    thing a production pipeline ships between the train job and every
+    encode job: `<path>/merges.parquet` (rank, left, right, merged,
+    pair_count) + `<path>/alphabet.parquet` (ch). Parquet via the
+    session's filesystem, so it lands on HDFS/S3A like any other
+    table. Returns {n_merges, vocab_size}."""
+    merges = bpe_train_list(spark, sf_dir, n_merges)
+    spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    alphabet = _corpus_alphabet(docs)
+    spark.createDataFrame(
+        [(c,) for c in sorted(alphabet)], "ch string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/alphabet.parquet"
+    )
+    vocab = bpe_vocab([(m[1], m[2], m[3]) for m in merges], alphabet)
+    return {"n_merges": len(merges), "vocab_size": len(vocab)}
+
+
+def load_bpe_tokenizer(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted tokenizer artifact -> (ranks, vocab), ready
+    for `_encode_ids_df`. Bounded collects: merges + alphabet are
+    artifact-sized, never corpus-sized."""
+    mrows = (
+        spark.read.parquet(f"{path}/merges.parquet")
+        .orderBy("rank")
+        .collect()
+    )
+    merges3 = [(r["left"], r["right"], r["merged"]) for r in mrows]
+    alphabet = [
+        r["ch"]
+        for r in spark.read.parquet(f"{path}/alphabet.parquet").collect()
+    ]
+    ranks = {(lf, rt): i for i, (lf, rt, _m) in enumerate(merges3)}
+    return ranks, bpe_vocab(merges3, alphabet)
+
+
+def bpe_encode_ids_pretrained(
+    spark: SparkSession, sf_dir: str, tokenizer_path: str
+) -> DataFrame:
+    """Encode a corpus with a PERSISTED tokenizer (no retraining) —
+    the steady-state shape of a production tokenize job: load the
+    artifact once on the driver, broadcast, map the corpus."""
+    ranks, vocab = load_bpe_tokenizer(spark, tokenizer_path)
+    return _encode_ids_df(
+        spark, load_table(spark, sf_dir, "documents"), ranks, vocab
     )
 
 

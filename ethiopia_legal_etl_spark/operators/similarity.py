@@ -477,6 +477,10 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAL_SAMPLE = 2000  # tuned-LSH calibration sample target (vectors);
+# ~2M sample pairs max — one exact percentile job regardless of n
+
+
 @register(
     "similarity_lsh_tuned",
     oracle=None,  # LSH buckets are engine-specific -> rows-only;
@@ -507,9 +511,15 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "q_id bigint, vec_id bigint, l2_dist double"
         )
-    # deterministic bounded sample (every 13th id); at 100 TB the
-    # modulus scales with corpus size to keep the sample ~10k rows
-    s = d.where(F.col("vec_id") % 13 == 0)
+    # deterministic sample, bounded IN CODE: the modulus scales with
+    # the corpus so the sample stays ~`_CAL_SAMPLE` vectors no matter
+    # how big n gets — a fixed modulus would make the calibration's
+    # pair count grow n^2 (1M vectors at mod 13 = 77k sample vectors =
+    # 3B calibration pairs, worse than the query being calibrated)
+    k = 10
+    n = d.count()  # one bounded job (calibration, not per-row work)
+    mod = max(13, n // _CAL_SAMPLE)
+    s = d.where(F.col("vec_id") % mod == 0)
     a, b = s.alias("a"), s.alias("b")
     dist = F.sqrt(
         F.aggregate(
@@ -527,8 +537,6 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus is a LARGER fraction of all pairs, so the radius quantile
     # must cover it (fixed 1% would cap recall at ~n*1%/k). Clamped to
     # [1%, 10%]; at 100 TB scale n >> k and the 1% floor binds.
-    k = 10
-    n = d.count()  # one bounded job (calibration, not per-row work)
     target = min(0.10, max(0.01, 3.0 * k / max(n, 1)))
     row = pairs.select(
         F.expr(f"percentile(dist, {target})").alias("r")
@@ -553,3 +561,39 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l2_dist"), 4).alias("l2_dist"),
         )
     )
+
+
+def write_ivf_partitioned(
+    spark: SparkSession, sf_dir: str, path: str, k: int = 8
+) -> list[list[float]]:
+    """Materialize the IVF layout the kmeans/by-label docstrings
+    promise for 100 TB: the corpus written `partitionBy("cell")` so a
+    query's nprobe cells become PartitionFilters at the scan — the
+    other k-nprobe cells' files are never opened (proven by
+    tests/test_dedup_similarity.py::test_ivf_partitioned_layout_prunes
+    _at_scan). Returns the centroid list (what a query-time prober
+    broadcasts). Seeded KMeans -> deterministic layout."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", "label", "embedding",
+        array_to_vector(as_double(F.col("embedding"))).alias("features"),
+    )
+    km = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "label", "embedding", "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def read_probed_cells(
+    spark: SparkSession, path: str, cells: list[int]
+) -> DataFrame:
+    """Scan only the probed cells of an IVF-partitioned corpus; the
+    IN-predicate lands in the scan's PartitionFilters (static pruning
+    — directory listing skips every other cell)."""
+    return spark.read.parquet(path).where(F.col("cell").isin(cells))

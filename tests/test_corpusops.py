@@ -768,3 +768,29 @@ def test_pack_token_sequences_shuffle_budget(spark, sf_dir):
     plan = formatted_plan(pack_token_sequences(spark, sf_dir))
     # shard window + pack regroup; the tokenizer map stage adds none
     assert count_data_shuffles(plan) <= 2
+
+
+def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """save_bpe_tokenizer -> load -> encode must equal the in-line
+    train-and-encode path exactly (the artifact carries everything:
+    merges AND alphabet), and the artifact reports honest sizes."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        bpe_encode_ids,
+        bpe_encode_ids_pretrained,
+        save_bpe_tokenizer,
+    )
+
+    d = _rich_corpus(spark, tmp_path, n_words=100, n_docs=50)
+    tk = str(tmp_path / "tokenizer")
+    info = save_bpe_tokenizer(spark, d, tk, n_merges=48)
+    assert info["n_merges"] == 48
+    assert info["vocab_size"] > 48  # alphabet + EOW + merges
+    fresh = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(spark, d, n_merges=48).collect()
+    }
+    loaded = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids_pretrained(spark, d, tk).collect()
+    }
+    assert loaded == fresh

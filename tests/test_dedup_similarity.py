@@ -441,3 +441,31 @@ def test_lsh_tuned_recall_and_candidate_fraction(spark, sf_dir):
     frac = len(cand) / (n * 5)
     assert recall >= 0.90, f"tuned-LSH recall regressed: {recall:.3f}"
     assert frac <= 0.15, f"tuned-LSH candidate fraction blew up: {frac:.3f}"
+
+
+def test_ivf_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The IVF operators' 100 TB claim, materialized: the corpus
+    written partitionBy(cell) + a probed-cells read must show the cell
+    predicate in the scan's PartitionFilters (files of unprobed cells
+    never open) and return exactly the probed cells' vectors."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        read_probed_cells,
+        write_ivf_partitioned,
+    )
+    from ethiopia_legal_etl_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_partitioned(spark, sf_dir, path, k=8)
+    assert len(cents) == 8
+    probed = read_probed_cells(spark, path, [1, 3])
+    plan = formatted_plan(probed)
+    pf = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and any("cell" in ln for ln in pf), plan
+    rows = probed.select("vec_id", "cell").collect()
+    assert rows and {r["cell"] for r in rows} <= {1, 3}
+    # and the full layout is lossless: union of all cells == corpus
+    n_all = spark.read.parquet(path).count()
+    n_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n_all == n_src
