@@ -320,3 +320,119 @@ def corpus_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_score"),
     )
+
+
+# ---------------------------------------------------------------------
+# STATELESS row-expression scorer + streaming surface. The explode/
+# groupBy scorer above shuffles once; this variant computes the same
+# exact-decimal sum per row with array expressions (transform +
+# aggregate over the token array), so scoring is a ZERO-shuffle
+# projection — which is what lets it run in Structured Streaming
+# append mode with no state at all (and lets batch pipelines score
+# inside the scan's span). Decimal math keeps it bit-equal to the
+# aggregation path: both sum the same exact DECIMAL(10,6) weights.
+# ---------------------------------------------------------------------
+
+
+def _row_weight(w):
+    """Weight of one token as a lambda-safe column expression (the
+    SQL-string bucket above can't reference a lambda variable):
+    array_position over the literal hex alphabet replaces instr."""
+    hexarr = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    warr = F.array(*[F.lit(x).cast("decimal(10,6)") for x in WEIGHTS])
+    h = F.md5(w)
+    v1 = F.array_position(hexarr, F.substring(h, 1, 1)) - 1
+    v2 = F.array_position(hexarr, F.substring(h, 2, 1)) - 1
+    bkt = F.pmod(v1 * 16 + v2, F.lit(_D))
+    return F.element_at(warr, (bkt + 1).cast("int"))
+
+
+def row_score_columns(textcol):
+    """(n_tokens, score, is_quality) as pure per-row expressions."""
+    words = F.filter(F.split(textcol, " "), lambda w: w != "")
+    sum_w = F.aggregate(
+        F.transform(words, _row_weight),
+        F.lit("0").cast("decimal(20,6)"),
+        lambda a, x: (a + x).cast("decimal(20,6)"),
+    )
+    n = F.size(words)
+    bias_dec = F.lit(BIAS).cast("decimal(10,6)")
+    z = sum_w.cast("double") / n + F.lit(float(BIAS))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    is_q = (sum_w + bias_dec * n) > F.lit(0).cast("decimal(10,6)")
+    return n, score, is_q
+
+
+def score_documents_stateless(docs: DataFrame) -> DataFrame:
+    """Same contract as score_documents (docs with no tokens dropped)
+    but ZERO shuffles — a pure projection. Proven equal to the
+    aggregation path in tests/test_quality.py."""
+    n, score, is_q = row_score_columns(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            score.alias("score"),
+            is_q.alias("is_quality"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def streaming_quality_scores(docs_stream: DataFrame) -> DataFrame:
+    """True Structured Streaming scorer: stateless append-mode
+    projection (no watermark, no state store) — every micro-batch is
+    scored exactly like the batch path because it IS the batch
+    expression. The steady-state shape of a quality gate in a
+    streaming ingest pipeline."""
+    return score_documents_stateless(docs_stream)
+
+
+@register(
+    "stream_quality_twin",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+               % {_D} AS bkt
+      FROM tok
+    ),
+    per AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             SUM(({_WLIST_SQL})[bkt + 1]) AS sum_w
+      FROM b GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE sum_w + CAST({BIAS} AS DECIMAL(10,6)) * n_tokens > 0
+           ) AS n_quality
+    FROM per GROUP BY lang
+    """,
+    doc="streaming quality gate, batch twin: per-language document "
+    "and accepted-document counts under the trained model, computed "
+    "through the STATELESS row-expression scorer (zero-shuffle "
+    "projection + one lang agg). The true-stream variant "
+    "(streaming_quality_scores) is the identical expression running "
+    "append-mode with NO state store — per-doc equality with the "
+    "batch scorer is asserted in tests/test_streaming.py. The "
+    "acceptance gate is exact-decimal, so batch, stream, and oracle "
+    "cannot disagree on any document.",
+)
+def stream_quality_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n, _score, is_q = row_score_columns(F.col("text"))
+    per = docs.select(
+        "lang", n.alias("n_tokens"), is_q.alias("is_quality")
+    ).where(F.col("n_tokens") > 0)
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_quality"), 1)).alias("n_quality"),
+    )

@@ -290,6 +290,7 @@ SHUFFLE_BUDGET = {
     "bpe_encode_ids": 0,
     "corpus_quality_curation": 6,
     "pack_token_sequences": 2,
+    "stream_quality_twin": 1,
 }
 
 

@@ -104,3 +104,48 @@ def test_empty_and_whitespace_docs_dropped(spark):
     out = score_documents(df).collect()
     assert [r["doc_id"] for r in out] == [3]
     assert out[0]["n_tokens"] == 3
+
+
+def test_stateless_scorer_equals_aggregation_scorer(spark, sf_dir):
+    """The zero-shuffle row-expression scorer must produce EXACTLY the
+    aggregation path's output (same exact-decimal sums → same score,
+    same gate) on curated docs AND on held-out garbage."""
+    import random
+
+    from ethiopia_legal_etl_spark.operators.quality import (
+        score_documents_stateless,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    garbage = _trainer.garbage_docs(60, random.Random(0xFEED))
+    gdf = spark.createDataFrame(
+        [(50_000 + i, t) for i, t in enumerate(garbage)],
+        "doc_id long, text string",
+    )
+    for df in (docs, gdf):
+        agg = {
+            r["doc_id"]: (r["n_tokens"], r["score"], bool(r["is_quality"]))
+            for r in score_documents(df).collect()
+        }
+        row = {
+            r["doc_id"]: (r["n_tokens"], r["score"], bool(r["is_quality"]))
+            for r in score_documents_stateless(df).collect()
+        }
+        assert row == agg
+
+
+def test_stateless_scorer_plan_is_shuffle_free(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.quality import (
+        score_documents_stateless,
+    )
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_data_shuffles,
+        formatted_plan,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(score_documents_stateless(docs))
+    assert count_data_shuffles(plan) == 0
+    assert "Python" not in plan

@@ -486,3 +486,32 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir, events_stream_dir
     assert len(missing) <= 3
     if missing:
         assert min(missing) >= sorted(want)[-4]
+
+
+def test_streaming_quality_scores_match_batch(spark, sf_dir, tmp_path):
+    """Stateless streaming quality gate: scoring a document stream in
+    append mode must produce PER-DOCUMENT equality with the batch
+    scorer (no watermark slack to allow — there is no state)."""
+    from ethiopia_legal_etl_spark.operators.quality import (
+        score_documents,
+        streaming_quality_scores,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).coalesce(2).write.mode("overwrite").parquet(docs_dir)
+    stream = read_stream(spark, docs_dir)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], bool(r["is_quality"]))
+        for r in run_to_memory(
+            spark, streaming_quality_scores(stream), "t_quality", "append"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["score"], bool(r["is_quality"]))
+        for r in score_documents(
+            spark.read.parquet(docs_dir)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
