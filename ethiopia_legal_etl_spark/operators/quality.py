@@ -113,14 +113,6 @@ def score_documents(docs: DataFrame) -> DataFrame:
 _WLIST_SQL = "[" + ", ".join(WEIGHTS) + "]::DECIMAL(10,6)[]"
 
 
-def score_expr_per_token():
-    """(weight-of-token) column expression for an exploded `tok`
-    column — shared by the standalone scorer and the composed
-    curation pipeline."""
-    warr = F.array(*[F.lit(w).cast("decimal(10,6)") for w in WEIGHTS])
-    return F.element_at(warr, F.expr(_BUCKET_SQL) + 1)
-
-
 @register(
     "text_quality_model_score",
     oracle=f"""
@@ -154,15 +146,23 @@ def score_expr_per_token():
     "bag-of-words, scored entirely as a column expression — literal "
     "64-weight DECIMAL array indexed per token by an md5-derived "
     "bucket (the engine-portable instr-on-hex construction from "
-    "dedup.py), one per-doc aggregation shuffle, zero Python, zero "
-    "joins. The is_quality gate compares exact decimals (sum_w + "
-    "bias*n > 0), so it cannot flip between engines; the sigmoid "
-    "score is ROUND 6dp per the registry float policy. Weights "
-    "trained offline by tools/train_quality_weights.py (held-out "
-    "acc 0.96) on documents-vs-synthetic-garbage.",
+    "dedup.py), ZERO shuffles (the r5 stateless row-expression path: "
+    "transform/aggregate over the token array with exact-decimal "
+    "sums, proven bit-equal to the explode+groupBy formulation in "
+    "tests/test_quality.py), zero Python, zero joins. The is_quality "
+    "gate compares exact decimals (sum_w + bias*n > 0), so it cannot "
+    "flip between engines; the sigmoid score is ROUND 6dp per the "
+    "registry float policy. Weights trained offline by "
+    "tools/train_quality_weights.py (held-out acc 0.96) on "
+    "documents-vs-synthetic-garbage.",
 )
 def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return score_documents(load_table(spark, sf_dir, "documents"))
+    # registered path = the stateless zero-shuffle scorer; the
+    # aggregation formulation (score_documents) stays as the
+    # independent differential anchor
+    return score_documents_stateless(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 # ---------------------------------------------------------------------
@@ -259,10 +259,11 @@ def _curation_oracle() -> str:
     "model as the final gate: per-host cap (unbiased hash order) -> "
     "paragraph-level exact dedup with reconstruction -> quality-model "
     "gate (exact-decimal sum_w + bias*n > 0, flip-proof between "
-    "engines) -> per-language accounting. ONE plan, six necessary "
-    "shuffles (host window; block window; doc regroup; (doc,lang,"
-    "token) agg collapses the bucket weights map-side; doc agg; lang "
-    "agg) — the corpus streams through once; the 64-weight model is a "
+    "engines) -> per-language accounting. ONE plan, FIVE necessary "
+    "shuffles (host window; block window; doc regroup; lang agg — "
+    "the r5 stateless scorer removed the (doc,token) shuffle: "
+    "scoring is now a zero-shuffle row expression over clean_text) — "
+    "the corpus streams through once; the 64-weight model is a "
     "literal array, zero Python, zero joins. Float policy: the gate "
     "compares exact decimals; reported avg_score sums 4dp-rounded "
     "per-doc sigmoids as exact DECIMALs (order-independent) then "
@@ -288,28 +289,20 @@ def corpus_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = paragraph_dedup(capped, carry=("lang",))
     kept = cleaned.where(F.col("kept_blocks") > 0)
-    tok = kept.select(
-        "doc_id", "lang",
-        F.explode(F.split("clean_text", " ")).alias("tok"),
-    ).where(F.col("tok") != "")
-    per = tok.select(
-        "doc_id", "lang", score_expr_per_token().alias("wgt")
-    ).groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("wgt").alias("sum_w"),
-    )
-    bias_dec = F.lit(BIAS).cast("decimal(10,6)")
-    z = (
-        F.col("sum_w").cast("double") / F.col("n_tokens")
-        + F.lit(float(BIAS))
-    )
-    gated = per.where(
-        (F.col("sum_w") + bias_dec * F.col("n_tokens"))
-        > F.lit(0).cast("decimal(10,6)")
-    ).select(
-        "lang",
-        "n_tokens",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("s4"),
+    # stateless row-expression scorer over the reconstructed text —
+    # no (doc,token) shuffle; the per-doc decimal sum is exact either
+    # way, so the oracle (which uses the explode formulation in SQL)
+    # matches value-for-value
+    n, s4, is_q = row_score_columns(F.col("clean_text"), score_dp=4)
+    gated = (
+        kept.select(
+            "lang",
+            n.alias("n_tokens"),
+            s4.alias("s4"),
+            is_q.alias("q"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .where(F.col("q"))
     )
     return gated.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
@@ -347,7 +340,7 @@ def _row_weight(w):
     return F.element_at(warr, (bkt + 1).cast("int"))
 
 
-def row_score_columns(textcol):
+def row_score_columns(textcol, score_dp: int = 6):
     """(n_tokens, score, is_quality) as pure per-row expressions."""
     words = F.filter(F.split(textcol, " "), lambda w: w != "")
     sum_w = F.aggregate(
@@ -358,7 +351,7 @@ def row_score_columns(textcol):
     n = F.size(words)
     bias_dec = F.lit(BIAS).cast("decimal(10,6)")
     z = sum_w.cast("double") / n + F.lit(float(BIAS))
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), score_dp)
     is_q = (sum_w + bias_dec * n) > F.lit(0).cast("decimal(10,6)")
     return n, score, is_q
 

@@ -286,9 +286,9 @@ SHUFFLE_BUDGET = {
     "stream_dedup_twin": 2,
     "multimodal_decode_real": 0,
     "text_unicode_nfc": 0,
-    "text_quality_model_score": 1,
+    "text_quality_model_score": 0,
     "bpe_encode_ids": 0,
-    "corpus_quality_curation": 6,
+    "corpus_quality_curation": 5,
     "pack_token_sequences": 2,
     "stream_quality_twin": 1,
 }

@@ -81,15 +81,16 @@ def test_scores_match_offline_featurizer(spark, sf_dir):
 
 
 def test_quality_plan_shape(spark, sf_dir):
-    """100 TB shape: one aggregation shuffle, zero Python stages, no
-    joins — the whole model is a literal array in the plan."""
+    """100 TB shape: ZERO shuffles (r5 stateless row-expression path),
+    zero Python stages, no joins — the whole model is a literal array
+    evaluated inside the scan's span."""
     from ethiopia_legal_etl_spark.plans.explain import (
         count_data_shuffles,
         formatted_plan,
     )
 
     plan = formatted_plan(text_quality_model_score(spark, sf_dir))
-    assert count_data_shuffles(plan) == 1
+    assert count_data_shuffles(plan) == 0
     assert "Python" not in plan
     assert "Join" not in plan
 
