@@ -794,3 +794,35 @@ def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
         for r in bpe_encode_ids_pretrained(spark, d, tk).collect()
     }
     assert loaded == fresh
+
+
+def test_bpe_incremental_trainer_matches_naive_on_random_tables():
+    """Property: the incremental pair-count trainer (driver loop in
+    corpusops) agrees merge-for-merge with the naive recount-from-
+    scratch model on randomized word-frequency tables, and is
+    independent of input row order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        _bpe_merge_loop,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(1, 50),
+            min_size=1,
+            max_size=30,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def check(word_freq, rnd):
+        items = list(word_freq.items())
+        rnd.shuffle(items)  # order independence
+        got = _bpe_merge_loop(items, 20)
+        expect = _py_bpe_train(word_freq, 20)
+        assert got == expect
+
+    check()

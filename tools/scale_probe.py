@@ -665,6 +665,26 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
                 "sec": sec,
             }
         )
+    # Quality-model scorer (r5): stateless zero-shuffle row expression
+    # — wall must track the scan (~linear in docs, no shuffle knee).
+    # Reuses the plain bpe_x replicas (same text, shifted ids).
+    from ethiopia_legal_etl_spark.operators.quality import (
+        score_documents_stateless,
+    )
+
+    for factor in (1, 10, 30):
+        d = SF_DIR if factor == 1 else f"{scratch}/bpe_x{factor}"
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        run_noop(score_documents_stateless(docs))  # warm
+        sec = timed(lambda: run_noop(score_documents_stateless(docs)))
+        out.append(
+            {
+                "exp": "quality_score_stateless",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec,
+            }
+        )
     # BPE training, VOCAB axis (r5): fixed corpus, growing merge count.
     # The r4 design ran 2 Spark jobs per merge (linear driver traffic);
     # the r5 trainer collects once and iterates driver-side, so wall
