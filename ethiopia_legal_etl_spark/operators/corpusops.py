@@ -509,15 +509,23 @@ def _bpe_merge_loop(
     merge touches only the words that contain the argmax pair (their
     old pairs are subtracted, the merge applied left-to-right, the new
     pairs added), so per-merge cost is O(words containing the pair),
-    not O(vocabulary). The argmax scan is O(#distinct pairs) with the
-    deterministic tie-break (count desc, then lexicographic
-    '<left>\\x1f<right>'); a production trainer would add a lazy
-    max-heap, which changes the constant, not the shape.
+    not O(vocabulary). The argmax is a LAZY MAX-HEAP keyed
+    (-count, '<left>\\x1f<right>') — the deterministic tie-break as a
+    total order. Every count update pushes a fresh entry; a popped
+    entry whose recorded count disagrees with the live dict (or whose
+    pair is dead) is stale and discarded. Per-merge argmax cost is
+    O(stale pops · log H), not O(#distinct pairs) — the shape a
+    32k-merge training over millions of distinct pairs needs.
+    Differential safety net: merge-for-merge equality with the naive
+    recount model at 8/20/256 merges incl. randomized hypothesis
+    tables (order-independence included).
 
     Stale indices in pair->words (a word edited by a later merge) are
     harmless: the update subtracts the word's CURRENT pairs and
     re-adds its post-merge pairs, which cancels exactly for a no-op.
     """
+    import heapq
+
     words: list[list] = [
         [list(w) + [_EOW], f] for w, f in word_freqs
     ]
@@ -528,24 +536,33 @@ def _bpe_merge_loop(
             pair_counts[p] = pair_counts.get(p, 0) + f
             pair_words.setdefault(p, set()).add(idx)
 
+    heap = [
+        (-c, p[0] + "\x1f" + p[1], p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        best_key, best_pair, best_count = None, None, 0
-        for p, c in pair_counts.items():
-            if c <= 0:
+        best_pair, best_count = None, 0
+        while heap:
+            negc, _key, p = heap[0]
+            live = pair_counts.get(p, 0)
+            if live <= 0 or -negc != live:
+                heapq.heappop(heap)  # dead pair or stale count
                 continue
-            key = (-c, p[0] + "\x1f" + p[1])
-            if best_key is None or key < best_key:
-                best_key, best_pair, best_count = key, p, c
+            best_pair, best_count = p, live
+            break
         if best_pair is None:
             break
         left, right = best_pair
         merged = left + right
         merges.append((rank, left, right, merged, best_count))
+        touched: set = set()
         for idx in pair_words.get(best_pair, ()):  # only affected words
             syms, f = words[idx]
             for p in zip(syms, syms[1:]):
                 pair_counts[p] -= f
+                touched.add(p)
             out, i = [], 0
             while i < len(syms):
                 if (
@@ -562,8 +579,14 @@ def _bpe_merge_loop(
             for p in zip(out, out[1:]):
                 pair_counts[p] = pair_counts.get(p, 0) + f
                 pair_words.setdefault(p, set()).add(idx)
+                touched.add(p)
         pair_counts.pop(best_pair, None)
         pair_words.pop(best_pair, None)
+        touched.discard(best_pair)
+        for p in touched:  # one fresh heap entry per touched pair
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0] + "\x1f" + p[1], p))
     return merges
 
 
