@@ -2,10 +2,17 @@
 typed metadata, processed by Arrow-batched pandas UDFs (driver
 mandate; generalizes the reference's binary PDF handling, A-9/A-11).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake (decode_stub) — the Spark-side
-plumbing (schema, mapInPandas batch shape, partitioning) is real and
-tested. Swap decode_stub for PIL/ffmpeg on a real cluster.
+The container has no codec libraries, so decode comes in two honesty
+tiers: REAL from-scratch decoders — WAV/BMP (functions/media.py),
+baseline JPEG (functions/jpeg.py, T.81 subset incl. Huffman entropy
+decode and IDCT), compressed audio (functions/g711.py: G.711 mu-law +
+IMA ADPCM), and MJPEG-AVI video frame sampling (functions/avi.py over
+the JPEG codec) — and a clearly-marked deterministic fake
+(decode_stub) standing in for the PERCEPTUAL codecs (MP3/H.264),
+which have no in-container-constructible exact ground truth and are
+swapped for ffmpeg on a real cluster. The Spark-side plumbing
+(schema, mapInPandas batch shape, partitioning) is identical and
+tested across all tiers.
 
 Scale: binary payloads ride in the dataframe as BinaryType — at
 100 TB, write the table partitioned so decode stages scan only needed
@@ -212,10 +219,11 @@ def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metadata field from the doc_id formulas, so the hash match proves "
     "the decoder exactly inverts the encoder — including canonical "
     "file sizes (44-byte WAV header; BMP 4-byte row padding). "
-    "Compressed codecs (JPEG/MP3) remain stubbed (multimodal_decode_"
-    "stub) pending PIL/ffmpeg on deployment. Shuffle-free per-row "
-    "pipeline: synth -> decode in back-to-back Arrow-batched "
-    "mapInPandas stages.",
+    "Compressed-codec decode: JPEG is REAL as of r5 (from-scratch "
+    "baseline codec, multimodal_decode_jpeg); MP3 remains stubbed "
+    "(multimodal_decode_stub) pending ffmpeg on deployment. "
+    "Shuffle-free per-row pipeline: synth -> decode in back-to-back "
+    "Arrow-batched mapInPandas stages.",
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -257,5 +265,319 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, media_type string, byte_len long, "
             "sample_rate long, n_samples long, duration_us long, "
             "width long, height long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           'image/jpeg' AS media_type,
+           9 + doc_id % 23 AS width,
+           10 + (doc_id // 5) % 19 AS height,
+           (9 + doc_id % 23) * (10 + (doc_id // 5) % 19) AS n_pixels,
+           1 AS n_components,
+           doc_id % 256 AS flat_val
+    FROM documents
+    """,
+    doc="REAL compressed-codec decode, executed in-container (closes "
+    "the r4 'JPEG stubbed pending PIL' gap the way pdftext.py closed "
+    "PDF extraction): functions/jpeg.py is a from-scratch baseline "
+    "JPEG codec — markers, canonical Huffman, entropy decode with "
+    "byte unstuffing, DC prediction, AC RLE/ZRL/EOB, dequant, "
+    "de-zigzag, float IDCT. Each doc synthesizes TWO genuine JPEGs "
+    "executor-side: a gradient image (non-multiple-of-8 dims, "
+    "exercising pad+crop and the AC path) whose decoded "
+    "width/height/pixel-count must match the doc_id formulas, and a "
+    "flat image whose decoded pixel VALUE must equal doc_id % 256 "
+    "exactly (DC-only reconstruction error < 0.5 -> rounds exact). "
+    "General pixel correctness at q>1 is pinned by an independent "
+    "numpy DCT-model differential in tests/test_jpeg_codec.py. "
+    "Unsupported JPEG features (progressive, color, restart "
+    "markers) raise ValueError — rejected, not mis-decoded. "
+    "Shuffle-free synth -> decode mapInPandas pipeline.",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+        synth_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "grad": [synth_jpeg(i) for i in ids],
+                    "flat": [
+                        encode_baseline_jpeg(
+                            [[i % 256] * 8 for _ in range(8)], quant=1
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="doc_id long, grad binary, flat binary"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, grad, flat in zip(
+                pdf["doc_id"], pdf["grad"], pdf["flat"]
+            ):
+                g = decode_jpeg(bytes(grad))
+                f = decode_jpeg(bytes(flat))
+                rows.append(
+                    (
+                        doc_id,
+                        "image/jpeg",
+                        g["width"],
+                        g["height"],
+                        g["width"] * g["height"],
+                        g["n_components"],
+                        f["pixels"][0][0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "n_pixels", "n_components", "flat_val",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, media_type string, width long, height long, "
+            "n_pixels long, n_components int, flat_val long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_audio_compressed",
+    oracle="""
+    SELECT d.doc_id,
+           'g711-mulaw' AS mu_codec,
+           8000 * (1 + d.doc_id % 2) AS mu_rate,
+           50 + d.doc_id % 40 AS mu_n,
+           SUM(
+             (CASE WHEN ((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 128) <> 0
+                   THEN -1 ELSE 1 END)
+             * ((((((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 15) * 8) + 132)
+                 << (((255 - ((d.doc_id * 13 + t.i * 7) % 256)) >> 4) & 7))
+                - 132)
+           ) AS mu_sum,
+           (CASE WHEN ((255 - ((d.doc_id * 13) % 256)) & 128) <> 0
+                 THEN -1 ELSE 1 END)
+           * ((((((255 - ((d.doc_id * 13) % 256)) & 15) * 8) + 132)
+               << (((255 - ((d.doc_id * 13) % 256)) >> 4) & 7)) - 132)
+             AS mu_first,
+           'ima-adpcm' AS ima_codec,
+           121 * (1 + d.doc_id % 3) AS ima_n,
+           (d.doc_id % 100 - 50) * 121 * (1 + d.doc_id % 3) AS ima_sum
+    FROM documents d
+    JOIN (SELECT unnest(range(90)) AS i) t
+      ON t.i < 50 + d.doc_id % 40
+    GROUP BY d.doc_id
+    """,
+    doc="REAL compressed-AUDIO decode, executed in-container "
+    "(functions/g711.py; closes the r4 'compressed audio pending "
+    "ffmpeg' gap for the two exactly-specified public codecs). Each "
+    "doc synthesizes TWO genuine compressed WAVs executor-side: a "
+    "G.711 mu-law stream whose encoded bytes follow a doc_id formula "
+    "— and because mu-law expansion is a closed-form integer formula, "
+    "the DuckDB oracle recomputes the DECODED PCM VALUES themselves "
+    "in SQL (bit ops over LATERAL range), making this a value-exact "
+    "cross-engine decode parity check — and an IMA ADPCM stream "
+    "(stateful adaptive-differential codec, 4-byte block headers, "
+    "nibble codes) carrying a constant signal, which the codec "
+    "provably preserves exactly (diff 0 -> nibble 0 -> delta 0), so "
+    "sum = c * n is oracle-checkable. General IMA waveform "
+    "correctness is pinned by an independent RFC-pseudocode decoder "
+    "differential in tests/test_av_codecs.py. Unsupported formats "
+    "(PCM tag via this path, stereo, foreign tags) raise ValueError. "
+    "Shuffle-free synth -> decode mapInPandas pipeline; IMA blocks "
+    "are self-contained (header restates predictor), so a 100 TB "
+    "audio corpus decodes block-parallel with no cross-block state.",
+)
+def multimodal_decode_audio_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.g711 import (
+        decode_compressed_wav,
+        ima_encode_block,
+        write_ima_wav,
+        write_mulaw_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            mu, ima = [], []
+            for i in ids:
+                enc = bytes(
+                    (i * 13 + j * 7) % 256 for j in range(50 + i % 40)
+                )
+                mu.append(write_mulaw_wav(enc, 8000 * (1 + i % 2)))
+                c, spb = i % 100 - 50, 1 + (64 - 4) * 2
+                blocks = [
+                    ima_encode_block([c] * spb, 64)
+                    for _ in range(1 + i % 3)
+                ]
+                ima.append(write_ima_wav(blocks, 8000, 64))
+            yield pd.DataFrame({"doc_id": ids, "mu": mu, "ima": ima})
+
+    media = docs.mapInPandas(
+        synth, schema="doc_id long, mu binary, ima binary"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mu, ima in zip(pdf["doc_id"], pdf["mu"], pdf["ima"]):
+                m = decode_compressed_wav(bytes(mu))
+                a = decode_compressed_wav(bytes(ima))
+                rows.append(
+                    (
+                        doc_id,
+                        m["codec"],
+                        m["sample_rate"],
+                        m["n_samples"],
+                        sum(m["samples"]),
+                        m["samples"][0],
+                        a["codec"],
+                        a["n_samples"],
+                        sum(a["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mu_codec", "mu_rate", "mu_n", "mu_sum",
+                    "mu_first", "ima_codec", "ima_n", "ima_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, mu_codec string, mu_rate long, mu_n long, "
+            "mu_sum long, mu_first long, ima_codec string, ima_n long, "
+            "ima_sum long"
+        ),
+    )
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           3 + d.doc_id % 6 AS n_frames,
+           8 AS width, 8 AS height,
+           5 + d.doc_id % 10 AS fps,
+           (3 + d.doc_id % 6 + 1) // 2 AS n_sampled,
+           SUM((d.doc_id * 11 + t.k * 17) % 256) AS sampled_val_sum
+    FROM documents d
+    JOIN (SELECT unnest(range(9)) AS k) t
+      ON t.k < 3 + d.doc_id % 6 AND t.k % 2 = 0
+    GROUP BY d.doc_id
+    """,
+    doc="REAL VIDEO frame sampling, executed in-container: each doc "
+    "synthesizes a genuine playable MJPEG AVI executor-side "
+    "(functions/avi.py writes the public RIFF layout: hdrl/avih/strl/"
+    "strh/strf + movi 00dc chunks + idx1), whose frames are real "
+    "baseline JPEGs from functions/jpeg.py. Decode parses the "
+    "container (cross-checking avih dwTotalFrames against the movi "
+    "chunk count), frame-samples every 2nd frame, and runs the REAL "
+    "JPEG decoder on each sampled frame; flat q=1 frames decode "
+    "value-exact, so the oracle recomputes the sampled-frame pixel "
+    "sum from the doc_id formulas (LATERAL stride-2 range). "
+    "Non-MJPEG streams and malformed containers raise ValueError — "
+    "rejected, not mis-decoded. Shuffle-free synth -> decode "
+    "mapInPandas pipeline; MJPEG frames are independently decodable "
+    "(intra-only), so 100 TB of video frame-extracts with no "
+    "inter-frame state — the video analogue of IMA's "
+    "self-contained audio blocks.",
+)
+def multimodal_video_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.avi import (
+        parse_avi,
+        sample_frames,
+        write_mjpeg_avi,
+    )
+    from ethiopia_legal_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            avis = []
+            for i in ids:
+                frames = [
+                    encode_baseline_jpeg(
+                        [[(i * 11 + k * 17) % 256] * 8 for _ in range(8)],
+                        quant=1,
+                    )
+                    for k in range(3 + i % 6)
+                ]
+                avis.append(
+                    write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10)
+                )
+            yield pd.DataFrame({"doc_id": ids, "avi": avis})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, avi binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, avi in zip(pdf["doc_id"], pdf["avi"]):
+                m = parse_avi(bytes(avi))
+                sampled = sample_frames(m["frames"], 2)
+                val_sum = sum(
+                    decode_jpeg(f)["pixels"][0][0] for f in sampled
+                )
+                rows.append(
+                    (
+                        doc_id, m["n_frames"], m["width"], m["height"],
+                        m["fps"], len(sampled), val_sum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height", "fps",
+                    "n_sampled", "sampled_val_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "fps long, n_sampled long, sampled_val_sum long"
         ),
     )

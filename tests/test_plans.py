@@ -291,6 +291,9 @@ SHUFFLE_BUDGET = {
     "corpus_quality_curation": 5,
     "pack_token_sequences": 2,
     "stream_quality_twin": 1,
+    "multimodal_decode_jpeg": 0,
+    "multimodal_decode_audio_compressed": 0,
+    "multimodal_video_frame_sample": 0,
 }
 
 
