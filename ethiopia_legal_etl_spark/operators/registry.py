@@ -126,12 +126,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_simhash_band keeps the rows-only path represented and
     # minhash-LSH stays covered by the full-registry CI gate + recall
     # property tests.
-    "multimodal_decode_real",
+    # r5 (late): swapped multimodal_decode_real / multimodal_binary_meta
+    # (driver-checked green in r4; binary_meta stable since r1) for the
+    # two NEW real compressed-codec entries so the driver audits them
+    # directly — multimodal_decode_audio_compressed is the strongest
+    # decode oracle in the registry (DuckDB recomputes the decoded PCM
+    # values in SQL) and multimodal_video_frame_sample exercises the
+    # full container-parse -> frame-sample -> JPEG-decode chain. The
+    # rotated-out names stay oracle-gated by the full-registry CI gate.
+    "multimodal_decode_audio_compressed",
     "dedup_simhash_band",
     "similarity_cosine_topk",
     "embedding_near_dup_cosine",
     "text_tfidf_top_terms",
-    "multimodal_binary_meta",
+    "multimodal_video_frame_sample",
     "pipeline_training_corpus",
     # streaming batch twins + UDF surface
     "stream_tumbling_window",
