@@ -581,3 +581,100 @@ def multimodal_video_frame_sample(
             "fps long, n_sampled long, sampled_val_sum long"
         ),
     )
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT d.doc_id,
+           5 + d.doc_id % 12 AS width,
+           6 + (d.doc_id // 3) % 10 AS height,
+           (5 + d.doc_id % 12) * (6 + (d.doc_id // 3) % 10) AS n_pixels,
+           3 AS n_channels,
+           SUM((d.doc_id * 7 + tx.x * 11 + ty.y * 3) % 256) AS r_sum,
+           SUM((tx.x + ty.y * 5 + d.doc_id) % 256) AS g_sum,
+           SUM((tx.x * ty.y + d.doc_id * 13) % 256) AS b_sum
+    FROM documents d
+    JOIN (SELECT unnest(range(17)) AS x) tx ON tx.x < 5 + d.doc_id % 12
+    JOIN (SELECT unnest(range(16)) AS y) ty
+      ON ty.y < 6 + (d.doc_id // 3) % 10
+    GROUP BY d.doc_id
+    """,
+    doc="REAL LOSSLESS compressed-image decode (functions/png.py: "
+    "RFC 2083 PNG over stdlib zlib's genuine DEFLATE — chunk walk "
+    "with CRC verification, all five scanline filters, 8-bit "
+    "gray/RGB). Because PNG is lossless, this oracle is VALUE-EXACT "
+    "over arbitrary images: each doc synthesizes a gradient RGB "
+    "image executor-side (encoder cycles filters None/Sub/Up/"
+    "Average/Paeth row-by-row, so every filter path runs on every "
+    "payload) and the DuckDB side recomputes the full per-channel "
+    "pixel sums from the synth formulas — a stronger check than "
+    "baseline JPEG's flat-block exactness. Palette/alpha/16-bit/"
+    "interlaced PNGs raise ValueError — rejected, not mis-decoded. "
+    "Shuffle-free synth -> decode mapInPandas pipeline.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            pngs = []
+            for i in ids:
+                w, h = 5 + i % 12, 6 + (i // 3) % 10
+                pngs.append(
+                    encode_png(
+                        [
+                            [
+                                (
+                                    (i * 7 + x * 11 + y * 3) % 256,
+                                    (x + y * 5 + i) % 256,
+                                    (x * y + i * 13) % 256,
+                                )
+                                for x in range(w)
+                            ]
+                            for y in range(h)
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "png": pngs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, png binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                m = decode_png(bytes(png))
+                sums = [0, 0, 0]
+                for row in m["pixels"]:
+                    for px in row:
+                        sums[0] += px[0]
+                        sums[1] += px[1]
+                        sums[2] += px[2]
+                rows.append(
+                    (
+                        doc_id, m["width"], m["height"],
+                        m["width"] * m["height"], m["n_channels"],
+                        sums[0], sums[1], sums[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "n_channels", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, n_pixels long, "
+            "n_channels long, r_sum long, g_sum long, b_sum long"
+        ),
+    )

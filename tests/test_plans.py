@@ -294,6 +294,7 @@ SHUFFLE_BUDGET = {
     "multimodal_decode_jpeg": 0,
     "multimodal_decode_audio_compressed": 0,
     "multimodal_video_frame_sample": 0,
+    "multimodal_decode_png": 0,
 }
 
 
