@@ -183,6 +183,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         textguard,
         textstats,
+        webarchive,
     )
     from ethiopia_legal_etl_spark.streaming import windows  # noqa: F401
 

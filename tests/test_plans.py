@@ -284,17 +284,18 @@ SHUFFLE_BUDGET = {
     "embedding_random_projection": 0,
     "embedding_int8_quantize": 0,
     "stream_dedup_twin": 2,
-    "multimodal_decode_real": 0,
+    "multimodal_decode_real": 1,
     "text_unicode_nfc": 0,
     "text_quality_model_score": 0,
     "bpe_encode_ids": 0,
     "corpus_quality_curation": 5,
     "pack_token_sequences": 2,
     "stream_quality_twin": 1,
-    "multimodal_decode_jpeg": 0,
-    "multimodal_decode_audio_compressed": 0,
-    "multimodal_video_frame_sample": 0,
-    "multimodal_decode_png": 0,
+    "multimodal_decode_jpeg": 1,
+    "multimodal_decode_audio_compressed": 1,
+    "multimodal_video_frame_sample": 1,
+    "multimodal_decode_png": 1,
+    "warc_ingest_extract": 1,
 }
 
 

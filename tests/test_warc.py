@@ -1,0 +1,101 @@
+"""Tests for the WARC source (sources/warc.py): format round trips,
+the gzip per-record-member splittability property (the Common Crawl
+scale contract), and rejected-not-mis-parsed malformed input."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from ethiopia_legal_etl_spark.sources.warc import (
+    parse_warc,
+    write_warc,
+    write_warc_record,
+)
+
+
+def _recs(n: int, seed: int = 0):
+    return [
+        {
+            "type": "response",
+            "uri": f"http://site{(seed + i) % 10}.example/{i}",
+            "date": "2026-01-01T00:00:00Z",
+            "payload": bytes((seed * 7 + i + j) % 256 for j in range(30 + i)),
+            "record_id": f"{seed}-{i}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_plain_round_trip():
+    recs = _recs(5, 3)
+    parsed = parse_warc(write_warc(recs))
+    assert len(parsed) == 5
+    for p, r in zip(parsed, recs):
+        assert p["type"] == r["type"]
+        assert p["uri"] == r["uri"]
+        assert p["date"] == r["date"]
+        assert p["record_id"] == r["record_id"]
+        assert p["payload"] == r["payload"]
+
+
+def test_gzip_round_trip_equals_plain():
+    recs = _recs(4, 9)
+    assert parse_warc(write_warc(recs, compress=True)) == parse_warc(
+        write_warc(recs)
+    )
+
+
+def test_gzip_members_are_record_parallel():
+    # the Common Crawl splittability contract: each record is its own
+    # gzip member, so parsing can START at any member boundary without
+    # the preceding bytes — prove it by chopping the file at the first
+    # member boundary and parsing only the tail
+    recs = _recs(6, 1)
+    gz = write_warc(recs, compress=True)
+    first = gzip.compress(
+        write_warc_record(
+            recs[0]["type"], recs[0]["uri"], recs[0]["date"],
+            recs[0]["payload"], recs[0]["record_id"],
+        ),
+        mtime=0,
+    )
+    assert gz[: len(first)] == first  # writer emits per-record members
+    tail = parse_warc(gz[len(first) :])
+    assert [t["uri"] for t in tail] == [r["uri"] for r in recs[1:]]
+
+
+def test_deterministic_compressed_bytes():
+    recs = _recs(3, 7)
+    assert write_warc(recs, compress=True) == write_warc(recs, compress=True)
+
+
+def test_binary_payloads_with_crlf_content_survive():
+    # Content-Length framing (not delimiter scanning) must carry
+    # payloads that contain CRLFCRLF and fake WARC headers
+    evil = b"\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\n" + bytes(range(256))
+    recs = [
+        {
+            "type": "response",
+            "uri": "http://x.example/evil",
+            "date": "2026-01-01T00:00:00Z",
+            "payload": evil,
+            "record_id": "evil-1",
+        }
+    ] + _recs(2, 5)
+    parsed = parse_warc(write_warc(recs, compress=True))
+    assert parsed[0]["payload"] == evil
+    assert len(parsed) == 3
+
+
+def test_malformed_rejected_not_misparsed():
+    good = write_warc(_recs(2, 2))
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(good[:-40])  # truncated block
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(write_warc(_recs(2, 2), compress=True)[:-10])

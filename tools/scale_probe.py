@@ -733,6 +733,55 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+
+
+def codecs_probe(spark, scratch: str) -> list[dict]:
+    """Real-codec decode scaling: the four compressed-codec registry
+    entries (JPEG, mu-law+IMA audio, MJPEG-AVI frame sampling, PNG)
+    are shuffle-free synth -> decode mapInPandas pipelines, so wall
+    time should track document count ~linearly — no shuffle, no
+    skew-shaped hazard, per-payload work fixed by the doc_id
+    formulas. A super-linear reading here would mean Arrow batch
+    overheads or per-task fixed costs dominate; linear confirms the
+    decode family is embarrassingly parallel, which is the 100 TB
+    design claim (self-contained payloads/blocks/frames)."""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    entries = [
+        "multimodal_decode_jpeg",
+        "multimodal_decode_audio_compressed",
+        "multimodal_video_frame_sample",
+        "multimodal_decode_png",
+    ]
+    out = []
+    for factor in (1, 10, 30):
+        if factor == 1:
+            d = SF_DIR
+        else:
+            d = f"{scratch}/codecs_x{factor}"
+            parts = [
+                base.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+                for i in range(factor)
+            ]
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+            rep.repartition(max(8, factor)).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+        for name in entries:
+            run_noop(qs[name].builder(spark, d))  # warm
+            sec = timed(lambda: run_noop(qs[name].builder(spark, d)))
+            out.append(
+                {"exp": "codec_decode", "entry": name, "factor": factor,
+                 "docs": base_n * factor, "sec": sec}
+            )
+    return out
+
+
 def ingest_probe(spark) -> list[dict]:
     """End-to-end ingest throughput: the reference's architecture (one
     serial per-record Python loop, fetch_legal_docs.py:32-96) vs the
@@ -827,6 +876,8 @@ def main() -> None:
                     help="serial reference-style loop vs partitioned ingest pipeline (~1 min)")
     ap.add_argument("--guards", action="store_true",
                     help="contamination + chunk-boilerplate guard scaling to 30x docs (~3 min)")
+    ap.add_argument("--codecs", action="store_true",
+                    help="compressed-codec decode scaling (JPEG/audio/AVI/PNG) to 30x docs (~3 min)")
     ap.add_argument("--corpusops", action="store_true",
                     help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
     args = ap.parse_args()
@@ -870,6 +921,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.guards:
             for r in guards_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.codecs:
+            for r in codecs_probe(spark, scratch):
                 print(json.dumps(r))
         if args.corpusops:
             for r in corpusops_probe(spark, scratch):
