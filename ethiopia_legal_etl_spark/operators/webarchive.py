@@ -49,7 +49,7 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     "byte sum = SUM of the byte formula) — a value-exact check over "
     "every payload byte in every record. Malformed archives raise "
     "ValueError in sources/warc.py; the pipeline-level error-isolation "
-    "variant is exercised in tests.",
+    "variant is the sibling entry warc_ingest_rejects.",
 )
 def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -113,4 +113,87 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_records long, first_uri string, "
             "total_payload_bytes long, payload_byte_sum long"
         ),
+    )
+
+
+@register(
+    "warc_ingest_rejects",
+    oracle="""
+    SELECT d.doc_id,
+           d.doc_id % 7 <> 0 AS ok,
+           CASE WHEN d.doc_id % 7 = 0 THEN 0
+                ELSE 2 + d.doc_id % 4 END AS n_records,
+           d.doc_id % 7 = 0 AS has_error
+    FROM documents d
+    """,
+    doc="A-19 per-record error isolation at ARCHIVE granularity: the "
+    "synth stage deterministically corrupts every 7th archive "
+    "(truncated mid-record — the classic partial-upload failure a "
+    "100 TB crawl bucket contains); the extract stage catches the "
+    "parser's ValueError PER ROW and routes it to an error column "
+    "instead of killing the job, exactly like the fetch/extract "
+    "stages in operators/ingest.py. The oracle recomputes which "
+    "doc_ids must be rejects and how many records the survivors "
+    "carry — so the hash match proves corruption is DETECTED (never "
+    "silently mis-parsed) and isolation is exact (no healthy "
+    "neighbor lost). One parallelism shuffle, then mapInPandas.",
+)
+def warc_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            archives = []
+            for d in ids:
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"http://site{d % 10}.example/{i}",
+                        "date": "2026-01-01T00:00:00Z",
+                        "payload": bytes(
+                            (d * 7 + j) % 256
+                            for j in range(20 + (d + i) % 30)
+                        ),
+                        "record_id": f"{d}-{i}",
+                    }
+                    for i in range(2 + d % 4)
+                ]
+                raw = write_warc(recs, compress=True)
+                if d % 7 == 0:
+                    raw = raw[: len(raw) - 15]  # truncate mid-member
+                archives.append(raw)
+            yield pd.DataFrame({"doc_id": ids, "warc": archives})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, warc binary")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, warc in zip(pdf["doc_id"], pdf["warc"]):
+                try:
+                    recs = parse_warc(bytes(warc))
+                    rows.append((doc_id, True, len(recs), None))
+                except ValueError as exc:
+                    rows.append((doc_id, False, 0, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ok", "n_records", "error"]
+            )
+
+    parsed = media.mapInPandas(
+        extract,
+        schema="doc_id long, ok boolean, n_records long, error string",
+    )
+    from pyspark.sql import functions as F
+
+    return parsed.select(
+        "doc_id", "ok", "n_records", F.col("error").isNotNull().alias("has_error")
     )

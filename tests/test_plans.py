@@ -296,6 +296,7 @@ SHUFFLE_BUDGET = {
     "multimodal_video_frame_sample": 1,
     "multimodal_decode_png": 1,
     "warc_ingest_extract": 1,
+    "warc_ingest_rejects": 1,
 }
 
 
