@@ -738,3 +738,199 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_channels long, r_sum long, g_sum long, b_sum long"
         ),
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    SELECT d.doc_id,
+           5 + d.doc_id % 12 AS in_w,
+           6 + (d.doc_id // 3) % 10 AS in_h,
+           8 AS out_w, 8 AS out_h,
+           SUM((d.doc_id * 7
+                + ((tx.x * (5 + d.doc_id % 12)) // 8) * 11
+                + ((ty.y * (6 + (d.doc_id // 3) % 10)) // 8) * 3) % 256)
+             AS resized_sum
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(8)) AS x) tx
+    CROSS JOIN (SELECT unnest(range(8)) AS y) ty
+    GROUP BY d.doc_id
+    """,
+    doc="REAL image RESIZE over REAL decoded pixels (the multimodal "
+    "mandate's resize verb, on data produced by the from-scratch PNG "
+    "codec, not stub metadata): each doc synthesizes a grayscale "
+    "gradient PNG, decodes it (functions/png.py), and resizes to 8x8 "
+    "with functions/imageops.resize_nearest — the floor source-index "
+    "map src = dst*in//out is pure integer arithmetic, so the DuckDB "
+    "oracle recomputes EVERY output pixel and the check is "
+    "value-exact end-to-end through encode -> DEFLATE -> decode -> "
+    "resize. The bilinear variant (8-bit fixed-point weights) is "
+    "exercised on the same decoded pixels and pinned against an "
+    "independent numpy float model in tests/test_imageops.py. One "
+    "parallelism shuffle, then synth -> decode+resize mapInPandas.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.imageops import (
+        resize_bilinear,
+        resize_nearest,
+    )
+    from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            pngs = []
+            for i in ids:
+                w, h = 5 + i % 12, 6 + (i // 3) % 10
+                pngs.append(
+                    encode_png(
+                        [
+                            [(i * 7 + x * 11 + y * 3) % 256 for x in range(w)]
+                            for y in range(h)
+                        ],
+                        grayscale=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "png": pngs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, png binary")
+
+    def decode_resize(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                m = decode_png(bytes(png))
+                near = resize_nearest(m["pixels"], 8, 8)
+                # bilinear runs on the same real pixels (tested vs an
+                # independent numpy model); only nearest is emitted
+                # because only it is integer-exact for the oracle
+                resize_bilinear(m["pixels"], 8, 8)
+                rows.append(
+                    (
+                        doc_id, m["width"], m["height"], 8, 8,
+                        sum(v for row in near for v in row),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h",
+                    "resized_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode_resize,
+        schema=(
+            "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+            "resized_sum long"
+        ),
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, t.i,
+             (CASE WHEN ((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 128)
+                        <> 0 THEN -1 ELSE 1 END)
+             * ((((((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 15) * 8)
+                  + 132)
+                 << (((255 - ((d.doc_id * 13 + t.i * 7) % 256)) >> 4) & 7))
+                - 132) AS v
+      FROM documents d
+      JOIN (SELECT unnest(range(90)) AS i) t ON t.i < 50 + d.doc_id % 40
+    ),
+    w AS (
+      SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           SUM(v * v) AS energy,
+           SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+                    THEN 1 ELSE 0 END) AS zero_crossings,
+           MAX(ABS(v)) AS peak
+    FROM w
+    GROUP BY doc_id
+    """,
+    doc="REAL audio FEATURE EXTRACTION over REAL decoded samples (the "
+    "multimodal mandate's feature-extract verb on codec output): each "
+    "doc synthesizes a G.711 mu-law WAV, decodes it to PCM16 "
+    "(functions/g711.py), and extracts integer DSP features — energy "
+    "(sum of squares), strict sign-change zero crossings, peak "
+    "|sample| (functions/imageops.audio_features). Because mu-law "
+    "expansion is a closed-form integer formula, the DuckDB oracle "
+    "recomputes every decoded sample in SQL and re-derives all three "
+    "features (LAG window for crossings) — value-exact end-to-end "
+    "through encode -> container -> decode -> feature extraction. "
+    "One parallelism shuffle, then synth -> decode mapInPandas.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.g711 import (
+        decode_compressed_wav,
+        write_mulaw_wav,
+    )
+    from ethiopia_legal_etl_spark.functions.imageops import audio_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            wavs = [
+                write_mulaw_wav(
+                    bytes((i * 13 + j * 7) % 256 for j in range(50 + i % 40)),
+                    8000 * (1 + i % 2),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "wav": wavs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, wav binary")
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                m = decode_compressed_wav(bytes(wav))
+                f = audio_features(m["samples"])
+                rows.append(
+                    (
+                        doc_id, m["n_samples"], f["energy"],
+                        f["zero_crossings"], f["peak"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "energy",
+                    "zero_crossings", "peak",
+                ],
+            )
+
+    return media.mapInPandas(
+        features,
+        schema=(
+            "doc_id long, n_samples long, energy long, "
+            "zero_crossings long, peak long"
+        ),
+    )

@@ -297,6 +297,8 @@ SHUFFLE_BUDGET = {
     "multimodal_decode_png": 1,
     "warc_ingest_extract": 1,
     "warc_ingest_rejects": 1,
+    "multimodal_image_resize": 1,
+    "multimodal_audio_features": 1,
 }
 
 
