@@ -101,7 +101,11 @@ def parse_avi(payload: bytes) -> dict:
     return meta
 
 
-def _walk(body: bytes, meta: dict, frames: list[bytes]) -> None:
+def _walk(body: bytes, meta: dict, frames: list[bytes], depth: int = 0) -> None:
+    if depth > 16:
+        # real AVIs nest 2-3 LISTs deep; a crafted deep nest must be
+        # rejected with the parser's error type, not a RecursionError
+        raise ValueError("LIST nesting too deep")
     i = 0
     while i + 8 <= len(body):
         cid = body[i : i + 4]
@@ -110,7 +114,7 @@ def _walk(body: bytes, meta: dict, frames: list[bytes]) -> None:
         if len(data) < sz:
             raise ValueError("truncated chunk")
         if cid == b"LIST":
-            _walk(data[4:], meta, frames)  # recurse past the list kind
+            _walk(data[4:], meta, frames, depth + 1)  # recurse past the kind
         elif cid == b"avih":
             vals = struct.unpack("<14I", data[:56])
             meta.update(

@@ -141,9 +141,18 @@ def decode_png(payload: bytes) -> dict:
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
     bpp = 1 if ctype_n == 0 else 3
-    raw = zlib.decompress(bytes(idat))
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: IHDR fixes the exact decompressed size, so cap
+    # the inflate at expected+1 — a decompression bomb (tiny IDAT,
+    # huge expansion) is rejected without ever materializing, and
+    # corrupt DEFLATE surfaces as the parser's ValueError
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("IDAT length does not match dimensions")
     rows: list[bytes] = []
     prev = bytes(stride)

@@ -73,7 +73,12 @@ def _split_gzip_members(payload: bytes) -> list[bytes]:
     members, pos = [], 0
     while pos < len(payload):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        members.append(d.decompress(payload[pos:]))
+        try:
+            members.append(d.decompress(payload[pos:]))
+        except zlib.error as exc:
+            # corrupt DEFLATE must surface as the parser's rejection
+            # type so per-record error isolation can route it
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
             raise ValueError("truncated gzip member")
         consumed = len(payload) - pos - len(d.unused_data)

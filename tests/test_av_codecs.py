@@ -240,3 +240,15 @@ def test_avi_rejects_malformed():
         parse_avi(bytes(bad))
     with pytest.raises(ValueError):
         sample_frames(frames, 0)
+
+
+def test_avi_deep_list_nesting_rejected_not_recursion_error():
+    # crafted 100-deep LIST nest: must raise the parser's ValueError,
+    # not blow the Python recursion limit inside an executor
+    inner = b"JUNK"
+    for _ in range(100):
+        body = b"hdrl" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting"):
+        parse_avi(payload)

@@ -127,3 +127,39 @@ def test_out_of_scope_features_rejected_not_misdecoded():
         encode_png([])  # empty image
     with pytest.raises(ValueError):
         encode_png([[1, 2], [3]], grayscale=True)  # ragged
+
+
+def test_decompression_bomb_rejected_without_inflating():
+    # a 5x6 IHDR with an IDAT that inflates to 10 MB: the bounded
+    # inflate must reject at expected+1 bytes, never materialize it
+    bomb_raw = b"\x00" * 10_000_000
+    good = encode_png(_grad_rgb(5, 6, 8))
+    # splice the bomb IDAT into the valid header structure
+    i, parts = 8, [good[:8]]
+    while i + 8 <= len(good):
+        ln = struct.unpack(">I", good[i : i + 4])[0]
+        ctype = good[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            body = zlib.compress(bomb_raw)
+            parts.append(
+                struct.pack(">I", len(body)) + b"IDAT" + body
+                + struct.pack(">I", zlib.crc32(b"IDAT" + body))
+            )
+        else:
+            parts.append(good[i : i + 12 + ln])
+        i += 12 + ln
+    with pytest.raises(ValueError, match="IDAT length"):
+        decode_png(b"".join(parts))
+
+
+def test_corrupt_idat_rejected_as_valueerror():
+    good = bytearray(encode_png(_grad_rgb(5, 6, 9)))
+    # find IDAT and flip a deflate byte, then fix the chunk CRC so the
+    # error surfaces from the inflate, not the CRC check
+    i = bytes(good).index(b"IDAT") - 4
+    ln = struct.unpack(">I", bytes(good[i : i + 4]))[0]
+    good[i + 8 + 2] ^= 0xFF
+    body = bytes(good[i + 4 : i + 8 + ln])
+    good[i + 8 + ln : i + 12 + ln] = struct.pack(">I", zlib.crc32(body))
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))

@@ -99,3 +99,12 @@ def test_malformed_rejected_not_misparsed():
         parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
     with pytest.raises(ValueError, match="gzip"):
         parse_warc(write_warc(_recs(2, 2), compress=True)[:-10])
+
+
+def test_corrupt_gzip_member_rejected_as_valueerror():
+    # corrupt DEFLATE (not just truncation) must surface as ValueError
+    # so the pipeline's per-record isolation can catch it
+    gz = bytearray(write_warc(_recs(2, 4), compress=True))
+    gz[20] ^= 0xFF  # flip a byte inside the first member's deflate data
+    with pytest.raises(ValueError):
+        parse_warc(bytes(gz))
