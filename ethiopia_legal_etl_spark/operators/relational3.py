@@ -564,3 +564,105 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "fmt string, n_rows long, n_src long",
     ).withColumn("roundtrip_ok", F.col("n_rows") == F.col("n_src"))
+
+
+@register(
+    "html_main_text",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc</title><style>.x{color:red}</style>'
+             || '</head><body><script>var k="' || doc_id
+             || '";</script><nav>Home &amp; About</nav><p>' || text
+             || '</p><div>&lt;tag&gt; &quot;quoted&quot;'
+             || '&#39;s &nbsp;end</div></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             TRIM(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+                     '<style[^>]*>.*?</style>', ' ', 'gs'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\r\n\f]+', ' ', 'g')) AS main_text
+      FROM pages
+    )
+    SELECT doc_id,
+           main_text,
+           LENGTH(main_text) AS text_len,
+           CASE WHEN main_text = '' THEN 0
+                ELSE LENGTH(main_text)
+                     - LENGTH(replace(main_text, ' ', '')) + 1 END
+             AS n_tokens
+    FROM stripped
+    """,
+    doc="HTML -> main-text extraction, the strip-markup stage every "
+    "web-corpus pipeline runs before dedup/quality (C4/CCNet start "
+    "from WET text; this produces it from raw HTML): drop script and "
+    "style blocks (non-greedy dotall), strip remaining tags, decode "
+    "the core character entities (&lt; &gt; &quot; &#39; &nbsp; and "
+    "&amp; LAST, so earlier decodes cannot manufacture new entities), "
+    "collapse whitespace with an explicit [ \\t\\r\\n\\f] class "
+    "(Java \\s and RE2 \\s disagree on \\x0B — the one cross-engine "
+    "regex trap here, avoided by never writing \\s). Pure JVM "
+    "regexp_replace/replace chain — zero Python, shuffle-free, "
+    "whole-stage codegen — and the oracle re-runs the identical chain "
+    "in DuckDB, comparing the EXTRACTED TEXT ITSELF, not just "
+    "counts. Token count derives from collapsed single spaces "
+    "(spaces+1), exact in both engines.",
+)
+def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>Doc</title><style>.x{color:red}</style>'
+                '</head><body><script>var k="'
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit('";</script><nav>Home &amp; About</nav><p>'),
+            F.col("text"),
+            F.lit(
+                "</p><div>&lt;tag&gt; &quot;quoted&quot;"
+                "&#39;s &nbsp;end</div></body></html>"
+            ),
+        ).alias("html"),
+    )
+    t = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "
+            ),
+            r"(?s)<style[^>]*>.*?</style>",
+            " ",
+        ),
+        r"<[^>]+>",
+        " ",
+    )
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST, so decodes can't manufacture entities
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    main = F.trim(F.regexp_replace(t, "[ \t\r\n\f]+", " "))
+    out = pages.select("doc_id", main.alias("main_text"))
+    return out.select(
+        "doc_id",
+        "main_text",
+        F.length("main_text").cast("long").alias("text_len"),
+        F.when(F.col("main_text") == "", F.lit(0))
+        .otherwise(
+            F.length("main_text")
+            - F.length(F.replace(F.col("main_text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -299,6 +299,7 @@ SHUFFLE_BUDGET = {
     "warc_ingest_rejects": 1,
     "multimodal_image_resize": 1,
     "multimodal_audio_features": 1,
+    "html_main_text": 0,
 }
 
 
