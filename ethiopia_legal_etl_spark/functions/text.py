@@ -82,3 +82,25 @@ def is_pdf_content_type(content_type: Column) -> Column:
     'application/pdf;charset=binary' must pass.
     """
     return content_type.contains("application/pdf")
+
+
+def strip_html(col: Column) -> Column:
+    """HTML -> plain text as a pure JVM expression chain (zero Python,
+    codegen-friendly): drop script/style blocks (non-greedy dotall),
+    strip remaining tags, decode the core character entities with
+    &amp; LAST (so earlier decodes cannot manufacture new entities),
+    collapse whitespace. The whitespace class is written explicitly as
+    [ \\t\\r\\n\\f] because Java \\s and RE2 \\s disagree on \\x0B —
+    the one cross-engine regex trap between Spark and the DuckDB
+    oracles. Shared by html_main_text and warc_to_text_pipeline so
+    both run the identical semantics the oracles replicate."""
+    t = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "[ \t\r\n\f]+", " "))

@@ -634,25 +634,9 @@ def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("html"),
     )
-    t = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "
-            ),
-            r"(?s)<style[^>]*>.*?</style>",
-            " ",
-        ),
-        r"<[^>]+>",
-        " ",
-    )
-    for ent, ch in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&#39;", "'"), ("&nbsp;", " "),
-        ("&amp;", "&"),  # LAST, so decodes can't manufacture entities
-    ):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
-    main = F.trim(F.regexp_replace(t, "[ \t\r\n\f]+", " "))
-    out = pages.select("doc_id", main.alias("main_text"))
+    from ethiopia_legal_etl_spark.functions.text import strip_html
+
+    out = pages.select("doc_id", strip_html(F.col("html")).alias("main_text"))
     return out.select(
         "doc_id",
         "main_text",

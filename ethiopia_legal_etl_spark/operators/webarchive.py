@@ -197,3 +197,121 @@ def warc_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "ok", "n_records", F.col("error").isNotNull().alias("has_error")
     )
+
+
+@register(
+    "warc_to_text_pipeline",
+    oracle="""
+    WITH recs AS (
+      SELECT d.doc_id,
+             '<html><head><style>.a{color:red}</style></head><body>'
+             || '<script>var x=' || t.i || ';</script><h1>Page ' || t.i
+             || '</h1><p>' || d.text || ' &amp; more</p></body></html>'
+               AS html
+      FROM documents d
+      JOIN (SELECT unnest(range(5)) AS i) t ON t.i < 2 + d.doc_id % 3
+    ),
+    stripped AS (
+      SELECT doc_id,
+             TRIM(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+                     '<style[^>]*>.*?</style>', ' ', 'gs'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\r\n\f]+', ' ', 'g')) AS main_text
+      FROM recs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_records,
+           SUM(LENGTH(main_text)) AS total_len,
+           SUM(CASE WHEN main_text = '' THEN 0
+                    ELSE LENGTH(main_text)
+                         - LENGTH(replace(main_text, ' ', '')) + 1 END)
+             AS total_tokens
+    FROM stripped
+    GROUP BY doc_id
+    """,
+    doc="The composed WEB-ARCHIVE-TO-TRAINING-TEXT pipeline — the "
+    "Common Crawl WARC->WET flow end-to-end in one plan: synthesize a "
+    "genuine per-record-gzipped WARC whose response payloads are HTML "
+    "pages embedding the document text (real container, real "
+    "compression), parse it back and EXPLODE to one row per record "
+    "(Arrow mapInPandas), strip markup with the shared "
+    "functions/text.strip_html JVM expression chain (identical "
+    "semantics to html_main_text — zero Python in the text stage), "
+    "and aggregate per-document record counts, text lengths, and "
+    "token counts. The DuckDB oracle rebuilds the same HTML from "
+    "documents.text, runs the identical strip chain, and re-derives "
+    "every aggregate — value-exact through container -> gzip -> "
+    "parse -> strip -> aggregate. Two shuffles: the parallelism "
+    "repartition and the final per-doc aggregation (map-side "
+    "partials).",
+)
+def warc_to_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.functions.text import strip_html
+    from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"http://site{d % 10}.example/{i}",
+                        "date": "2026-01-01T00:00:00Z",
+                        "payload": (
+                            "<html><head><style>.a{color:red}</style>"
+                            f"</head><body><script>var x={i};</script>"
+                            f"<h1>Page {i}</h1><p>{text} &amp; more</p>"
+                            "</body></html>"
+                        ).encode("utf-8"),
+                        "record_id": f"{d}-{i}",
+                    }
+                    for i in range(2 + d % 3)
+                ]
+                rows.append((d, write_warc(recs, compress=True)))
+            yield pd.DataFrame(rows, columns=["doc_id", "warc"])
+
+    media = docs.mapInPandas(synth, schema="doc_id long, warc binary")
+
+    def explode_records(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, warc in zip(pdf["doc_id"], pdf["warc"]):
+                for rec in parse_warc(bytes(warc)):
+                    rows.append((d, rec["payload"].decode("utf-8")))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = media.mapInPandas(
+        explode_records, schema="doc_id long, html string"
+    )
+    stripped = pages.select(
+        "doc_id", strip_html(F.col("html")).alias("main_text")
+    )
+    tokens = F.when(F.col("main_text") == "", F.lit(0)).otherwise(
+        F.length("main_text")
+        - F.length(F.replace(F.col("main_text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return stripped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("main_text")).alias("total_len"),
+        F.sum(tokens).alias("total_tokens"),
+    )

@@ -300,6 +300,7 @@ SHUFFLE_BUDGET = {
     "multimodal_image_resize": 1,
     "multimodal_audio_features": 1,
     "html_main_text": 0,
+    "warc_to_text_pipeline": 2,
 }
 
 
