@@ -755,6 +755,11 @@ def codecs_probe(spark, scratch: str) -> list[dict]:
         "multimodal_decode_audio_compressed",
         "multimodal_video_frame_sample",
         "multimodal_decode_png",
+        "multimodal_image_resize",
+        "multimodal_audio_features",
+        "warc_ingest_extract",
+        "warc_to_text_pipeline",
+        "html_main_text",
     ]
     out = []
     for factor in (1, 10, 30):
