@@ -104,3 +104,98 @@ def strip_html(col: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, "[ \t\r\n\f]+", " "))
+
+
+_URL_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 section 5.2.4 dot-segment removal — the spec's buffer
+    algorithm verbatim (a segment-split shortcut gets the trailing
+    '/.' and '/..' cases wrong: they must leave a trailing slash)."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            start = 1 if inp.startswith("/") else 0
+            j = inp.find("/", start)
+            if j < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def _normalize_percent(s: str) -> str:
+    """RFC 3986 section 6.2.2: decode percent-escapes of unreserved
+    characters; uppercase the hex of every remaining escape."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and len(s) >= i + 3:
+            hex2 = s[i + 1 : i + 3]
+            try:
+                ch = chr(int(hex2, 16))
+            except ValueError:
+                out.append(c)
+                i += 1
+                continue
+            if ch in _URL_UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hex2.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def canonicalize_url(url: str) -> str:
+    """RFC 3986 section 6 URL normalization for URL-level dedup
+    (RefinedWeb dedups on canonical URLs before content dedup):
+    lowercase scheme+host, strip default ports, remove dot segments,
+    normalize percent-escapes (decode unreserved, uppercase the
+    rest), drop the fragment, empty path -> '/'. The query string is
+    kept verbatim (parameter order can be semantic). Userinfo is
+    preserved as-is."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    userinfo, _, hostport = netloc.rpartition("@")
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port is None or port == _DEFAULT_PORTS.get(scheme):
+        hostport = host
+    else:
+        hostport = f"{host}:{port}"
+    netloc = f"{userinfo}@{hostport}" if userinfo else hostport
+    path = _normalize_percent(_remove_dot_segments(parts.path)) or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += "?" + _normalize_percent(parts.query)
+    return out

@@ -315,3 +315,138 @@ def warc_to_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("main_text")).alias("total_len"),
         F.sum(tokens).alias("total_tokens"),
     )
+
+
+@register(
+    "robots_crawl_gate",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 4 AS policy,
+           CASE doc_id % 5
+             WHEN 0 THEN '/index.html'
+             WHEN 1 THEN '/private/x.html'
+             WHEN 2 THEN '/private/open.html'
+             WHEN 3 THEN '/docs/file.pdf'
+             ELSE '/data/set1' END AS path,
+           NOT ((doc_id % 4 = 1 AND doc_id % 5 = 1)
+                OR (doc_id % 4 = 2 AND doc_id % 5 = 3)
+                OR (doc_id % 4 = 3 AND doc_id % 5 = 4)) AS allowed
+    FROM documents
+    """,
+    doc="RFC 9309 robots.txt crawl-permission gate "
+    "(functions/robots.py: user-agent groups incl. shared groups, "
+    "allow/disallow with '*' and trailing-'$' metacharacters, "
+    "longest-match precedence with allow winning ties, empty "
+    "disallow, '*' fallback group — an iterative matcher, no regex, "
+    "so hostile patterns cannot blow up the executor). Each doc "
+    "synthesizes one of four robots policies (allow-all; "
+    "path-prefix disallow with a longer allow carve-out; wildcard "
+    "extension disallow /*.pdf$; agent-specific group) and one of "
+    "five URL paths, evaluates the gate for agent 'trainbot', and "
+    "the oracle re-derives the allowed bit from the hand-written "
+    "truth table of the policy x path grid — so every RFC precedence "
+    "rule the grid exercises (longest-match override, $ anchoring, "
+    "group selection) is value-checked on every row. Complements "
+    "polite_fetch_stage (A-7): that throttles HOW we fetch, this "
+    "gates WHETHER we may. One parallelism shuffle, then mapInPandas.",
+)
+def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    POLICIES = [
+        "User-agent: *\nDisallow:",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/open.html",
+        "User-agent: *\nDisallow: /*.pdf$",
+        "User-agent: trainbot\nDisallow: /data/\n\nUser-agent: *\nDisallow:",
+    ]
+    PATHS = [
+        "/index.html", "/private/x.html", "/private/open.html",
+        "/docs/file.pdf", "/data/set1",
+    ]
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                policy, path = int(d) % 4, PATHS[int(d) % 5]
+                groups = parse_robots(POLICIES[policy])
+                rows.append(
+                    (d, policy, path,
+                     robots_allowed(groups, "trainbot", path))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "policy", "path", "allowed"]
+            )
+
+    return docs.mapInPandas(
+        gate,
+        schema="doc_id long, policy long, path string, allowed boolean",
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 4 AS variant,
+           'http://site' || (doc_id % 10) || '.example/docs/file'
+             || (doc_id % 50) || '.html' AS canon_url
+    FROM documents
+    """,
+    doc="RFC 3986 section-6 URL canonicalization, the URL-level dedup "
+    "prep step (RefinedWeb dedups on canonical URLs before touching "
+    "content): functions/text.canonicalize_url lowercases "
+    "scheme+host, strips default ports, removes dot segments "
+    "(the spec's 5.2.4 algorithm), normalizes percent-escapes "
+    "(decode unreserved, uppercase the rest), drops fragments. Each "
+    "doc synthesizes ONE of four obfuscated variants of the same "
+    "target URL — uppercase host + explicit :80 + fragment; "
+    "dot-segment detour /docs/../docs/./; percent-encoded unreserved "
+    "octet %66 -> f; or the plain form — and the oracle asserts all "
+    "four families collapse to the EXACT same canonical string, "
+    "recomputed from the doc_id formulas. General-input behavior "
+    "(idempotence, non-default ports, userinfo, reserved escapes "
+    "kept) is pinned in tests/test_functions_text.py. "
+    "Arrow-vectorized pandas UDF; one parallelism shuffle.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                k, j, v = int(d) % 10, int(d) % 50, int(d) % 4
+                if v == 0:
+                    url = f"http://site{k}.example/docs/file{j}.html"
+                elif v == 1:
+                    url = f"HTTP://SITE{k}.EXAMPLE:80/docs/file{j}.html#frag"
+                elif v == 2:
+                    url = f"http://site{k}.example/docs/../docs/./file{j}.html"
+                else:
+                    url = f"http://site{k}.example/docs/%66ile{j}.html"
+                rows.append((d, v, canonicalize_url(url)))
+            yield pd.DataFrame(rows, columns=["doc_id", "variant", "canon_url"])
+
+    return docs.mapInPandas(
+        canon, schema="doc_id long, variant long, canon_url string"
+    )

@@ -123,3 +123,81 @@ class TestContentType:
 
     def test_html_rejected(self, spark):
         assert not one(spark, "text/html", is_pdf_content_type)
+
+
+class TestCanonicalizeUrl:
+    """RFC 3986 section-6 normalization (functions/text.py
+    canonicalize_url): case, ports, dot segments, percent-escapes,
+    fragments, idempotence."""
+
+    def test_case_port_fragment(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        assert (
+            canonicalize_url("HTTP://SITE3.EXAMPLE:80/a/b.html#frag")
+            == "http://site3.example/a/b.html"
+        )
+        assert (
+            canonicalize_url("https://A.Example:443/")
+            == "https://a.example/"
+        )
+        # non-default ports survive
+        assert (
+            canonicalize_url("https://a.example:8443/x")
+            == "https://a.example:8443/x"
+        )
+
+    def test_dot_segments_spec_algorithm(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        assert (
+            canonicalize_url("http://h.example/a/b/../../c")
+            == "http://h.example/c"
+        )
+        assert (
+            canonicalize_url("http://h.example/a/./b/.")
+            == "http://h.example/a/b/"
+        )
+        # leading .. cannot climb above root
+        assert (
+            canonicalize_url("http://h.example/../x")
+            == "http://h.example/x"
+        )
+
+    def test_percent_escapes(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        # unreserved octets decode; reserved escapes kept, hex uppercased
+        assert (
+            canonicalize_url("http://h.example/%7Euser/%2fx%4a")
+            == "http://h.example/~user/%2FxJ"
+        )
+        # malformed escape left alone
+        assert (
+            canonicalize_url("http://h.example/a%zz")
+            == "http://h.example/a%zz"
+        )
+
+    def test_empty_path_userinfo_query(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        assert canonicalize_url("http://h.example") == "http://h.example/"
+        assert (
+            canonicalize_url("http://u:p@H.Example/x")
+            == "http://u:p@h.example/x"
+        )
+        assert (
+            canonicalize_url("http://h.example/p?q=%41&b=2")
+            == "http://h.example/p?q=A&b=2"
+        )
+
+    def test_idempotent(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        for u in [
+            "HTTP://SITE3.EXAMPLE:80/docs/../docs/%66ile7.html#f",
+            "http://u@h.example:8080/a/./b/%2F?x=%7E",
+            "https://h.example",
+        ]:
+            once = canonicalize_url(u)
+            assert canonicalize_url(once) == once

@@ -301,6 +301,8 @@ SHUFFLE_BUDGET = {
     "multimodal_audio_features": 1,
     "html_main_text": 0,
     "warc_to_text_pipeline": 2,
+    "robots_crawl_gate": 1,
+    "url_canonical_dedup": 1,
 }
 
 
