@@ -450,3 +450,78 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         canon, schema="doc_id long, variant long, canon_url string"
     )
+
+
+@register(
+    "sitemap_url_extract",
+    oracle="""
+    SELECT d.doc_id,
+           t.i AS pos,
+           'http://site' || (d.doc_id % 10) || '.example/page'
+             || ((d.doc_id + t.i) % 40) AS loc,
+           '2026-0' || (1 + (d.doc_id + t.i) % 9) || '-01' AS lastmod
+    FROM documents d
+    JOIN (SELECT unnest(range(4)) AS i) t ON t.i < 2 + d.doc_id % 3
+    """,
+    doc="sitemaps.org XML sitemap parsing — the crawl-DISCOVERY "
+    "counterpart to robots_crawl_gate (that gates whether we may "
+    "fetch; this enumerates what the host advertises): each doc "
+    "synthesizes a genuine urlset document with per-url loc/lastmod "
+    "elements, then extracts them with the same pure-JVM "
+    "regexp_extract_all + arrays_zip + posexplode shape as "
+    "html_link_extraction (A-2) — zero Python, shuffle-free, "
+    "whole-stage codegen. The oracle rebuilds every (position, loc, "
+    "lastmod) row from the doc_id formulas — value-exact, including "
+    "element ORDER via the position column, which posexplode "
+    "preserves from document order.",
+)
+def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url_block = F.concat(
+        F.lit("<url><loc>http://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/page"),
+    )
+    # build the urlset with 2 + doc_id % 3 <url> entries
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        ),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), (F.lit(1) + F.col("doc_id") % 3)),
+                lambda i: F.concat(
+                    url_block,
+                    ((F.col("doc_id") + i) % 40).cast("string"),
+                    F.lit("</loc><lastmod>2026-0"),
+                    (F.lit(1) + (F.col("doc_id") + i) % 9).cast("string"),
+                    F.lit("-01</lastmod></url>"),
+                ),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    pages = docs.select("doc_id", xml.alias("xml"))
+    parsed = pages.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all("xml", F.lit(r"<loc>([^<]*)</loc>"), 1).alias(
+                    "loc"
+                ),
+                F.regexp_extract_all(
+                    "xml", F.lit(r"<lastmod>([^<]*)</lastmod>"), 1
+                ).alias("lastmod"),
+            )
+        ).alias("pos", "entry"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.loc").alias("loc"),
+        F.col("entry.lastmod").alias("lastmod"),
+    )

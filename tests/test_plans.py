@@ -303,6 +303,7 @@ SHUFFLE_BUDGET = {
     "warc_to_text_pipeline": 2,
     "robots_crawl_gate": 1,
     "url_canonical_dedup": 1,
+    "sitemap_url_extract": 0,
 }
 
 
