@@ -140,7 +140,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_near_dup_cosine",
     "text_tfidf_top_terms",
     "multimodal_video_frame_sample",
-    "pipeline_training_corpus",
+    # r5 (final): pipeline_training_corpus (driver-checked green since
+    # r1) swapped for the round's flagship composition so the harness
+    # audits it directly; the composed-pipeline family keeps
+    # corpus_curation_pipeline in-window, and the rotated-out name
+    # stays under the full-registry CI gate.
+    "warc_to_text_pipeline",
     # streaming batch twins + UDF surface
     "stream_tumbling_window",
     "stream_session_window",

@@ -515,3 +515,43 @@ def test_streaming_quality_scores_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_html_strip_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless streaming markup strip: the shared strip_html JVM
+    expression chain (html_main_text / warc_to_text_pipeline) runs
+    unchanged over readStream in append mode — per-document equality
+    of the EXTRACTED TEXT with the batch run proves the WARC->WET
+    text stage works in both execution modes with one definition."""
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.functions.text import strip_html
+
+    pages_dir = str(tmp_path / "pages_stream")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><script>x=1;</script><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail</p></body></html>"),
+        ).alias("html"),
+    ).coalesce(2).write.mode("overwrite").parquet(pages_dir)
+
+    def project(df):
+        return df.select(
+            "doc_id", strip_html(F.col("html")).alias("main_text")
+        )
+
+    got = {
+        r["doc_id"]: r["main_text"]
+        for r in run_to_memory(
+            spark, project(read_stream(spark, pages_dir)),
+            "t_html_strip", "append",
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["main_text"]
+        for r in project(spark.read.parquet(pages_dir)).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all("<" not in t and "&amp;" not in t for t in got.values())
