@@ -269,7 +269,7 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(n_tokens) AS n_tokens_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
            ROUND(CAST(SUM(CAST(h4 AS DECIMAL(14,4))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_entropy
     FROM gated GROUP BY lang
@@ -340,7 +340,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
     ),
     tot AS (
-      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
              SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
       FROM cnt GROUP BY doc_id
     )
@@ -409,8 +409,8 @@ _VOCAB_V = 20  # top-V vocabulary (the synthetic corpus has 31 distinct
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n) AS total_tokens,
-           SUM(oov) AS total_oov,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(oov) AS BIGINT) AS total_oov,
            ROUND(CAST(SUM(oov) AS DOUBLE) / SUM(n), 6) AS oov_rate
     FROM per GROUP BY lang
     """,

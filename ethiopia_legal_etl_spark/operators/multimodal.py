@@ -396,13 +396,13 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
            'g711-mulaw' AS mu_codec,
            8000 * (1 + d.doc_id % 2) AS mu_rate,
            50 + d.doc_id % 40 AS mu_n,
-           SUM(
+           CAST(SUM(
              (CASE WHEN ((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 128) <> 0
                    THEN -1 ELSE 1 END)
              * ((((((255 - ((d.doc_id * 13 + t.i * 7) % 256)) & 15) * 8) + 132)
                  << (((255 - ((d.doc_id * 13 + t.i * 7) % 256)) >> 4) & 7))
                 - 132)
-           ) AS mu_sum,
+           ) AS BIGINT) AS mu_sum,
            (CASE WHEN ((255 - ((d.doc_id * 13) % 256)) & 128) <> 0
                  THEN -1 ELSE 1 END)
            * ((((((255 - ((d.doc_id * 13) % 256)) & 15) * 8) + 132)
@@ -528,7 +528,8 @@ def multimodal_decode_audio_compressed(
            8 AS width, 8 AS height,
            5 + d.doc_id % 10 AS fps,
            (3 + d.doc_id % 6 + 1) // 2 AS n_sampled,
-           SUM((d.doc_id * 11 + t.k * 17) % 256) AS sampled_val_sum
+           CAST(SUM((d.doc_id * 11 + t.k * 17) % 256) AS BIGINT)
+             AS sampled_val_sum
     FROM documents d
     JOIN (SELECT unnest(range(9)) AS k) t
       ON t.k < 3 + d.doc_id % 6 AND t.k % 2 = 0
@@ -639,9 +640,10 @@ def multimodal_video_frame_sample(
            6 + (d.doc_id // 3) % 10 AS height,
            (5 + d.doc_id % 12) * (6 + (d.doc_id // 3) % 10) AS n_pixels,
            3 AS n_channels,
-           SUM((d.doc_id * 7 + tx.x * 11 + ty.y * 3) % 256) AS r_sum,
-           SUM((tx.x + ty.y * 5 + d.doc_id) % 256) AS g_sum,
-           SUM((tx.x * ty.y + d.doc_id * 13) % 256) AS b_sum
+           CAST(SUM((d.doc_id * 7 + tx.x * 11 + ty.y * 3) % 256) AS BIGINT)
+             AS r_sum,
+           CAST(SUM((tx.x + ty.y * 5 + d.doc_id) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((tx.x * ty.y + d.doc_id * 13) % 256) AS BIGINT) AS b_sum
     FROM documents d
     JOIN (SELECT unnest(range(17)) AS x) tx ON tx.x < 5 + d.doc_id % 12
     JOIN (SELECT unnest(range(16)) AS y) ty
@@ -747,10 +749,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
            5 + d.doc_id % 12 AS in_w,
            6 + (d.doc_id // 3) % 10 AS in_h,
            8 AS out_w, 8 AS out_h,
-           SUM((d.doc_id * 7
+           CAST(SUM((d.doc_id * 7
                 + ((tx.x * (5 + d.doc_id % 12)) // 8) * 11
                 + ((ty.y * (6 + (d.doc_id // 3) % 10)) // 8) * 3) % 256)
-             AS resized_sum
+             AS BIGINT) AS resized_sum
     FROM documents d
     CROSS JOIN (SELECT unnest(range(8)) AS x) tx
     CROSS JOIN (SELECT unnest(range(8)) AS y) ty
@@ -859,9 +861,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_samples,
-           SUM(v * v) AS energy,
-           SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
-                    THEN 1 ELSE 0 END) AS zero_crossings,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            MAX(ABS(v)) AS peak
     FROM w
     GROUP BY doc_id

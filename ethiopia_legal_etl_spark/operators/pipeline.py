@@ -105,7 +105,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT lang, source,
              COUNT(*) AS n_docs,
-             SUM(LEN(string_split(text, ' '))) AS n_tokens
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang, source
     ),
     shares AS (

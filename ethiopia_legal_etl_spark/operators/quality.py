@@ -245,7 +245,7 @@ def _curation_oracle() -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(n_tokens) AS n_tokens_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
            ROUND(CAST(SUM(CAST(s4 AS DECIMAL(14,4))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_score
     FROM gated GROUP BY lang

@@ -48,9 +48,9 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     )
     SELECT CAST(DATE_TRUNC('day', signup_ts) AS DATE) AS signup_date,
            COUNT(*) AS n_signups,
-           SUM(CASE WHEN purchase_ts >= signup_ts
+           CAST(SUM(CASE WHEN purchase_ts >= signup_ts
                      AND purchase_ts <= signup_ts + INTERVAL 7 DAY
-                    THEN 1 ELSE 0 END) AS n_converted,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
            ROUND(CAST(SUM(CASE WHEN purchase_ts >= signup_ts
                      AND purchase_ts <= signup_ts + INTERVAL 7 DAY
                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)

@@ -115,7 +115,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0
              AS price_qty_intercept,
            ROUND(regr_r2(l_extendedprice, l_quantity), 6) + 0 AS price_qty_r2,
-           regr_count(l_extendedprice, l_quantity) AS n_pairs
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -144,7 +144,7 @@ def regr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            median(l_quantity) AS median_qty,
            bool_and(l_discount <= 0.1) AS all_low_discount,
            bool_or(l_tax > 0.07) AS any_high_tax,
-           count_if(l_returnflag = 'R') AS n_returned
+           CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned
     FROM lineitem
     GROUP BY l_linestatus
     """,

@@ -279,7 +279,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ch.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END) AS n_boilerplate,
+           CAST(SUM(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
            ROUND(SUM(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 4) AS boilerplate_frac
     FROM ch JOIN freq USING (chunk)
@@ -335,10 +336,10 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, shard, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS start_offset,
+             AS BIGINT) AS start_offset,
            CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)

@@ -30,7 +30,8 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
            2 + d.doc_id % 4 AS n_records,
            'http://site' || (d.doc_id % 10) || '.example/0' AS first_uri,
            COUNT(*) AS total_payload_bytes,
-           SUM((d.doc_id * 7 + tj.j) % 256) AS payload_byte_sum
+           CAST(SUM((d.doc_id * 7 + tj.j) % 256) AS BIGINT)
+             AS payload_byte_sum
     FROM documents d
     JOIN (SELECT unnest(range(6)) AS i) ti ON ti.i < 2 + d.doc_id % 4
     JOIN (SELECT unnest(range(50)) AS j) tj
@@ -227,11 +228,11 @@ def warc_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_records,
-           SUM(LENGTH(main_text)) AS total_len,
-           SUM(CASE WHEN main_text = '' THEN 0
+           CAST(SUM(LENGTH(main_text)) AS BIGINT) AS total_len,
+           CAST(SUM(CASE WHEN main_text = '' THEN 0
                     ELSE LENGTH(main_text)
                          - LENGTH(replace(main_text, ' ', '')) + 1 END)
-             AS total_tokens
+             AS BIGINT) AS total_tokens
     FROM stripped
     GROUP BY doc_id
     """,

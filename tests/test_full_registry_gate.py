@@ -22,6 +22,31 @@ check_oracle = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(check_oracle)
 
 
+def test_checker_rejects_driver_unsafe_oracle_types():
+    """Round-5 postmortem: 5 driver hash failures on value-correct
+    results because DuckDB promoted SUM(BIGINT) to HUGEINT and the
+    driver's fetch rendered it as float. The checker now hard-fails
+    any oracle whose result schema contains a driver-unsafe type, so
+    the bug class cannot re-enter the registry."""
+    import duckdb
+
+    con = duckdb.connect()
+    # HUGEINT via SUM over BIGINT — the exact shape that shipped 5 failures
+    rel = con.sql("SELECT SUM(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    assert check_oracle.unsafe_oracle_types(rel) == [("s", "HUGEINT")]
+    # DECIMAL (including a bare 1.5 literal, which DuckDB types as
+    # DECIMAL(2,1)) and unsigned are equally unsafe
+    rel = con.sql("SELECT 1.5 AS d, CAST(1 AS UINTEGER) AS u")
+    assert {c for c, _ in check_oracle.unsafe_oracle_types(rel)} == {"d", "u"}
+    # the casts the registry uses are safe
+    rel = con.sql(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s, 'a' AS v, CAST(1.5 AS DOUBLE) AS f,"
+        " DATE '2024-01-01' AS d, TRUE AS b, [1,2] AS arr"
+        " FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    )
+    assert check_oracle.unsafe_oracle_types(rel) == []
+
+
 def test_full_registry_matches_oracles(spark, sf_dir):
     from ethiopia_legal_etl_spark.operators.registry import DRIVER_WINDOW, all_queries
 

@@ -34,6 +34,28 @@ def normalize_cell(v) -> str:
     return str(v)
 
 
+# DuckDB result types the driver's fetch path is known to normalize the
+# same way Spark's collect() does.  Everything else — HUGEINT (SUM over
+# BIGINT), UHUGEINT, DECIMAL, unsigned ints — is rendered as float/Decimal
+# by the driver's pandas/arrow fetch and hash-mismatches value-identical
+# integer results (VERDICT r5).
+_SAFE_TYPE_RE = __import__("re").compile(
+    r"^(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|VARCHAR|BOOLEAN"
+    r"|DATE|TIMESTAMP(?: WITH TIME ZONE)?|BLOB"
+    r"|(?:BIGINT|INTEGER|SMALLINT|DOUBLE|FLOAT|VARCHAR|BOOLEAN)\[\])$"
+)
+
+
+def unsafe_oracle_types(rel) -> list[tuple[str, str]]:
+    """Return (column, type) pairs whose DuckDB type the driver cannot
+    hash faithfully.  Empty list = safe."""
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if not _SAFE_TYPE_RE.match(str(t).upper())
+    ]
+
+
 def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -71,9 +93,21 @@ def run(sf_dir: str, only: list[str], spark=None) -> int:
         try:
             rel = con.sql(q.oracle)
             d_cols = [c.lower() for c in rel.columns]
+            bad_types = unsafe_oracle_types(rel)
             d_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        if bad_types:
+            # Hard gate, not a warning: the driver's fetch path renders
+            # HUGEINT/DECIMAL as float (10 -> 10.0), so a value-identical
+            # result hash-mismatches.  fetchall() here yields Python ints
+            # and would green-light the bug (round-5 postmortem: 5 driver
+            # hash failures on value-correct results).  Driver-unsafe
+            # result types must be impossible to register, not unlikely.
+            print(f"FAIL {name}: driver-unsafe oracle column types {bad_types} "
+                  f"(cast to BIGINT/DOUBLE in the oracle SQL)")
             failures += 1
             continue
         s_cnt, s_hash = frame_hash([c.lower() for c in s_cols], s_rows)
