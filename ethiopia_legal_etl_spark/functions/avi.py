@@ -116,6 +116,10 @@ def _walk(body: bytes, meta: dict, frames: list[bytes], depth: int = 0) -> None:
         if cid == b"LIST":
             _walk(data[4:], meta, frames, depth + 1)  # recurse past the kind
         elif cid == b"avih":
+            if len(data) < 56:
+                # struct.error would escape the pipeline's
+                # except-ValueError isolation (ADVICE r5)
+                raise ValueError("short avih chunk")
             vals = struct.unpack("<14I", data[:56])
             meta.update(
                 fps=1_000_000 // vals[0] if vals[0] else 0,

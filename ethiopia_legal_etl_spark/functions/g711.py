@@ -222,6 +222,9 @@ def decode_compressed_wav(payload: bytes) -> dict:
         i += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        # struct.error would escape except-ValueError isolation
+        raise ValueError("short fmt chunk")
     tag, ch, rate, _br, align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if ch != 1:
         raise ValueError(f"only mono supported, got {ch} channels")

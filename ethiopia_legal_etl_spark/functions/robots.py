@@ -53,14 +53,12 @@ def parse_robots(text: str) -> dict[str, list[tuple[bool, str]]]:
     return groups
 
 
-def _pattern_matches(pattern: str, path: str) -> bool:
-    """RFC 9309 path match: literal octets, '*' wildcard, trailing
-    '$' anchor. Iterative greedy-with-backtrack (no regex, so a
-    hostile pattern can't blow up the matcher)."""
-    anchored = pattern.endswith("$")
-    if anchored:
-        pattern = pattern[:-1]
-    parts = pattern.split("*")
+def _greedy_prefix_match(parts: list[str], path: str) -> bool:
+    """Match '*'-separated literal parts against path with no end
+    anchor: first part is a required prefix, later parts placed
+    greedy-leftmost. Complete for unanchored globs (the classic
+    argument: sliding a later part left never unblocks an earlier
+    one)."""
     pos = 0
     for i, part in enumerate(parts):
         if i == 0:
@@ -72,11 +70,32 @@ def _pattern_matches(pattern: str, path: str) -> bool:
             if found < 0:
                 return False
             pos = found + len(part)
-    if anchored:
-        if parts[-1] == "":  # pattern ends in '*': matches any tail
-            return True
-        return pos == len(path)
     return True
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path match: literal octets, '*' wildcard, trailing
+    '$' anchor. Iterative greedy placement (no regex, so a hostile
+    pattern can't blow up the matcher)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    if not anchored or parts[-1] == "":
+        # unanchored, or the anchor follows a '*' (vacuous: any tail)
+        return _greedy_prefix_match(parts[:-1] if parts[-1] == "" and len(parts) > 1 else parts, path)
+    # Anchored with a non-empty final literal: that literal must sit
+    # exactly at end-of-path. Greedy-LEFTMOST placement of it fails
+    # paths where it also occurs earlier ('/*.pdf$' vs '/a.pdf.pdf')
+    # and would fail the crawl-permission gate OPEN. Pin the suffix,
+    # then match the remaining parts unanchored within what precedes it.
+    last = parts[-1]
+    if not path.endswith(last):
+        return False
+    head = path[: len(path) - len(last)]
+    if len(parts) == 1:  # no '*' at all: anchored means exact match
+        return head == ""
+    return _greedy_prefix_match(parts[:-1], head)
 
 
 def robots_allowed(

@@ -188,11 +188,22 @@ def canonicalize_url(url: str) -> str:
     netloc = parts.netloc
     userinfo, _, hostport = netloc.rpartition("@")
     host = (parts.hostname or "").lower()
-    port = parts.port
-    if port is None or port == _DEFAULT_PORTS.get(scheme):
-        hostport = host
+    if ":" in host:
+        # urlsplit().hostname strips IPv6 brackets; re-bracket or the
+        # rebuilt authority ('http://::1/') is invalid and splits
+        # one IPv6 host into distinct dedup keys
+        host = "[" + host + "]"
+    try:
+        port = parts.port
+    except ValueError:
+        # malformed port ('http://h:7x/'): keep the authority verbatim
+        # rather than crash URL-level dedup on crawl-frontier noise
+        pass
     else:
-        hostport = f"{host}:{port}"
+        if port is None or port == _DEFAULT_PORTS.get(scheme):
+            hostport = host
+        else:
+            hostport = f"{host}:{port}"
     netloc = f"{userinfo}@{hostport}" if userinfo else hostport
     path = _normalize_percent(_remove_dot_segments(parts.path)) or "/"
     out = f"{scheme}://{netloc}{path}"

@@ -115,6 +115,11 @@ def parse_warc(payload: bytes) -> list[dict]:
         if "content-length" not in fields:
             raise ValueError("record without Content-Length")
         n = int(fields["content-length"])
+        if n < 0:
+            # a negative length would move pos BACKWARDS and loop the
+            # executor task forever — a hostile archive must reject,
+            # not hang, for per-record error isolation to hold
+            raise ValueError(f"negative Content-Length {n}")
         body_start = end + 4
         if body_start + n > len(payload):
             raise ValueError("truncated record block")

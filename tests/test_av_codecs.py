@@ -193,6 +193,12 @@ def test_compressed_wav_rejects_foreign_payloads():
     body2 += b"data" + struct.pack("<I", 4) + b"\xff" * 4
     with pytest.raises(ValueError, match="mono"):
         decode_compressed_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    # fmt chunk shorter than 16 bytes: must raise ValueError (the
+    # pipeline's isolation contract), not leak struct.error (ADVICE r5)
+    body3 = b"WAVE" + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+    body3 += b"data" + struct.pack("<I", 2) + b"\xff\xff"
+    with pytest.raises(ValueError, match="short fmt"):
+        decode_compressed_wav(b"RIFF" + struct.pack("<I", len(body3)) + body3)
 
 
 # ------------------------------------------------------------- MJPEG AVI
@@ -231,6 +237,12 @@ def test_avi_rejects_malformed():
     # non-MJPEG stream handler rejected, not mis-decoded
     with pytest.raises(ValueError, match="MJPEG"):
         parse_avi(good.replace(b"vidsMJPG", b"vidsH264"))
+    # avih chunk shorter than its 56-byte struct: ValueError, not
+    # struct.error, so except-ValueError isolation catches it
+    start = good.find(b"avih")
+    short = good[:start] + b"avih" + struct.pack("<I", 8) + good[start + 8:]
+    with pytest.raises(ValueError, match="short avih"):
+        parse_avi(short)
     # frame-count mismatch between avih and movi detected: find the
     # avih payload and corrupt dwTotalFrames
     i = good.index(b"avih") + 8

@@ -178,6 +178,21 @@ class TestCanonicalizeUrl:
             == "http://h.example/a%zz"
         )
 
+    def test_ipv6_and_malformed_port(self):
+        from ethiopia_legal_etl_spark.functions.text import canonicalize_url
+
+        # ADVICE r5: hostname strips IPv6 brackets; must re-bracket
+        assert canonicalize_url("http://[::1]/x") == "http://[::1]/x"
+        assert (
+            canonicalize_url("HTTP://[2001:DB8::1]:80/a")
+            == "http://[2001:db8::1]/a"
+        )
+        assert (
+            canonicalize_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
+        )
+        # malformed port: keep authority verbatim instead of raising
+        assert canonicalize_url("http://h.example:7x/a").endswith("/a")
+
     def test_empty_path_userinfo_query(self):
         from ethiopia_legal_etl_spark.functions.text import canonicalize_url
 

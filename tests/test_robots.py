@@ -86,6 +86,19 @@ def test_pattern_matcher_star_and_anchor_semantics():
     assert _pattern_matches("/d/*$", "/d/whatever")
 
 
+def test_anchored_suffix_repeated_in_path_still_matches():
+    # ADVICE r5 (high): greedy-LEFTMOST placement of the final literal
+    # landed on the early '.pdf' and reported these as NON-matching —
+    # the crawl gate failed OPEN on disallowed URLs
+    assert _pattern_matches("/*.pdf$", "/a.pdf.pdf")
+    assert _pattern_matches("/*.pdf$", "/a.pdfq.pdf")
+    assert _pattern_matches("/*ab*b$", "/xabb")
+    assert not _pattern_matches("/*.pdf$", "/a.pdf.pdfx")
+    # and the gate consequence: the URL is actually disallowed
+    groups = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert robots_allowed(groups, "anybot", "/a.pdf.pdf") is False
+
+
 def test_hostile_pattern_cannot_blow_up():
     # classic catastrophic-backtracking shape for regex engines; the
     # iterative matcher must stay linear-ish

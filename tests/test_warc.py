@@ -99,6 +99,13 @@ def test_malformed_rejected_not_misparsed():
         parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
     with pytest.raises(ValueError, match="gzip"):
         parse_warc(write_warc(_recs(2, 2), compress=True)[:-10])
+    # ADVICE r5: a negative Content-Length moved pos backwards and
+    # looped the executor task forever; must reject, not hang
+    with pytest.raises(ValueError, match="negative"):
+        parse_warc(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: -33\r\n\r\nx\r\n\r\n"
+        )
 
 
 def test_corrupt_gzip_member_rejected_as_valueerror():
