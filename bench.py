@@ -51,6 +51,16 @@ HEADLINE = [
     "pipeline_training_corpus",
 ]
 
+# Secondary (non-headline) section: the r5 Python-stage heavyweights.
+# NOT part of the frozen headline total — the 27-query set predates
+# them and stays comparable across rounds — but timed and reported
+# each round so perf regressions in the mapInPandas codec/archive
+# operators are visible (VERDICT r5 #8). r6 is their baseline.
+SECONDARY = [
+    "warc_to_text_pipeline",
+    "multimodal_decode_audio_compressed",
+]
+
 
 LOAD_START = os.getloadavg()
 
@@ -70,36 +80,57 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     min_timings: dict[str, float] = {}
-    for name in HEADLINE:
+    all_runs: dict[str, list[float]] = {}
+
+    def time_query(name: str) -> None:
         runs: list[float] = []
         for _ in range(4):
             df = qs[name].builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        all_runs[name] = [round(r, 3) for r in runs]
         steady = sorted(runs[1:])
         timings[name] = round(steady[len(steady) // 2], 3)
         spreads[name] = round(steady[-1] - steady[0], 3)
         min_timings[name] = round(steady[0], 3)
 
+    for name in HEADLINE + SECONDARY:
+        time_query(name)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_end = os.getloadavg()
+    headline_t = {n: timings[n] for n in HEADLINE}
+    # Detail line first (full per-run raw timings + spreads — for a
+    # human or the repo's own round notes), THEN the compact summary
+    # as the FINAL stdout line: the driver keeps only the last ~2000
+    # bytes of stdout, so everything the cross-round comparison needs
+    # must fit in that one last line (VERDICT r5 #3).
+    print(json.dumps({"detail_runs": all_runs, "spread": spreads}))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(headline_t.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
+                "queries": headline_t,
                 "n_runs": 4,
                 "stat": "median_of_last_3",
+                # per-run totals over the frozen headline set: run 1
+                # includes one-time codegen; a noisy-box episode shows
+                # as disagreement among runs 2-4
+                "run_totals": [
+                    round(sum(all_runs[n][i] for n in HEADLINE), 3)
+                    for i in range(4)
+                ],
                 # r2 and earlier reported best-of-3; emitted alongside
                 # so cross-round diffs don't read the r3 methodology
                 # change as a perf change (ADVICE r3)
                 "value_min_of_runs": round(
-                    sum(min_timings.values()), 3
+                    sum(min_timings[n] for n in HEADLINE), 3
                 ),
+                # non-headline heavyweights (frozen total excludes them)
+                "secondary": {n: timings[n] for n in SECONDARY},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # host 1/5/15-min load average at start and end of the
                 # measured window, so a noisy-box episode (like the
