@@ -412,6 +412,67 @@ def test_streaming_transform_with_state(spark, events_stream_dir):
             spark.conf.set(key, saved)
 
 
+def test_tws_processor_logic_matches_batch_aggregate(spark, events_stream_dir):
+    """Pure-batch differential for the RunningTotals processor
+    (VERDICT r5 #6): the TWS state CHANNEL needs the absent protobuf
+    wheel, but the processor's handleInputRows logic is plain Python
+    over pandas batches — drive it directly with a fake ValueState,
+    replaying each user's rows split across multiple micro-batch
+    calls, and require the final emitted totals to equal the batch
+    aggregate."""
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        _make_running_totals_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    RunningTotals = _make_running_totals_processor()
+    pdf = spark.read.parquet(events_stream_dir).select("user_id", "value").toPandas()
+    final: dict = {}
+    for uid, grp in pdf.groupby("user_id"):
+        proc = RunningTotals()
+        proc.init(FakeHandle())
+        # split the user's rows into 3 calls (micro-batches), each with
+        # the rows iterable further split into 2 pandas chunks — state
+        # must carry across calls and chunks
+        parts = [grp.iloc[i::3] for i in range(3)]
+        for part in parts:
+            if part.empty:
+                continue
+            half = len(part) // 2
+            chunks = [c for c in (part.iloc[:half], part.iloc[half:]) if not c.empty]
+            out = list(proc.handleInputRows((uid,), iter(chunks), None))
+            assert len(out) == 1
+        proc.close()
+        last = out[0].iloc[0]
+        final[uid] = (int(last["n_events"]), round(float(last["total_value"]), 2))
+
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 2)) for r in batch.collect()}
+    assert final == want
+
+
 def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir):
     """Native session_window under a real stream: every session emitted
     in append mode must equal its batch twin exactly; only sessions
