@@ -231,8 +231,13 @@ def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the decoder exactly inverts the encoder — including canonical "
     "file sizes (44-byte WAV header; BMP 4-byte row padding). "
     "Compressed-codec decode: JPEG is REAL as of r5 (from-scratch "
-    "baseline codec, multimodal_decode_jpeg); MP3 remains stubbed "
-    "(multimodal_decode_stub) pending ffmpeg on deployment. "
+    "baseline codec, multimodal_decode_jpeg), and MPEG-1 Audio "
+    "Layer I is REAL as of r6 (multimodal_decode_mpeg1, "
+    "functions/mpeg1.py); MP3 (Layer III) remains stubbed "
+    "(multimodal_decode_stub) pending ffmpeg on deployment — a "
+    "perceptual Huffman/hybrid-filterbank codec has no in-container "
+    "exact ground truth, but its frame/header family is now "
+    "exercised for real by the Layer I decoder. "
     "One deliberate parallelism shuffle (doc_id repartition; see the "
     "comment at the scan), then synth -> decode in back-to-back "
     "Arrow-batched mapInPandas stages.",
@@ -934,5 +939,135 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, n_samples long, energy long, "
             "zero_crossings long, peak long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_mpeg1",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, sb.sb,
+             2 + (d.doc_id + sb.sb) % 14 AS nb,
+             (d.doc_id + 2 * sb.sb) % 21 AS k,
+             t.t
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(32)) AS sb) sb
+      CROSS JOIN (SELECT unnest(range(12)) AS t) t
+      WHERE (3 * sb.sb + d.doc_id) % 4 = 0
+    ),
+    vals AS (
+      SELECT doc_id, sb, nb, k, t,
+             (doc_id * 5 + sb * 3 + t * 11) % ((1::BIGINT << nb) - 1) AS c
+      FROM grid
+    ),
+    vv AS (
+      SELECT doc_id, sb, nb, k, c, t,
+             (2.0 / CAST((1::BIGINT << k) AS DOUBLE))
+               * CAST(2 * c + 2 - (1::BIGINT << nb) AS DOUBLE)
+               / CAST((1::BIGINT << nb) - 1 AS DOUBLE) AS v
+      FROM vals
+    )
+    SELECT doc_id,
+           sb AS subband,
+           CAST(MAX(nb) AS BIGINT) AS nb,
+           CAST(3 * MAX(k) AS BIGINT) AS scf_index,
+           CAST(SUM(c) AS BIGINT) AS code_sum,
+           MAX(CASE WHEN t = 0 THEN v END) AS v_first,
+           MIN(v) AS v_min,
+           MAX(v) AS v_max
+    FROM vv
+    GROUP BY doc_id, sb
+    """,
+    doc="REAL MPEG-1 Audio Layer I decode (ISO/IEC 11172-3) — the "
+    "perceptual-codec family's spec-decodable member, closing the gap "
+    "the MP3 stub documents (full Layer III has no in-container exact "
+    "ground truth; Layer I shares the same header/frame syntax family "
+    "and decodes to exact values). Per doc the executor synthesizes a "
+    "genuine 672-byte 448 kbps/32 kHz mono frame (formula-derived bit "
+    "allocations, scalefactor indices, and sample codes), bit-packs it "
+    "through the real frame syntax, re-parses the bitstream, and "
+    "requantizes: v = sf * (2c + 2 - 2^nb) / (2^nb - 1). The oracle "
+    "recomputes every decoded value FROM THE FORMULAS, never touching "
+    "the bitstream, so parity proves header arithmetic + bit-level "
+    "pack/parse + requantization end-to-end. Scalefactor indices are "
+    "multiples of 3, making each sf an exact power of two; each "
+    "decoded value is then sf*m/d with odd d = 2^nb - 1 — ONE IEEE "
+    "division, bit-identical across engines, so v_first/v_min/v_max "
+    "compare as raw doubles with no rounding policy needed. Plan: one "
+    "parallelism shuffle of bare doc_ids (the measured single-file "
+    "trap fix), then synth -> parse in Arrow-batched mapInPandas; "
+    "per-(doc,subband) output, no further shuffle (groupBy is "
+    "Python-side within the already-grouped frame).",
+)
+def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.mpeg1 import (
+        parse_layer1,
+        write_layer1_frame,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            frames = []
+            for i in ids:
+                allocations = [0] * 32
+                scf, samples = [], []
+                for sb in range(32):
+                    if (3 * sb + i) % 4:
+                        continue
+                    nb = 2 + (i + sb) % 14
+                    allocations[sb] = nb - 1
+                    scf.append(3 * ((i + 2 * sb) % 21))
+                    samples.append(
+                        [
+                            (i * 5 + sb * 3 + t * 11) % ((1 << nb) - 1)
+                            for t in range(12)
+                        ]
+                    )
+                frames.append(write_layer1_frame(allocations, scf, samples))
+            yield pd.DataFrame({"doc_id": ids, "frame": frames})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, frame binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
+                (f,) = parse_layer1(bytes(frame))
+                for s in f["subbands"]:
+                    rows.append(
+                        (
+                            doc_id,
+                            s["subband"],
+                            s["nb"],
+                            s["scf_index"],
+                            sum(s["codes"]),
+                            s["values"][0],
+                            min(s["values"]),
+                            max(s["values"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subband", "nb", "scf_index",
+                    "code_sum", "v_first", "v_min", "v_max",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, subband long, nb long, scf_index long, "
+            "code_sum long, v_first double, v_min double, v_max double"
         ),
     )

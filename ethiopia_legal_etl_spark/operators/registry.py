@@ -111,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "array_ops_doc_tokens",
     "map_ops_user_stats",
     "predicates_null_in_like",
-    "scalar_subquery_above_avg",
     # dedup / similarity / text / multimodal / pipeline
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
@@ -163,6 +162,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tests/test_full_registry_gate.py on every pytest run.
     "multimodal_decode_png",
     "multimodal_image_resize",
+    # r6 flagship: the from-scratch MPEG-1 Audio Layer I decoder
+    # (ISO 11172-3; VERDICT r5 #7) — value-exact oracle, raw-double
+    # parity, no rounding policy. scalar_subquery_above_avg
+    # (driver-green since r1) rotates out to make room.
+    "multimodal_decode_mpeg1",
     "multimodal_audio_features",
     "corpus_quality_curation",
     "warc_ingest_extract",

@@ -1,0 +1,143 @@
+"""MPEG-1 Audio Layer I codec (functions/mpeg1.py): encode/parse
+round-trip identity, requantization values against hand-computed ISO
+11172-3 cases, header/slot arithmetic, and reject-with-ValueError
+contracts for malformed or out-of-scope streams."""
+
+from __future__ import annotations
+
+import pytest
+
+from ethiopia_legal_etl_spark.functions.mpeg1 import (
+    BITRATES_L1,
+    SAMPLE_RATES,
+    SCALEFACTORS,
+    layer1_frame_bytes,
+    parse_layer1,
+    requantize,
+    write_layer1_frame,
+)
+
+
+def _synth_frame_inputs(seed: int):
+    allocations = [0] * 32
+    active = [sb for sb in range(32) if (3 * sb + seed) % 4 == 0]
+    scf, samples = [], []
+    for sb in active:
+        nb = 2 + (seed + sb) % 14  # 2..15 bits
+        allocations[sb] = nb - 1
+        scf.append(3 * ((seed + 2 * sb) % 21))
+        samples.append(
+            [(seed * 5 + sb * 3 + t * 11) % ((1 << nb) - 1) for t in range(12)]
+        )
+    return allocations, scf, samples
+
+
+def test_scalefactor_table_matches_iso_b1():
+    assert SCALEFACTORS[0] == 2.0
+    assert SCALEFACTORS[3] == 1.0
+    assert SCALEFACTORS[6] == 0.5
+    assert abs(SCALEFACTORS[1] - 1.58740105196820) < 1e-12
+    assert abs(SCALEFACTORS[2] - 1.25992104989487) < 1e-12
+    assert len(SCALEFACTORS) == 63  # index 63 forbidden
+
+
+def test_requantize_hand_computed():
+    # nb=2, sf index 3 (sf=1.0): codes 0,1,2 -> -(2/3), 0, +(2/3)
+    assert requantize(1, 2, 3) == 0.0
+    assert requantize(0, 2, 3) == -2.0 / 3.0
+    assert requantize(2, 2, 3) == 2.0 / 3.0
+    # nb=3: s'' = (2c + 2 - 8)/7
+    assert requantize(3, 3, 3) == 0.0
+    assert requantize(6, 3, 3) == 6.0 / 7.0
+    # scalefactor scales linearly
+    assert requantize(6, 3, 0) == 2.0 * (6.0 / 7.0)
+    # full-scale magnitudes stay inside (-1, 1) before scalefactor
+    for nb in range(2, 16):
+        lo = requantize(0, nb, 3)
+        hi = requantize((1 << nb) - 2, nb, 3)
+        assert -1.0 < lo < 0.0 < hi < 1.0
+        assert lo == -hi  # symmetric code space
+
+
+def test_frame_slot_arithmetic():
+    # ISO: Layer I slot = 4 bytes, N = 12 * bitrate / fs
+    assert layer1_frame_bytes(448000, 32000) == 672
+    assert layer1_frame_bytes(32000, 44100) == 4 * (12 * 32000 // 44100)
+    assert layer1_frame_bytes(448000, 32000, padding=1) == 676
+
+
+def test_round_trip_identity_all_fields():
+    for seed in (0, 1, 7, 40, 123):
+        allocations, scf, samples = _synth_frame_inputs(seed)
+        frame = write_layer1_frame(allocations, scf, samples)
+        assert len(frame) == 672
+        (f,) = parse_layer1(frame)
+        assert f["sample_rate"] == 32000
+        assert f["bitrate"] == 448000
+        assert f["frame_bytes"] == 672
+        assert f["allocations"] == allocations
+        got_active = [s["subband"] for s in f["subbands"]]
+        want_active = [sb for sb, a in enumerate(allocations) if a]
+        assert got_active == want_active
+        for i, s in enumerate(f["subbands"]):
+            assert s["scf_index"] == scf[i]
+            assert s["codes"] == samples[i]
+            for c, v in zip(s["codes"], s["values"]):
+                assert v == requantize(c, s["nb"], s["scf_index"])
+
+
+def test_multi_frame_stream_parses_in_order():
+    a0, s0, x0 = _synth_frame_inputs(3)
+    a1, s1, x1 = _synth_frame_inputs(8)
+    stream = write_layer1_frame(a0, s0, x0) + write_layer1_frame(a1, s1, x1)
+    f0, f1 = parse_layer1(stream)
+    assert f0["allocations"] == a0 and f1["allocations"] == a1
+
+
+def test_rejects_malformed():
+    allocations, scf, samples = _synth_frame_inputs(5)
+    good = write_layer1_frame(allocations, scf, samples)
+    with pytest.raises(ValueError, match="syncword"):
+        parse_layer1(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_layer1(good[:-10])
+    with pytest.raises(ValueError, match="truncated header"):
+        parse_layer1(good + b"\xff\xfe")
+    # Layer II header (layer bits '10') rejected, not mis-decoded
+    l2 = bytes([good[0], (good[1] & ~0b110) | 0b100]) + good[2:]
+    with pytest.raises(ValueError, match="Layer I"):
+        parse_layer1(l2)
+    # stereo mode rejected (mono-only scope)
+    st = bytearray(good)
+    st[3] &= ~0b11000000  # mode '00' = stereo
+    with pytest.raises(ValueError, match="single_channel"):
+        parse_layer1(bytes(st))
+    # free-format bitrate (index 0) rejected
+    fr = bytearray(good)
+    fr[2] &= 0x0F
+    with pytest.raises(ValueError, match="bitrate"):
+        parse_layer1(bytes(fr))
+    # allocation code 15 rejected (spec-forbidden)
+    bad = bytearray(good)
+    bad[4] |= 0xF0  # first allocation nibble -> 15
+    with pytest.raises(ValueError, match="allocation"):
+        parse_layer1(bytes(bad))
+
+
+def test_encoder_validates_inputs():
+    allocations, scf, samples = _synth_frame_inputs(2)
+    with pytest.raises(ValueError, match="32 allocation"):
+        write_layer1_frame([0] * 31, scf, samples)
+    with pytest.raises(ValueError, match="match active"):
+        write_layer1_frame(allocations, scf[:-1], samples)
+    # code 2^nb - 1 (all ones) is not a valid quantization level
+    bad = [list(s) for s in samples]
+    nb = allocations[[sb for sb, a in enumerate(allocations) if a][0]] + 1
+    bad[0][0] = (1 << nb) - 1
+    with pytest.raises(ValueError, match="out of range"):
+        write_layer1_frame(allocations, scf, bad)
+
+
+def test_bitrate_and_rate_tables():
+    assert BITRATES_L1[14] == 448000 and BITRATES_L1[1] == 32000
+    assert SAMPLE_RATES == [44100, 48000, 32000]
