@@ -246,3 +246,74 @@ def test_polite_fetch_keeps_error_isolation(spark):
     errs = [r for r in out if r["error"] is not None]
     assert len(errs) == 1 and "OSError" in errs[0]["error"]
     assert len(out) == 6
+
+
+def test_live_http_service_matches_function_path(spark):
+    """A-20 live service (operators/service.py): a real HTTP server
+    (stdlib http.server, no FastAPI needed) serving POST /ingest over
+    the same Spark graph. Response bodies must equal the direct
+    ingest_single results; transport errors follow the reference
+    contract (422 validation, 404 path, 405 method, errors as 200-OK
+    objects)."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from ethiopia_legal_etl_spark.operators.ingest import ingest_single
+    from ethiopia_legal_etl_spark.operators.service import (
+        make_ingest_server,
+        start_ingest_server,
+    )
+
+    server = make_ingest_server(
+        spark, fetcher=fake_fetcher, extractor=fake_extractor,
+        ingest_date="2025-08-15",
+    )
+    host, port = server.server_address
+    start_ingest_server(server)
+    try:
+        def post(path, body):
+            req = Request(
+                f"http://{host}:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        # success: byte-for-byte the function path's response
+        want = ingest_single(
+            spark, "vol99", f"{BASE}/vol01.pdf",
+            fetcher=fake_fetcher, extractor=fake_extractor,
+            ingest_date="2025-08-15",
+        )
+        status, got = post("/ingest", {"volume": "vol99", "pdf_url": f"{BASE}/vol01.pdf"})
+        assert status == 200 and got == want
+
+        # parse failure: 200-OK error object (mcp_server.py:30)
+        status, got = post("/ingest", {"volume": "v", "pdf_url": f"{BASE}/notpdf.pdf"})
+        assert status == 200 and set(got) == {"error"}
+
+        # validation: missing field -> 422 with FastAPI-shaped detail
+        try:
+            post("/ingest", {"volume": "v"})
+            raise AssertionError("expected 422")
+        except HTTPError as e:
+            assert e.code == 422
+            assert json.loads(e.read())["detail"][0]["loc"] == ["body", "pdf_url"]
+
+        # wrong path -> 404; GET -> 405
+        try:
+            post("/other", {})
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+        try:
+            with urlopen(f"http://{host}:{port}/ingest") as resp:
+                raise AssertionError("expected 405")
+        except HTTPError as e:
+            assert e.code == 405
+    finally:
+        server.shutdown()
+        server.server_close()
