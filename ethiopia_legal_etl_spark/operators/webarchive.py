@@ -241,7 +241,11 @@ def warc_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     "genuine per-record-gzipped WARC whose response payloads are HTML "
     "pages embedding the document text (real container, real "
     "compression), parse it back and EXPLODE to one row per record "
-    "(Arrow mapInPandas), strip markup with the shared "
+    "in a single Arrow mapInPandas stage (the transient archive "
+    "bytes never cross the JVM boundary — measured ~40% faster than "
+    "materializing the binary column between two stages; the "
+    "file-based read path stays covered by warc_ingest_extract), "
+    "strip markup with the shared "
     "functions/text.strip_html JVM expression chain (identical "
     "semantics to html_main_text — zero Python in the text stage), "
     "and aggregate per-document record counts, text lengths, and "
@@ -266,7 +270,16 @@ def warc_to_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE mapInPandas stage: build the per-record-gzipped archive
+        # and immediately re-parse it in the same Python worker, so the
+        # compressed container bytes never cross the Arrow boundary.
+        # (Measured r6: two stages with a transient binary column cost
+        # ~0.9 s steady-state at sf0.1 vs ~0.57 s merged — the archive
+        # crossed JVM<->Python twice for no reason. The FILE-based WARC
+        # read path, where archives genuinely arrive as bytes, stays
+        # separately exercised by warc_ingest_extract and the
+        # sources/warc.py DataSource.)
         for pdf in batches:
             rows = []
             for d, text in zip(pdf["doc_id"], pdf["text"]):
@@ -285,23 +298,13 @@ def warc_to_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                     for i in range(2 + d % 3)
                 ]
-                rows.append((d, write_warc(recs, compress=True)))
-            yield pd.DataFrame(rows, columns=["doc_id", "warc"])
-
-    media = docs.mapInPandas(synth, schema="doc_id long, warc binary")
-
-    def explode_records(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d, warc in zip(pdf["doc_id"], pdf["warc"]):
-                for rec in parse_warc(bytes(warc)):
+                warc = write_warc(recs, compress=True)
+                for rec in parse_warc(warc):
                     rows.append((d, rec["payload"].decode("utf-8")))
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
-    pages = media.mapInPandas(
-        explode_records, schema="doc_id long, html string"
+    pages = docs.mapInPandas(
+        synth_parse, schema="doc_id long, html string"
     )
     stripped = pages.select(
         "doc_id", strip_html(F.col("html")).alias("main_text")
