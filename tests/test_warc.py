@@ -115,3 +115,56 @@ def test_corrupt_gzip_member_rejected_as_valueerror():
     gz[20] ^= 0xFF  # flip a byte inside the first member's deflate data
     with pytest.raises(ValueError):
         parse_warc(bytes(gz))
+
+
+# ---------------------------------------------------------- hypothesis fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=150, deadline=None)
+@given(hst.binary(max_size=600))
+def test_fuzz_arbitrary_bytes_reject_cleanly(payload):
+    """Hostile-archive contract: arbitrary bytes either parse or raise
+    ValueError — never hang (the r5 negative-Content-Length bug moved
+    the cursor backwards and looped forever; this fuzz pins the whole
+    class), never leak other exception types past the per-record
+    isolation boundary."""
+    try:
+        parse_warc(payload)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(hst.binary(max_size=120), hst.integers(0, 400))
+def test_fuzz_spliced_noise_rejects_or_parses(noise, cut):
+    good = write_warc(_recs(2, 3), compress=True)
+    cut = min(cut, len(good))
+    mutated = good[:cut] + noise + good[cut + len(noise):]
+    try:
+        parse_warc(mutated)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.integers(-10**6, 10**6))
+def test_fuzz_content_length_field_bounds(n):
+    """Any declared Content-Length that disagrees with the actual body
+    (negative, overlong) must reject; only the true length parses."""
+    body = b"x" * 7
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"Content-Length: {n}\r\n\r\n".encode()
+        + body + b"\r\n\r\n"
+    )
+    try:
+        recs = parse_warc(raw)
+        # if it parsed, the declared length must have been consistent
+        # with the framing (payload is a prefix of body + terminators)
+        assert 0 <= n <= len(body) + 4
+        assert recs[0]["payload"] == (body + b"\r\n\r\n")[:n]
+    except ValueError:
+        pass
