@@ -757,6 +757,7 @@ def codecs_probe(spark, scratch: str) -> list[dict]:
         "multimodal_decode_png",
         "multimodal_image_resize",
         "multimodal_audio_features",
+        "multimodal_decode_mpeg1",
         "warc_ingest_extract",
         "warc_to_text_pipeline",
         "html_main_text",
