@@ -65,7 +65,7 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
-def run(sf_dir: str, only: list[str], spark=None) -> int:
+def run(sf_dir: str, only: list[str], spark=None, count_warns: bool = False):
     # an existing session (e.g. the pytest fixture) can be passed in so
     # the full-registry gate test reuses it instead of building its own
     spark = spark if spark is not None else get_spark()
@@ -75,6 +75,7 @@ def run(sf_dir: str, only: list[str], spark=None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
         )
     failures = 0
+    warns = 0
     qs = all_queries()
     names = only or sorted(qs)
     for name in names:
@@ -153,9 +154,11 @@ def run(sf_dir: str, only: list[str], spark=None) -> int:
                 for r in d_rows
             )
             strict = "" if s_raw == d_raw else "  [WARN: raw reprs differ]"
+            if strict:
+                warns += 1
             print(f"OK   {name}: {s_cnt} rows hash={s_hash}{strict}")
-    print(f"\n{len(names) - failures}/{len(names)} passed")
-    return failures
+    print(f"\n{len(names) - failures}/{len(names)} passed, {warns} raw-repr warnings")
+    return failures if not count_warns else (failures, warns)
 
 
 if __name__ == "__main__":
