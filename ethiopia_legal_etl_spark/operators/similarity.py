@@ -597,3 +597,74 @@ def read_probed_cells(
     IN-predicate lands in the scan's PartitionFilters (static pruning
     — directory listing skips every other cell)."""
     return spark.read.parquet(path).where(F.col("cell").isin(cells))
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle="""
+    WITH d AS (SELECT vec_id, label,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    kept AS (
+      SELECT a.vec_id, a.label,
+             NOT EXISTS (
+               SELECT 1 FROM d b
+               WHERE b.label = a.label AND b.vec_id < a.vec_id
+                 AND LIST_COSINE_SIMILARITY(a.e, b.e) > 0.9
+             ) AS kept
+      FROM d a
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM kept GROUP BY label
+    """,
+    doc="SemDeDup-style SEMANTIC deduplication (Abbas et al., "
+    "arXiv:2303.09540: cluster embeddings, drop all but one of each "
+    "semantic-duplicate group within a cluster) adapted to a "
+    "DISTRIBUTED-DETERMINISTIC keep rule: a vector is kept iff no "
+    "LOWER-id vector in its cell has cosine > tau (0.9). The paper's "
+    "sequential greedy sweep is order-dependent and unbatchable; the "
+    "lowest-id rule is partition- and arrival-order-independent, so "
+    "the same corpus always dedups identically on any cluster layout "
+    "— the property a 100 TB rerun needs. Keeps AT LEAST the greedy "
+    "sweep's coverage (every dropped vector names a kept lower-id "
+    "witness... which may itself be dropped; tau-transitive chains "
+    "over-drop vs greedy — the standard trade, stated honestly). "
+    "Plan: cells are the IVF-style label blocks with the cell-size "
+    "bound ENFORCED (resplit_oversized_cells), candidate pairs via "
+    "equi-join on (cell, sub) — never all-pairs — then LEFT ANTI "
+    "join = the NOT EXISTS, then one per-label aggregation. Output "
+    "is the per-label kept/dropped accounting (the dedup-rate "
+    "dashboard a curation run reports).",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    cells = resplit_oversized_cells(d, "label", "vec_id", 10_000)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(cos > 0.9)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    all_flagged = (
+        d.select("vec_id", "label")
+        .join(dropped.withColumn("hit", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "label", F.col("hit").isNull().alias("kept"))
+    )
+    return all_flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+    )

@@ -469,3 +469,46 @@ def test_ivf_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert n_all == n_src
+
+
+def test_semantic_dedup_matches_bruteforce_model(spark, sf_dir):
+    """dedup_semantic_keep (SemDeDup-adapted lowest-id-witness rule)
+    vs an independent brute-force Python model over the same vectors:
+    per-label kept/dropped counts must agree exactly, and the rule's
+    two invariants hold (every dropped vec has a lower-id same-label
+    witness with cos > tau; no kept vec has one)."""
+    import math
+    from collections import defaultdict
+
+    from ethiopia_legal_etl_spark.operators.similarity import dedup_semantic_keep
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        by_label[r["label"]].append((r["vec_id"], [float(x) for x in r["embedding"]]))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    want = {}
+    for label, vecs in by_label.items():
+        kept = dropped = 0
+        for i, (vid, e) in enumerate(vecs):
+            if any(cos(e, e2) > 0.9 for _, e2 in vecs[:i]):
+                dropped += 1
+            else:
+                kept += 1
+        want[label] = (len(vecs), kept, dropped)
+
+    got = {
+        r["label"]: (r["n_vecs"], r["n_kept"], r["n_dropped"])
+        for r in dedup_semantic_keep(spark, sf_dir).collect()
+    }
+    assert got == want
