@@ -377,3 +377,78 @@ def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / 2048).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot  AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT tk.doc_id,
+             COUNT(*) AS n_tokens,
+             ROUND(AVG(-LN(CAST(c AS DOUBLE) / t)), 4) AS score
+      FROM tok tk JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY tk.doc_id
+    ),
+    bucketed AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.score,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.score, s.doc_id) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc="CCNet's head/middle/tail perplexity bucketing (Wenzek et al., "
+    "arXiv:1911.00359: score each document with a language-specific "
+    "LM, sort, and cut the corpus into terciles — 'head' trains, "
+    "'tail' is discarded or down-weighted): per-document unigram-LM "
+    "mean negative log-prob (the text_unigram_logprob scorer, 4dp "
+    "policy), then per-language NTILE(3) over the TOTAL order "
+    "(score, doc_id) — deterministic cut, identical NTILE remainder "
+    "semantics in both engines — and per-(lang, bucket) doc/token "
+    "accounting. Scale: the window sorts ONE ROW PER DOCUMENT (not "
+    "per token) partitioned by language — the same corpus-sort CCNet "
+    "itself performs; at 100 TB the exact-tercile sort can be swapped "
+    "for approx_percentile cutoffs at the cost of boundary exactness, "
+    "but the registry entry keeps the exact spec semantics. Shuffles: "
+    "token freq agg, score agg, lang window, final group — each "
+    "partial-aggregated or doc-level.",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    bucketed = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "n_tokens", "score", F.ntile(3).over(w).alias("bucket")
+    )
+    return bucketed.groupBy("lang", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )

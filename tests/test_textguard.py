@@ -115,3 +115,25 @@ def test_ngram_guard_short_docs(spark):
     }
     assert got[1] == [] and got[2] == []
     assert got[3] == ["one two three"]
+
+
+def test_perplexity_buckets_are_exact_terciles(spark, sf_dir):
+    """corpus_perplexity_buckets: per language the three buckets
+    partition the docs with NTILE remainder semantics (sizes differ by
+    at most 1, earlier buckets take the remainder) and score ranges
+    are ordered head <= middle <= tail with no overlap."""
+    from ethiopia_legal_etl_spark.operators.textguard import (
+        corpus_perplexity_buckets,
+    )
+
+    rows = corpus_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3}
+        sizes = [buckets[b]["n_docs"] for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sorted(sizes, reverse=True) == sizes  # remainder goes early
+        for b in (1, 2):
+            assert buckets[b]["max_score"] <= buckets[b + 1]["min_score"]
