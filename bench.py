@@ -59,6 +59,8 @@ HEADLINE = [
 SECONDARY = [
     "warc_to_text_pipeline",
     "multimodal_decode_audio_compressed",
+    # r6: the Layer I decoder is the round's Python-stage heavyweight
+    "multimodal_decode_mpeg1",
 ]
 
 
