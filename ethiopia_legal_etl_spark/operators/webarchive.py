@@ -18,6 +18,7 @@ to an error column, never kill the job).
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
@@ -529,3 +530,114 @@ def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.loc").alias("loc"),
         F.col("entry.lastmod").alias("lastmod"),
     )
+
+
+@register(
+    "host_rank_fixed_point",
+    oracle="""
+    WITH links AS (
+      SELECT DISTINCT d.doc_id % 50 AS src,
+             (d.doc_id % 50 * 7 + t.i * 13 + 1) % 50 AS dst
+      FROM documents d
+      JOIN (SELECT unnest(range(3)) AS i) t ON t.i < 1 + d.doc_id % 3
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),
+    hosts AS (SELECT DISTINCT src AS host FROM links),
+    n AS (SELECT COUNT(*) AS n FROM hosts),
+    r0 AS (SELECT host, CAST(1000000 // n AS BIGINT) AS rank
+           FROM hosts CROSS JOIN n),
+    r1 AS (
+      SELECT h.host,
+             (150000 // n.n)
+             + (85 * COALESCE(SUM(r.rank // g.outdeg), 0)) // 100 AS rank
+      FROM hosts h CROSS JOIN n
+      LEFT JOIN links l ON l.dst = h.host
+      LEFT JOIN r0 r ON r.host = l.src
+      LEFT JOIN deg g ON g.src = l.src
+      GROUP BY h.host, n.n
+    ),
+    r2 AS (
+      SELECT h.host,
+             (150000 // n.n)
+             + (85 * COALESCE(SUM(r.rank // g.outdeg), 0)) // 100 AS rank
+      FROM hosts h CROSS JOIN n
+      LEFT JOIN links l ON l.dst = h.host
+      LEFT JOIN r1 r ON r.host = l.src
+      LEFT JOIN deg g ON g.src = l.src
+      GROUP BY h.host, n.n
+    ),
+    r3 AS (
+      SELECT h.host,
+             (150000 // n.n)
+             + (85 * COALESCE(SUM(r.rank // g.outdeg), 0)) // 100 AS rank
+      FROM hosts h CROSS JOIN n
+      LEFT JOIN links l ON l.dst = h.host
+      LEFT JOIN r2 r ON r.host = l.src
+      LEFT JOIN deg g ON g.src = l.src
+      GROUP BY h.host, n.n
+    )
+    SELECT host, CAST(rank AS BIGINT) AS rank_microunits
+    FROM r3
+    """,
+    doc="host-graph CENTRALITY for corpus quality weighting (the role "
+    "harmonic centrality / PageRank plays in Common Crawl seed "
+    "selection and CCNet-era source weighting): 3 power-iteration "
+    "steps of PageRank (d=0.85) over the host link graph, in "
+    "FIXED-POINT INTEGER arithmetic — ranks are BIGINT micro-units "
+    "(1e6 = total mass), per-edge contribution rank//outdeg, damping "
+    "(85*sum)//100 — so every step is exact integer math, "
+    "order-independent and bit-identical in any engine; the standard "
+    "float formulation would accumulate summation-order ulps across "
+    "iterations and could not be hash-compared cross-engine. "
+    "Quantization truncates ≤1 micro-unit per edge per step "
+    "(leaked mass, NOT redistributed — stated, deterministic). "
+    "Scale: each iteration is one edges⋈ranks broadcast join (rank "
+    "table = |hosts| rows, always the small side) + one groupBy dst "
+    "shuffle; iterations unroll into ONE plan (no driver-side "
+    "collect), and at web scale the rank table shuffles instead of "
+    "broadcasting — same plan shape, hash join. The edge list here "
+    "derives from the doc_id formulas so the oracle can rebuild the "
+    "identical graph; the real-HTML edge extraction path is "
+    "html_link_extraction.",
+)
+def host_rank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("src"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("i"),
+        "doc_id",
+    )
+    links = docs.select(
+        "src",
+        ((F.col("src") * 7 + F.col("i") * 13 + 1) % 50).alias("dst"),
+    ).distinct()
+    deg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    hosts = links.select(F.col("src").alias("host")).distinct()
+    n = hosts.count()  # bounded: |hosts| <= 50 by construction
+    ranks = hosts.select("host", F.lit(1_000_000 // n).alias("rank"))
+    base = 150_000 // n
+    for _ in range(3):
+        contrib = (
+            links.join(F.broadcast(ranks), links.src == ranks.host)
+            .join(F.broadcast(deg), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        ranks = (
+            hosts.join(
+                contrib.groupBy("host").agg(F.sum("c").alias("s")),
+                "host",
+                "left",
+            )
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(f"85 * coalesce(s, 0L) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("host", F.col("rank").cast("long").alias("rank_microunits"))

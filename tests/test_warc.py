@@ -168,3 +168,51 @@ def test_fuzz_content_length_field_bounds(n):
         assert recs[0]["payload"] == (body + b"\r\n\r\n")[:n]
     except ValueError:
         pass
+
+
+def test_host_rank_fixed_point_matches_python_model(spark, sf_dir):
+    """host_rank_fixed_point vs an independent pure-Python fixed-point
+    PageRank over the same edge list: final micro-unit ranks must be
+    integer-identical (the entry's whole claim is bit-exact
+    determinism), and total mass stays within the documented
+    truncation leak (<= 1 micro-unit per edge per step + damping
+    floor)."""
+    from collections import defaultdict
+
+    from ethiopia_legal_etl_spark.operators.webarchive import (
+        host_rank_fixed_point,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    edges = set()
+    for d in ids:
+        src = d % 50
+        for i in range(1 + d % 3):
+            edges.add((src, (src * 7 + i * 13 + 1) % 50))
+    hosts = sorted({s for s, _ in edges})
+    outdeg = defaultdict(int)
+    incoming = defaultdict(list)
+    for s, t in edges:
+        outdeg[s] += 1
+        incoming[t].append(s)
+    n = len(hosts)
+    rank = {h: 1_000_000 // n for h in hosts}
+    for _ in range(3):
+        rank = {
+            h: 150_000 // n
+            + (85 * sum(rank[s] // outdeg[s] for s in incoming.get(h, []))) // 100
+            for h in hosts
+        }
+    got = {
+        r["host"]: r["rank_microunits"]
+        for r in host_rank_fixed_point(spark, sf_dir).collect()
+    }
+    assert got == rank
+    # mass conservation up to the documented truncation leak
+    assert sum(got.values()) <= 1_000_000
+    assert sum(got.values()) >= 1_000_000 - (len(edges) + 2 * n) * 3
