@@ -197,6 +197,7 @@ def all_queries() -> dict[str, Query]:
         relational11,
         relational12,
         relational13,
+        selection,
         similarity,
         textguard,
         textstats,

@@ -1,0 +1,465 @@
+"""Data-selection operators for training-corpus construction: DSIR
+importance resampling, incremental snapshot dedup, balanced shard
+export, and product-quantization ANN.
+
+These extend the reference's single-shot ETL (fetch_legal_docs.py:32
+fetches everything every run; its only selection is the empty-text
+filter at fetch_legal_docs.py:47) with the selection machinery a
+recurring 100 TB corpus build needs: choose WHICH documents to keep
+(DSIR), skip what a prior snapshot already has (incremental dedup),
+and export the survivors in balanced shards (sharded write).
+
+Papers: Xie et al. 2023 "Data Selection for Language Models via
+Importance Resampling" (DSIR); Jégou et al. 2011 "Product Quantization
+for Nearest Neighbor Search" (PQ/ADC); Lee et al. 2022 / Common Crawl
+recrawl practice for snapshot-incremental dedup.
+
+Scale notes:
+- DSIR is two-pass by nature (learn feature weights, then score); the
+  learned state here is a 64-row fixed-point weight table, broadcast
+  into a map-side score pass — the corpus is never shuffled, only the
+  per-(lang) accounting aggregate is.
+- Incremental dedup shuffles 32-byte sha256 digests, never documents;
+  the anti-join key is uniform by construction (crypto hash), so no
+  salting is needed.
+- Shard export assigns by multiplicative hash (map-side, no corpus
+  shuffle); balance is verified on the 8-row aggregate.
+- PQ encodes 64-dim float vectors into m=8 4-bit codes (32×
+  compression); encode is an equi-join against a broadcast 128-row
+  codebook with map-side partial min, query is ADC against a broadcast
+  640-row lookup table plus an exact re-rank over a 50-candidate
+  shortlist. The raw vectors never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.operators.similarity import as_double
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------
+# DSIR-style importance selection (fixed-point)
+# --------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_SCALE = 1_000_000
+_DSIR_TARGET_SOURCES = ("src0", "src1")  # the "trusted" target domain
+
+
+def _dsir_bucket(tok):
+    """Portable hashed-feature bucket: the same closed-form arithmetic
+    evaluates identically in Spark and DuckDB (ascii = Unicode code
+    point of the first char in both; all operands positive)."""
+    return (
+        F.ascii(tok) * 31 + F.length(tok) * 7 + F.ascii(F.right(tok, F.lit(1)))
+    ) % _DSIR_BUCKETS
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, tok
+      FROM (SELECT doc_id, lang, source,
+                   UNNEST(string_split(LOWER(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    b AS (
+      SELECT doc_id, lang, source,
+             (ascii(tok) * 31 + LENGTH(tok) * 7 + ascii(right(tok, 1)))
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM b
+            WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    totals AS (
+      SELECT COUNT(*) AS cr_total,
+             COUNT(*) FILTER (source IN ('src0', 'src1')) AS ct_total
+      FROM b
+    ),
+    wts AS (
+      SELECT r.bucket,
+             CAST(COALESCE(t.ct, 0) * {_DSIR_SCALE} // r.cr AS BIGINT) AS w_fp
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(SUM(w_fp) AS BIGINT) AS score,
+             COUNT(*) AS n_toks
+      FROM b JOIN wts USING (bucket) GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score // n_toks >
+                              ct_total * {_DSIR_SCALE} // cr_total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(score) AS BIGINT) AS importance_mass
+    FROM scored CROSS JOIN totals GROUP BY lang
+    """,
+    doc="DSIR-style importance selection in fixed-point integer "
+    "arithmetic (Xie et al. 2023, adapted): hash word features into "
+    f"{_DSIR_BUCKETS} buckets with a portable closed-form hash, learn "
+    "per-bucket importance weights w = target_count*1e6 DIV raw_count "
+    "(exact integer division — the float log-ratio formulation could "
+    "not be hash-compared cross-engine), score each document as the "
+    "sum of its tokens' weights, and select documents whose MEAN "
+    "token weight exceeds the corpus-wide target share (importance "
+    "ratio > 1: more target-like than the average document — DSIR's "
+    "resampling-acceptance region). Both sides of the selection "
+    "predicate are integer divisions of exact operands, so the gate "
+    "is bit-identical cross-engine. The weight table is bounded (64 "
+    "rows) and broadcast, the share threshold is one scalar row; the "
+    "corpus itself never shuffles — only hashed-bucket counts and "
+    "the per-lang accounting aggregate do.",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .withColumn("bucket", _dsir_bucket(F.col("tok")))
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.where(is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("cr_total"),
+        F.count_if(is_target).alias("ct_total"),
+    )
+    # integer division (DIV) keeps the weights exact in both engines
+    wts = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST((COALESCE(ct, 0) * {_DSIR_SCALE}) DIV cr AS BIGINT)"
+            ).alias("w_fp"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w_fp").alias("score"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # importance ratio > 1: mean token weight above the corpus target
+    # share, compared as truncated integer divisions on both sides
+    selected = F.expr("score DIV n_toks") > F.expr(
+        f"ct_total * {_DSIR_SCALE} DIV cr_total"
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(selected, 1).otherwise(0)).alias("n_selected"),
+        F.sum("score").alias("importance_mass"),
+    )
+
+
+# --------------------------------------------------------------------
+# Incremental snapshot dedup
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH snapshot AS (
+      SELECT sha256(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, sha256(text) AS digest FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    fresh AS (
+      SELECT i.doc_id, i.digest FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM snapshot s WHERE s.digest = i.digest)
+    )
+    SELECT doc_id, digest
+    FROM (SELECT doc_id, digest,
+                 ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+          FROM fresh)
+    WHERE rn = 1
+    """,
+    doc="recrawl-incremental dedup: drop incoming documents whose "
+    "sha256 digest already exists in the prior snapshot (left-anti "
+    "join on digests), then keep-lowest-doc_id within the incoming "
+    "batch itself. The snapshot/incoming split is doc_id mod 3 — a "
+    "deterministic stand-in for crawl dates. Extends the reference's "
+    "filename-level skip (fetch_legal_docs.py:40 `if not "
+    "pdf_path.exists()`) to content-level: a re-uploaded PDF with a "
+    "new URL is still skipped. Scale: only 32-byte digests shuffle; "
+    "the anti-join key is uniform (crypto hash), no salting needed; "
+    "the snapshot side would be a digest-only parquet index at 100 TB.",
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.col("text"), 256)
+    snapshot = docs.where(F.col("doc_id") % 3 != 0).select(
+        digest.alias("digest")
+    )
+    incoming = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", digest.alias("digest")
+    )
+    fresh = incoming.join(snapshot, "digest", "left_anti")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "digest")
+    )
+
+
+# --------------------------------------------------------------------
+# Balanced shard export
+# --------------------------------------------------------------------
+
+_N_SHARDS = 8
+_KNUTH = 2654435761  # multiplicative hash constant, exact in int64
+
+
+@register(
+    "shard_export_balance",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             LEN(string_split(text, ' ')) AS n_tokens,
+             (doc_id % 1000000007) * {_KNUTH} % {_N_SHARDS} AS shard
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+      FROM sized GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens, max_doc_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) * {_N_SHARDS}
+                 / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6)
+             AS balance_ratio
+    FROM per_shard
+    """,
+    doc="deterministic balanced shard assignment for training-data "
+    f"export: shard = knuth_hash(doc_id) mod {_N_SHARDS}, evaluated "
+    "map-side inside the scan (no corpus shuffle, "
+    "partition-count-independent, resumable). Per-shard doc/token "
+    "accounting plus a balance_ratio (shard tokens / ideal share) "
+    "computed on the 8-row aggregate — the verification a sharded "
+    "writer runs before handing shards to a trainer. At 100 TB this "
+    "is `df.write.partitionBy(shard)` with the same hash column; "
+    "multiplicative hashing balances token mass to the law of large "
+    "numbers without a global sort (a row_number round-robin would "
+    "need a corpus-wide ordered window — a single-partition sort at "
+    "scale).",
+)
+def shard_export_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % _N_SHARDS
+    sized = docs.select(
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    per_shard = sized.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+    )
+    w_all = Window.partitionBy()  # 8-row aggregated frame
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "max_doc_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            * _N_SHARDS
+            / F.sum("total_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+# --------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011)
+# --------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim -> 8 x 8-dim)
+_PQ_SUBDIM = 8
+_PQ_K = 16  # codewords per subspace -> 8 x 4 bits/vector, 32x compression
+_PQ_TOPK = 10
+_PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+_PQ_QUERIES = 5
+
+
+def train_pq_codebooks(spark: SparkSession, emb: DataFrame):
+    """Train per-subspace k-means codebooks (seeded, deterministic).
+    Returns a list of _PQ_M codebooks, each _PQ_K centroids of
+    _PQ_SUBDIM doubles.  At 100 TB the fit runs on a bounded sample
+    (k-means centroids converge on a sample; the full corpus is only
+    ever ENCODED, never iterated)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    books = []
+    feats = emb.select(as_double(F.col("embedding")).alias("e"))
+    for m in range(_PQ_M):
+        sub = feats.select(
+            array_to_vector(
+                F.slice("e", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            ).alias("features")
+        )
+        model = KMeans(
+            k=_PQ_K, seed=42 + m, featuresCol="features", predictionCol="code"
+        ).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _codebook_df(spark: SparkSession, books) -> DataFrame:
+    rows = [
+        (m, c, books[m][c])
+        for m in range(len(books))
+        for c in range(len(books[m]))
+    ]
+    return spark.createDataFrame(rows, "m int, code int, centroid array<double>")
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Encode each vector as _PQ_M codes: explode into subvectors,
+    equi-join the broadcast codebook on the subspace id, take the
+    per-(vec, m) argmin by squared L2.  The 16x candidate blowup is
+    map-side; partial-min aggregation means only N*m tiny rows
+    shuffle — the raw vectors never do."""
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        as_double(F.col("embedding")),
+                        m * _PQ_SUBDIM + 1,
+                        _PQ_SUBDIM,
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    cand = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        F.struct(_sq_l2(F.col("sub"), F.col("centroid")).alias("dist"), "code")
+        .alias("dc"),
+    )
+    # struct-min is deterministic under distance ties (lowest code wins)
+    return (
+        cand.groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+
+
+def pq_adc_scores(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
+    """ADC distances (q_id, vec_id, adc_raw): each query's 8x16 LUT of
+    query-subvector-to-codeword squared distances is a broadcast
+    640-row table; a corpus vector's approximate distance is the sum
+    of 8 lookups.  The only corpus-sized shuffle carries (vec_id,
+    code) pairs."""
+    codebook = _codebook_df(spark, books)
+    codes = pq_encode(emb, codebook)
+    queries = emb.where(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("q")
+    )
+    lut = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "q_id",
+            "m",
+            "code",
+            _sq_l2(
+                F.slice(F.col("q"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                F.col("centroid"),
+            ).alias("part_dist"),
+        )
+    )
+    partials = codes.join(F.broadcast(lut), ["m", "code"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    return partials.groupBy("q_id", "vec_id").agg(
+        F.sum("part_dist").alias("adc_raw")
+    )
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=None,  # learned codebooks drive the ranking -> rows-only
+    doc="product-quantization ANN (Jégou et al. 2011, ADC+R): 64-dim "
+    "vectors encoded as 8 4-bit codes via per-subspace seeded k-means "
+    "(32x memory compression — the property that lets a 100 TB "
+    "vector corpus fit a cluster's RAM), queried by asymmetric "
+    "distance (sum of 8 broadcast-LUT lookups) to a 50-candidate "
+    "shortlist, then EXACT L2 re-rank of the shortlist against the "
+    "raw vectors — the standard two-stage shape: the compressed scan "
+    "does the heavy pruning, exact math touches only candidates. "
+    "Encode is a broadcast equi-join with map-side partial min; "
+    "corpus-sized shuffles carry only (vec_id, code) pairs; the "
+    "re-rank join fetches 50 raw vectors per query. "
+    "Differential-tested against a NumPy PQ model and a recall floor "
+    "vs exact L2 (tests/test_selection.py).",
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # KMeans.fit requires rows
+        return spark.createDataFrame(
+            [], "q_id bigint, vec_id bigint, l2_dist double, rn int"
+        )
+    books = train_pq_codebooks(spark, emb)
+    adc = pq_adc_scores(spark, emb, books)
+    w = Window.partitionBy("q_id").orderBy("adc_raw", "vec_id")
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(w))
+        .where(F.col("srn") <= _PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    queries = emb.where(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("q")
+    )
+    exact = (
+        shortlist.join(
+            emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+            "vec_id",
+        )
+        .join(F.broadcast(queries), "q_id")
+        .select("q_id", "vec_id", _sq_l2(F.col("q"), F.col("v")).alias("d"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("q_id", "vec_id", F.round("d", 4).alias("l2_dist"), "rn")
+    )

@@ -615,6 +615,8 @@ def host_rank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     hosts = links.select(F.col("src").alias("host")).distinct()
     n = hosts.count()  # bounded: |hosts| <= 50 by construction
+    if n == 0:  # empty corpus -> empty rank table (no 1/n mass to split)
+        return spark.createDataFrame([], "host bigint, rank_microunits bigint")
     ranks = hosts.select("host", F.lit(1_000_000 // n).alias("rank"))
     base = 150_000 // n
     for _ in range(3):

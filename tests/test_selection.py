@@ -1,0 +1,236 @@
+"""Unit/differential tests for the data-selection operators
+(operators/selection.py): DSIR fixed-point importance selection,
+incremental snapshot dedup, balanced shard export, and PQ/ADC ANN.
+
+The registry oracles cover the end-to-end numbers; these tests pin
+the behaviors the driver testdata cannot reach (its 500 document
+texts are all distinct, so the snapshot anti-join never fires there)
+and the learned-codebook entry that has no SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import ethiopia_legal_etl_spark.operators.selection as sel
+from ethiopia_legal_etl_spark.operators.selection import (
+    _DSIR_SCALE,
+    _KNUTH,
+    _N_SHARDS,
+    _PQ_M,
+    _PQ_SUBDIM,
+    _codebook_df,
+    dedup_incremental_snapshot,
+    dsir_importance_select,
+    pq_encode,
+    shard_export_balance,
+    similarity_pq_adc,
+    train_pq_codebooks,
+)
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def test_dsir_selects_target_leaning_docs(spark, sf_dir, monkeypatch):
+    # target sources use the word 'statute'; raw background uses 'blog'
+    rows = [
+        (1, "statute statute statute", "en", "src0"),
+        (2, "statute statute law", "en", "src1"),
+        (3, "blog blog blog", "en", "src5"),
+        (4, "blog blog blog blog", "en", "src6"),
+        (5, "statute statute statute statute", "en", "src7"),  # target-like
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    )
+    monkeypatch.setattr(sel, "load_table", lambda *_: docs)
+    out = dsir_importance_select(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["lang"] == "en" and r["n_docs"] == 5
+    # docs 1, 2, 5 are statute-dominated (the target feature), 3/4 are
+    # not; 'statute' appears 9/16 times overall, 5 of them in target
+    # sources, so its bucket weight is well above the 2x-parity gate
+    assert r["n_selected"] == 3
+
+
+def test_dsir_importance_mass_matches_python_model(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = [
+        (r["doc_id"], r["lang"], r["source"], t)
+        for r in docs.select("doc_id", "lang", "source", "text").collect()
+        for t in r["text"] is not None and str(r["text"]).lower().split(" ") or []
+        if t
+    ]
+
+    def bucket(t: str) -> int:
+        return (ord(t[0]) * 31 + len(t) * 7 + ord(t[-1])) % sel._DSIR_BUCKETS
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for _, _, src, t in toks:
+        b = bucket(t)
+        cr[b] = cr.get(b, 0) + 1
+        if src in sel._DSIR_TARGET_SOURCES:
+            ct[b] = ct.get(b, 0) + 1
+    w = {b: ct.get(b, 0) * _DSIR_SCALE // cr[b] for b in cr}
+    mass: dict[str, int] = {}
+    for _, lang, _, t in toks:
+        mass[lang] = mass.get(lang, 0) + w[bucket(t)]
+    got = {
+        r["lang"]: r["importance_mass"]
+        for r in dsir_importance_select(spark, sf_dir).collect()
+    }
+    assert got == mass
+
+
+# ------------------------------------------------ incremental dedup
+
+
+def test_incremental_dedup_drops_snapshot_and_batch_dups(
+    spark, sf_dir, monkeypatch
+):
+    # doc_id % 3 != 0 -> snapshot; % 3 == 0 -> incoming
+    rows = [
+        (1, "already crawled"),  # snapshot
+        (2, "also crawled"),  # snapshot
+        (3, "already crawled"),  # incoming, dup of snapshot -> dropped
+        (6, "brand new text"),  # incoming, fresh -> kept
+        (9, "brand new text"),  # incoming, dup within batch -> dropped
+        (12, "another new one"),  # incoming, fresh -> kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    monkeypatch.setattr(sel, "load_table", lambda *_: docs)
+    kept = {
+        r["doc_id"] for r in dedup_incremental_snapshot(spark, sf_dir).collect()
+    }
+    assert kept == {6, 12}
+
+
+def test_incremental_dedup_empty_snapshot_keeps_batch_dedup(
+    spark, sf_dir, monkeypatch
+):
+    rows = [(3, "x"), (6, "x"), (9, "y")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    monkeypatch.setattr(sel, "load_table", lambda *_: docs)
+    kept = {
+        r["doc_id"] for r in dedup_incremental_snapshot(spark, sf_dir).collect()
+    }
+    assert kept == {3, 9}  # lowest doc_id wins within the batch
+
+
+# ------------------------------------------------------ shard export
+
+
+def test_shard_assignment_matches_python_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected: dict[int, list[int]] = {s: [0, 0] for s in range(_N_SHARDS)}
+    for r in docs.collect():
+        s = (r["doc_id"] % 1000000007) * _KNUTH % _N_SHARDS
+        expected[s][0] += 1
+        expected[s][1] += len(str(r["text"]).split(" "))
+    out = shard_export_balance(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == sum(v[0] for v in expected.values())
+    for r in out:
+        assert [r["n_docs"], r["total_tokens"]] == expected[r["shard"]]
+    # balance ratios are shard_tokens / ideal and must average to 1
+    # over the shards that exist (all 8 at this corpus size)
+    ratios = [r["balance_ratio"] for r in out]
+    assert len(ratios) == _N_SHARDS
+    assert abs(sum(ratios) / len(ratios) - 1.0) < 1e-4
+
+
+# -------------------------------------------------------------- PQ
+
+
+@pytest.fixture(scope="module")
+def pq_state(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(spark, emb)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    return emb, books, vecs
+
+
+def test_pq_codes_match_numpy_argmin(spark, sf_dir, pq_state):
+    emb, books, vecs = pq_state
+    codes = pq_encode(emb, _codebook_df(spark, books)).collect()
+    got = {(r["vec_id"], r["m"]): r["code"] for r in codes}
+    assert len(got) == len(vecs) * _PQ_M
+    nb = [np.array(b) for b in books]  # [m] -> (K, subdim)
+    for (vid, m), code in got.items():
+        sub = vecs[vid][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        d = ((nb[m] - sub) ** 2).sum(axis=1)
+        # deterministic tie-break: lowest code among equal distances
+        best = int(np.flatnonzero(d == d.min())[0])
+        assert code == best, (vid, m)
+
+
+def test_pq_adc_scores_match_numpy_lut(spark, sf_dir, pq_state):
+    emb, books, vecs = pq_state
+    adc = sel.pq_adc_scores(spark, emb, books).collect()
+    nb = [np.array(b) for b in books]
+    codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in pq_encode(emb, _codebook_df(spark, books)).collect()
+    }
+    assert len(adc) == 5 * (len(vecs) - 1)  # 5 queries x (N-1) others
+    for r in adc:
+        q = vecs[r["q_id"]]
+        expected = sum(
+            (
+                (
+                    q[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+                    - nb[m][codes[(r["vec_id"], m)]]
+                )
+                ** 2
+            ).sum()
+            for m in range(_PQ_M)
+        )
+        assert r["adc_raw"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_pq_rerank_output_exact_and_recall(spark, sf_dir, pq_state):
+    emb, books, vecs = pq_state
+    out = similarity_pq_adc(spark, sf_dir).collect()
+    # the re-rank stage reports EXACT L2 for whatever it returns
+    for r in out:
+        d = np.sum((vecs[r["q_id"]] - vecs[r["vec_id"]]) ** 2)
+        assert r["l2_dist"] == pytest.approx(round(float(d), 4), abs=1e-9)
+    # recall@10 vs exact brute force: bounded by shortlist quality
+    # (ADC over 8x16 codewords, 50 of 500 candidates)
+    recalls = []
+    for q_id in {r["q_id"] for r in out}:
+        q = vecs[q_id]
+        exact = sorted(
+            (np.sum((v - q) ** 2), vid)
+            for vid, v in vecs.items()
+            if vid != q_id
+        )[:10]
+        exact_ids = {vid for _, vid in exact}
+        got_ids = {r["vec_id"] for r in out if r["q_id"] == q_id}
+        recalls.append(len(exact_ids & got_ids) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_adc_empty_input(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq_.write_table(schema.empty_table(), tmp_path / "embeddings.parquet")
+    out = similarity_pq_adc(spark, str(tmp_path))
+    assert out.count() == 0
+    assert set(out.columns) == {"q_id", "vec_id", "l2_dist", "rn"}
