@@ -383,6 +383,86 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+_MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
+
+
+@register(
+    "embedding_matryoshka_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             LIST_COSINE_SIMILARITY(
+               LIST_TRANSFORM(q.q_emb, x -> CAST(x AS DOUBLE)),
+               LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)))
+               AS cos_full,
+             LIST_COSINE_SIMILARITY(
+               LIST_TRANSFORM(q.q_emb[1:{_MRL_DIM}], x -> CAST(x AS DOUBLE)),
+               LIST_TRANSFORM(e.embedding[1:{_MRL_DIM}],
+                              x -> CAST(x AS DOUBLE))) AS cos_trunc
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_full DESC, vec_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_trunc DESC, vec_id) AS rt
+      FROM scored
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap_top10
+    FROM ranked GROUP BY q_id
+    """,
+    doc="Matryoshka-style truncation quality probe (Kusupati et al. "
+    f"2022 MRL): rank the corpus by full 64-dim cosine and by the "
+    f"first-{_MRL_DIM}-dims cosine (truncation is renormalization-free "
+    "for cosine), and report per-query top-10 set overlap — the "
+    "measurement that decides whether a 4x-cheaper truncated index is "
+    "good enough before committing a 100 TB re-embed. One corpus "
+    "scan, both rankings in the same window pass; output is an exact "
+    "integer so the gate is float-tie-free.",
+)
+def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethiopia_legal_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(
+                as_double(F.col("q_emb")), as_double(F.col("embedding"))
+            ).alias("cos_full"),
+            cosine(
+                as_double(F.slice("q_emb", 1, _MRL_DIM)),
+                as_double(F.slice("embedding", 1, _MRL_DIM)),
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), "vec_id")
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_trunc"), "vec_id")
+    ranked = scored.select(
+        "q_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return ranked.groupBy("q_id").agg(
+        F.sum(
+            F.when((F.col("rf") <= 10) & (F.col("rt") <= 10), 1).otherwise(0)
+        ).alias("overlap_top10")
+    )
+
+
 def pq_adc_scores(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
     """ADC distances (q_id, vec_id, adc_raw): each query's 8x16 LUT of
     query-subvector-to-codeword squared distances is a broadcast
@@ -439,6 +519,14 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "q_id bigint, vec_id bigint, l2_dist double, rn int"
         )
     books = train_pq_codebooks(spark, emb)
+    return pq_query(spark, emb, books)
+
+
+def pq_query(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
+    """The query path given trained codebooks: ADC shortlist + exact
+    re-rank.  Split from the registry entry so a deployment (and the
+    scale probe) can train once on a bounded sample and query many
+    times."""
     adc = pq_adc_scores(spark, emb, books)
     w = Window.partitionBy("q_id").orderBy("adc_raw", "vec_id")
     shortlist = (

@@ -262,6 +262,73 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             LEN(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS subword,
+             LEN(string_split(text, ' ')) AS ws,
+             strlen(text) AS bytes
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(subword) AS BIGINT) AS subword_tokens,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(subword) AS DOUBLE)
+                 / CAST(NULLIF(SUM(ws), 0) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(bytes) AS DOUBLE)
+                 / CAST(NULLIF(SUM(subword), 0) AS DOUBLE), 6)
+             AS bytes_per_token
+    FROM per_doc GROUP BY lang
+    """,
+    doc="tokenizer fertility accounting per language: subword tokens "
+    "(GPT-2-style pre-tokenizer classes) per whitespace word, and "
+    "UTF-8 bytes per subword token — the numbers that decide "
+    "per-language token budgets and flag languages a tokenizer "
+    "under-serves (high fertility = more tokens per word = higher "
+    "training cost per sentence). One scan, one small shuffle to "
+    "|langs| rows; each ratio is ONE IEEE division of exact integer "
+    "sums, so cross-engine parity needs no float policy beyond "
+    "round(6).",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+    per_doc = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), 0)).alias("subword"),
+        F.size(tokens(F.col("text"))).alias("ws"),
+        F.octet_length("text").alias("bytes"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("subword").alias("subword_tokens"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "subword_tokens",
+        "ws_tokens",
+        "total_bytes",
+        F.round(
+            F.col("subword_tokens").cast("double")
+            / F.nullif(F.col("ws_tokens"), F.lit(0)).cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.nullif(F.col("subword_tokens"), F.lit(0)).cast("double"),
+            6,
+        ).alias("bytes_per_token"),
+    )
+
+
+@register(
     "dedup_keep_first_window",
     oracle="""
     SELECT doc_id, lang FROM (

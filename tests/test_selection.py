@@ -144,6 +144,69 @@ def test_shard_assignment_matches_python_hash(spark, sf_dir):
     assert abs(sum(ratios) / len(ratios) - 1.0) < 1e-4
 
 
+# ------------------------------------------- matryoshka / fertility
+
+
+def test_matryoshka_overlap_matches_numpy(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.selection import (
+        _MRL_DIM,
+        embedding_matryoshka_overlap,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def top10(q_id, dim):
+        q = vecs[q_id][:dim]
+        scored = sorted(
+            (
+                -np.dot(q, v[:dim]) / (np.linalg.norm(q) * np.linalg.norm(v[:dim])),
+                vid,
+            )
+            for vid, v in vecs.items()
+            if vid != q_id
+        )
+        return {vid for _, vid in scored[:10]}
+
+    got = {
+        r["q_id"]: r["overlap_top10"]
+        for r in embedding_matryoshka_overlap(spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    for q_id, n in got.items():
+        expected = len(top10(q_id, 64) & top10(q_id, _MRL_DIM))
+        assert n == expected, q_id
+        assert 0 <= n <= 10
+
+
+def test_fertility_stats_match_python(spark, sf_dir):
+    import re
+
+    from ethiopia_legal_etl_spark.operators.textstats import (
+        tokenizer_fertility_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+")
+    acc: dict[str, list[int]] = {}
+    for r in docs.select("lang", "text").collect():
+        t = str(r["text"])
+        a = acc.setdefault(r["lang"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(pat.findall(t))
+        a[2] += len(t.split(" "))
+        a[3] += len(t.encode("utf-8"))
+    for r in tokenizer_fertility_stats(spark, sf_dir).collect():
+        n, sub, ws, by = acc[r["lang"]]
+        assert (r["n_docs"], r["subword_tokens"], r["ws_tokens"]) == (n, sub, ws)
+        assert r["total_bytes"] == by
+        assert r["fertility"] == pytest.approx(round(sub / ws, 6))
+        assert r["bytes_per_token"] == pytest.approx(round(by / sub, 6))
+
+
 # -------------------------------------------------------------- PQ
 
 

@@ -864,6 +864,91 @@ def ingest_probe(spark) -> list[dict]:
     ]
 
 
+def selection_probe(spark, scratch: str) -> list[dict]:
+    """Data-selection operator scaling (operators/selection.py): DSIR
+    two-pass scoring, snapshot anti-join dedup, hash shard export, and
+    PQ encode+ADC+re-rank at 1x/10x/30x. Documents replicate
+    copy-prefixed (distinct content growth — the regime where the
+    anti-join and the weight table actually work); embeddings
+    replicate with a deterministic per-copy perturbation so vectors
+    are not bit-identical. PQ codebooks train ONCE on the base corpus
+    (the bounded-sample regime a 100 TB deployment uses) and the probe
+    times the encode+query path only."""
+    import ethiopia_legal_etl_spark.operators.selection as sel_mod
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_n = emb_base.count()
+    books = sel_mod.train_pq_codebooks(spark, emb_base)
+    out = []
+    for factor in (1, 10, 30):
+        d = f"{scratch}/selection_x{factor}"
+        parts, eparts = [], []
+        for i in range(factor):
+            p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+            if i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ),
+                )
+            parts.append(p)
+            e = emb_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * emb_n)
+            )
+            if i > 0:
+                e = e.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (x + F.lit(float(i) * 1e-3)).cast("float"),
+                    ),
+                )
+            eparts.append(e)
+        df, ef = parts[0], eparts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        for p in eparts[1:]:
+            ef = ef.unionByName(p)
+        df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        ef.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        for name in (
+            "dsir_importance_select",
+            "dedup_incremental_snapshot",
+            "shard_export_balance",
+        ):
+            fn = getattr(sel_mod, name)
+            run_noop(fn(spark, d))  # warm
+            sec = timed(lambda: run_noop(fn(spark, d)))
+            out.append(
+                {
+                    "exp": name,
+                    "factor": factor,
+                    "docs": base_n * factor,
+                    "sec": sec,
+                }
+            )
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        run_noop(sel_mod.pq_query(spark, emb, books))  # warm
+        sec = timed(lambda: run_noop(sel_mod.pq_query(spark, emb, books)))
+        out.append(
+            {
+                "exp": "pq_encode_query",
+                "factor": factor,
+                "vecs": emb_n * factor,
+                "sec": sec,
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -886,6 +971,8 @@ def main() -> None:
                     help="compressed-codec decode scaling (JPEG/audio/AVI/PNG) to 30x docs (~3 min)")
     ap.add_argument("--corpusops", action="store_true",
                     help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
+    ap.add_argument("--selection", action="store_true",
+                    help="DSIR/snapshot-dedup/shard/PQ data-selection scaling to 30x docs (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -933,6 +1020,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.corpusops:
             for r in corpusops_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.selection:
+            for r in selection_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
