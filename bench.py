@@ -61,6 +61,9 @@ SECONDARY = [
     "multimodal_decode_audio_compressed",
     # r6: the Layer I decoder is the round's Python-stage heavyweight
     "multimodal_decode_mpeg1",
+    # r6 (late): the two-pass DSIR scorer is the round's heaviest new
+    # relational plan (corpus explode x2 + broadcast weight join)
+    "dsir_importance_select",
 ]
 
 

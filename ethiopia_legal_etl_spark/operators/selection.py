@@ -74,32 +74,30 @@ def _dsir_bucket(tok):
                % {_DSIR_BUCKETS} AS bucket
       FROM toks
     ),
-    raw AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
-    tgt AS (SELECT bucket, COUNT(*) AS ct FROM b
-            WHERE source IN ('src0', 'src1') GROUP BY bucket),
-    totals AS (
-      SELECT COUNT(*) AS cr_total,
-             COUNT(*) FILTER (source IN ('src0', 'src1')) AS ct_total
-      FROM b
+    stats AS (
+      SELECT bucket, COUNT(*) AS cr,
+             COUNT(*) FILTER (source IN ('src0', 'src1')) AS ct
+      FROM b GROUP BY bucket
     ),
     wts AS (
-      SELECT r.bucket,
-             CAST(COALESCE(t.ct, 0) * {_DSIR_SCALE} // r.cr AS BIGINT) AS w_fp
-      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+      SELECT bucket,
+             CAST(ct * {_DSIR_SCALE} // cr AS BIGINT) AS w_fp,
+             SUM(ct) OVER () * {_DSIR_SCALE} // SUM(cr) OVER () AS thresh
+      FROM stats
     ),
     scored AS (
       SELECT doc_id, lang,
              CAST(SUM(w_fp) AS BIGINT) AS score,
-             COUNT(*) AS n_toks
+             COUNT(*) AS n_toks,
+             MAX(thresh) AS thresh
       FROM b JOIN wts USING (bucket) GROUP BY doc_id, lang
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN score // n_toks >
-                              ct_total * {_DSIR_SCALE} // cr_total
+           CAST(SUM(CASE WHEN score // n_toks > thresh
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
            CAST(SUM(score) AS BIGINT) AS importance_mass
-    FROM scored CROSS JOIN totals GROUP BY lang
+    FROM scored GROUP BY lang
     """,
     doc="DSIR-style importance selection in fixed-point integer "
     "arithmetic (Xie et al. 2023, adapted): hash word features into "
@@ -112,10 +110,12 @@ def _dsir_bucket(tok):
     "ratio > 1: more target-like than the average document — DSIR's "
     "resampling-acceptance region). Both sides of the selection "
     "predicate are integer divisions of exact operands, so the gate "
-    "is bit-identical cross-engine. The weight table is bounded (64 "
-    "rows) and broadcast, the share threshold is one scalar row; the "
-    "corpus itself never shuffles — only hashed-bucket counts and "
-    "the per-lang accounting aggregate do.",
+    "is bit-identical cross-engine. TWO corpus scans — DSIR's "
+    "theoretical minimum (one stats pass learning cr/ct per bucket "
+    "AND the global share threshold via a window over the 64-row "
+    "aggregate, one scoring pass against the broadcast weight "
+    "table); the corpus itself never shuffles — only hashed-bucket "
+    "counts and the per-lang accounting aggregate do.",
 )
 def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -130,25 +130,21 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .withColumn("bucket", _dsir_bucket(F.col("tok")))
     )
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        toks.where(is_target)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE stats pass: per-bucket raw/target counts, plus the global
+    # target-share threshold via a window over the 64-row aggregate
+    stats = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(is_target).alias("ct"),
     )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("cr_total"),
-        F.count_if(is_target).alias("ct_total"),
-    )
-    # integer division (DIV) keeps the weights exact in both engines
-    wts = (
-        raw.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            F.expr(
-                f"CAST((COALESCE(ct, 0) * {_DSIR_SCALE}) DIV cr AS BIGINT)"
-            ).alias("w_fp"),
-        )
+    w_all = Window.partitionBy()  # 64-row aggregated frame
+    # integer division (DIV) keeps weights and threshold exact in
+    # both engines
+    wts = stats.select(
+        "bucket",
+        F.expr(f"CAST((ct * {_DSIR_SCALE}) DIV cr AS BIGINT)").alias("w_fp"),
+        F.expr(
+            f"SUM(ct) OVER () * {_DSIR_SCALE} DIV SUM(cr) OVER ()"
+        ).alias("thresh"),
     )
     scored = (
         toks.join(F.broadcast(wts), "bucket")
@@ -156,14 +152,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("w_fp").alias("score"),
             F.count(F.lit(1)).alias("n_toks"),
+            F.max("thresh").alias("thresh"),  # constant across rows
         )
-        .crossJoin(F.broadcast(totals))
     )
     # importance ratio > 1: mean token weight above the corpus target
     # share, compared as truncated integer divisions on both sides
-    selected = F.expr("score DIV n_toks") > F.expr(
-        f"ct_total * {_DSIR_SCALE} DIV cr_total"
-    )
+    selected = F.expr("score DIV n_toks") > F.col("thresh")
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(selected, 1).otherwise(0)).alias("n_selected"),
