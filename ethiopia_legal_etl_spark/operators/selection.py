@@ -119,6 +119,23 @@ def _dsir_bucket(tok):
 )
 def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_doc_scores(docs)
+    # importance ratio > 1: mean token weight above the corpus target
+    # share, compared as truncated integer divisions on both sides
+    selected = F.expr("score DIV n_toks") > F.col("thresh")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(selected, 1).otherwise(0)).alias("n_selected"),
+        F.sum("score").alias("importance_mass"),
+    )
+
+
+def dsir_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc DSIR fixed-point scores over any documents frame:
+    (doc_id, lang, score, n_toks, thresh).  ONE stats pass (per-bucket
+    raw/target counts plus the global target-share threshold via a
+    window over the 64-row aggregate) and ONE scoring pass against the
+    broadcast weight table — DSIR's two-pass theoretical minimum."""
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     toks = (
         docs.select(
@@ -130,13 +147,10 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .withColumn("bucket", _dsir_bucket(F.col("tok")))
     )
-    # ONE stats pass: per-bucket raw/target counts, plus the global
-    # target-share threshold via a window over the 64-row aggregate
     stats = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr"),
         F.count_if(is_target).alias("ct"),
     )
-    w_all = Window.partitionBy()  # 64-row aggregated frame
     # integer division (DIV) keeps weights and threshold exact in
     # both engines
     wts = stats.select(
@@ -146,7 +160,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SUM(ct) OVER () * {_DSIR_SCALE} DIV SUM(cr) OVER ()"
         ).alias("thresh"),
     )
-    scored = (
+    return (
         toks.join(F.broadcast(wts), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
@@ -154,14 +168,6 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_toks"),
             F.max("thresh").alias("thresh"),  # constant across rows
         )
-    )
-    # importance ratio > 1: mean token weight above the corpus target
-    # share, compared as truncated integer divisions on both sides
-    selected = F.expr("score DIV n_toks") > F.col("thresh")
-    return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(selected, 1).otherwise(0)).alias("n_selected"),
-        F.sum("score").alias("importance_mass"),
     )
 
 
@@ -544,4 +550,96 @@ def pq_query(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
         exact.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= _PQ_TOPK)
         .select("q_id", "vec_id", F.round("d", 4).alias("l2_dist"), "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# Composed selection pipeline
+# --------------------------------------------------------------------
+
+
+@register(
+    "corpus_dsir_pipeline",
+    oracle=f"""
+    WITH nonempty AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE LENGTH(text) > 0
+    ),
+    deduped AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM nonempty)
+      WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, lang, source, tok
+      FROM (SELECT doc_id, lang, source,
+                   UNNEST(string_split(LOWER(text), ' ')) AS tok
+            FROM deduped)
+      WHERE tok <> ''
+    ),
+    b AS (
+      SELECT doc_id, lang, source,
+             (ascii(tok) * 31 + LENGTH(tok) * 7 + ascii(right(tok, 1)))
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks
+    ),
+    stats AS (
+      SELECT bucket, COUNT(*) AS cr,
+             COUNT(*) FILTER (source IN ('src0', 'src1')) AS ct
+      FROM b GROUP BY bucket
+    ),
+    wts AS (
+      SELECT bucket,
+             CAST(ct * {_DSIR_SCALE} // cr AS BIGINT) AS w_fp,
+             SUM(ct) OVER () * {_DSIR_SCALE} // SUM(cr) OVER () AS thresh
+      FROM stats
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(SUM(w_fp) AS BIGINT) AS score,
+             COUNT(*) AS n_toks,
+             MAX(thresh) AS thresh
+      FROM b JOIN wts USING (bucket) GROUP BY doc_id, lang
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_toks FROM scored
+      WHERE score // n_toks > thresh
+    )
+    SELECT (doc_id % 1000000007) * {_KNUTH} % {_N_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM kept GROUP BY shard
+    """,
+    doc="the composed SELECTION pipeline a corpus build runs end to "
+    "end, as ONE declarative plan: non-empty filter -> sha256 exact "
+    "dedup (keep-lowest-doc_id) -> DSIR importance gate (weights "
+    "learned on the DEDUPED corpus, so duplicate mass cannot skew "
+    "the feature distribution — the order Xie et al. assume) -> "
+    "deterministic hash shard assignment -> per-shard doc/token/lang "
+    "accounting. Shuffle budget: dedup window (digest-keyed, "
+    "uniform), bucket-stats aggregate (64 rows), per-doc score "
+    "aggregate, final 8-row shard aggregate — the corpus text itself "
+    "crosses the wire exactly once (the dedup shuffle); scoring "
+    "re-reads the deduped scan rather than re-shuffling documents.",
+)
+def corpus_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.where(F.length("text") > 0)
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = (
+        nonempty.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scored = dsir_doc_scores(deduped)
+    kept = scored.where(F.expr("score DIV n_toks") > F.col("thresh"))
+    shard = (F.col("doc_id") % 1000000007) * F.lit(_KNUTH) % _N_SHARDS
+    return kept.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens_kept"),
+        F.countDistinct("lang").alias("n_langs"),
     )

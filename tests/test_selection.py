@@ -88,6 +88,38 @@ def test_dsir_importance_mass_matches_python_model(spark, sf_dir):
     assert got == mass
 
 
+def test_dsir_pipeline_dedups_before_learning_weights(
+    spark, sf_dir, monkeypatch
+):
+    from ethiopia_legal_etl_spark.operators.selection import (
+        corpus_dsir_pipeline,
+    )
+
+    # 'blog' is massively duplicated; with dedup-first the weight table
+    # sees it once, so the statute docs (target sources) still win
+    rows = [
+        (1, "statute statute statute", "en", "src0"),
+        (2, "statute law statute", "en", "src1"),
+        (5, "statute statute statute statute", "en", "src9"),
+        # exact dup of doc 1: would be SELECTED if dedup didn't run
+        # first (same statute-heavy text) — keep-first drops it
+        (30, "statute statute statute", "en", "src7"),
+    ] + [(10 + i, "blog blog blog", "en", f"src{3 + i % 2}") for i in range(20)]
+    rows += [(40, "", "en", "src4")]  # empty text -> filtered
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    )
+    monkeypatch.setattr(sel, "load_table", lambda *_: docs)
+    out = corpus_dsir_pipeline(spark, sf_dir).collect()
+    # survivors of dedup: docs 1, 2, 5 and ONE blog doc (doc_id 10);
+    # DSIR keeps the three statute docs, drops the blog representative
+    assert sum(r["n_docs"] for r in out) == 3
+    kept_shards = {r["shard"] for r in out}
+    expected_shards = {(d % 1000000007) * _KNUTH % _N_SHARDS for d in (1, 2, 5)}
+    assert kept_shards == expected_shards
+    assert sum(r["n_tokens_kept"] for r in out) == 3 + 3 + 4
+
+
 # ------------------------------------------------ incremental dedup
 
 
