@@ -70,6 +70,9 @@ BNLJ_ALLOWED = {
     "fuzzy_pairs_levenshtein",  # genuine non-equi edit-distance join (doc'd)
     "timeseries_gapfill_locf",  # 1-row date-bounds broadcast crossJoin
     "text_unigram_logprob",     # 1-row token-total broadcast crossJoin
+    "corpus_perplexity_buckets",  # 1-row corpus-total broadcast crossJoin
+    "embedding_matryoshka_overlap",  # 5-row query side broadcast × corpus
+    "similarity_pq_adc",        # query × codebook LUT: 5 × 128 rows, both broadcast
 }
 
 
