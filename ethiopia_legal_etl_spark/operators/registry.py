@@ -201,6 +201,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         textguard,
         textstats,
+        unigram,
         webarchive,
     )
     from ethiopia_legal_etl_spark.streaming import windows  # noqa: F401

@@ -280,6 +280,60 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.event_id) AS n_clicks,
+           CAST(COALESCE(SUM(c.event_id), 0) AS BIGINT) AS click_id_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+    doc="stream-stream interval join, batch twin: each purchase joined "
+    "to the same user's clicks in the preceding hour (click-to-buy "
+    "attribution), LEFT so zero-click purchases stay visible. The true "
+    "stream-stream variant (streaming_purchase_click_join) runs the "
+    "SAME condition as a watermarked Structured Streaming join: both "
+    "sides keyed on user_id, and the time-range predicate lets Spark "
+    "bound join state — a purchase is evicted once the watermark "
+    "passes its ts (no future click can precede it), a click once the "
+    "watermark passes ts + 1h. The 100 TB story: state is the 1-hour "
+    "horizon per side, not stream history, and the batch plan is a "
+    "plain user_id equi-join (one shuffle) with the range as a "
+    "residual filter — never a cartesian. Both engines compare ts at "
+    "identical µs precision, and click_id_sum is cast BIGINT (DuckDB "
+    "SUM(BIGINT) promotes to the driver-unsafe HUGEINT).",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.coalesce(F.sum("click_id"), F.lit(0))
+        .cast("bigint")
+        .alias("click_id_sum"),
+    )
+
+
 def user_tier_dim(events: DataFrame) -> DataFrame:
     """Static per-user tier dimension: total historical value >= 100 →
     'high', else 'low'. Built once from a batch read; at 100 TB this is
@@ -399,6 +453,49 @@ def streaming_dedup_within_watermark(events_stream: DataFrame) -> DataFrame:
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+def streaming_purchase_click_join(
+    purchases_stream: DataFrame,
+    clicks_stream: DataFrame,
+    join_type: str = "inner",
+) -> DataFrame:
+    """True stream-stream join twin of stream_stream_interval_join:
+    purchases x clicks on user_id within a 1-hour lookback, both sides
+    watermarked (10 min) so Spark derives state-eviction bounds from
+    the range condition — purchase state drops once the watermark
+    passes p_ts, click state once it passes c_ts + 1h. Inner matches
+    emit eagerly; with join_type='leftouter' the null-augmented rows
+    for never-matched purchases emit only after their state is evicted
+    (the watermark-delayed outer-join semantics Structured Streaming
+    documents). State is bounded by the 1-hour horizon per side."""
+    p = (
+        as_event_time(purchases_stream)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        as_event_time(clicks_stream)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user"
+            " AND c_ts >= p_ts - INTERVAL 1 HOUR"
+            " AND c_ts <= p_ts"
+        ),
+        join_type,
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")
 
 
 def streaming_user_running_state(events_stream: DataFrame) -> DataFrame:

@@ -616,3 +616,139 @@ def test_streaming_html_strip_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     assert all("<" not in t and "&amp;" not in t for t in got.values())
+
+
+@pytest.fixture(scope="module")
+def time_ordered_events(spark, sf_dir, tmp_path_factory):
+    """Events as 4 time-ordered parquet files with increasing mtimes:
+    maxFilesPerTrigger=1 then yields 4 micro-batches in event-time
+    order, so the watermark genuinely ADVANCES between batches — the
+    regime needed to observe outer-join null emission and join-state
+    eviction (a single availableNow batch never moves the watermark
+    mid-run). Test-scale collect: 1k rows."""
+    import glob as g
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("ordered_events"))
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(ev.collect(), key=lambda r: r["ts"])
+    n = len(rows)
+    tmp = out + "_tmp"
+    for i in range(4):
+        chunk = rows[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = os.path.join(out, f"{i:02d}.parquet")
+        shutil.copyfile(g.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    return out
+
+
+def _ordered_stream(spark, path, etype):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .where(F.col("event_type") == etype)
+    )
+
+
+def _batch_purchase_click(spark, path):
+    ev = spark.read.parquet(path)
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p, c, cond
+
+
+def test_stream_stream_inner_join_multibatch(spark, time_ordered_events):
+    """Inner stream-stream join across 4 watermark-advancing
+    micro-batches equals the batch join exactly: time-ordered input
+    means no late rows, and state eviction (purchases once the
+    watermark passes p_ts, clicks once it passes c_ts + 1h) never
+    evicts a row that could still match."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        streaming_purchase_click_join,
+    )
+
+    got = run_to_memory(
+        spark,
+        streaming_purchase_click_join(
+            _ordered_stream(spark, time_ordered_events, "purchase"),
+            _ordered_stream(spark, time_ordered_events, "click"),
+            "inner",
+        ),
+        "t_ssj_inner_mb",
+        "append",
+    ).collect()
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got}
+
+    p, c, cond = _batch_purchase_click(spark, time_ordered_events)
+    want_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, cond).select("purchase_id", "click_id").collect()
+    }
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 0
+
+
+def test_stream_stream_leftouter_join_emits_unmatched(
+    spark, time_ordered_events
+):
+    """LEFT OUTER stream-stream join: matched pairs emit eagerly and
+    equal the batch join's matches; null-augmented rows for
+    never-matched purchases emit only once the watermark evicts their
+    state — so the emitted-unmatched set is a nonempty subset of the
+    batch unmatched set (the final batches' purchases stay withheld at
+    termination), and no purchase is both matched and null-emitted."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        streaming_purchase_click_join,
+    )
+
+    got = run_to_memory(
+        spark,
+        streaming_purchase_click_join(
+            _ordered_stream(spark, time_ordered_events, "purchase"),
+            _ordered_stream(spark, time_ordered_events, "click"),
+            "leftouter",
+        ),
+        "t_ssj_louter_mb",
+        "append",
+    ).collect()
+    got_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in got
+        if r["click_id"] is not None
+    }
+    got_unmatched = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    p, c, cond = _batch_purchase_click(spark, time_ordered_events)
+    batch = p.join(c, cond, "left").select("purchase_id", "click_id").collect()
+    want_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in batch
+        if r["click_id"] is not None
+    }
+    want_unmatched = {
+        r["purchase_id"] for r in batch if r["click_id"] is None
+    }
+
+    assert got_matched == want_matched
+    assert got_unmatched <= want_unmatched
+    assert len(got_unmatched) > 0
+    assert not (got_unmatched & {pid for pid, _ in got_matched})
