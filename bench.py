@@ -64,6 +64,9 @@ SECONDARY = [
     # r6 (late): the two-pass DSIR scorer is the round's heaviest new
     # relational plan (corpus explode x2 + broadcast weight join)
     "dsir_importance_select",
+    # r6 (late): EM train + Viterbi encode in one entry — the
+    # mapInPandas E-step/encode heavyweight (operators/unigram.py)
+    "unigram_encode_tokens",
 ]
 
 

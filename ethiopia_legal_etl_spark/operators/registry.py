@@ -181,6 +181,7 @@ def all_queries() -> dict[str, Query]:
         corpusops,
         dedup,
         etl,
+        kll,
         multimodal,
         pipeline,
         quality,

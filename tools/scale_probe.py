@@ -949,6 +949,61 @@ def selection_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def tokenizer_probe(spark, scratch: str) -> list[dict]:
+    """Unigram-LM tokenizer scaling (operators/unigram.py): full train
+    (seed + 2 EM iterations) and Viterbi encode at 1x/10x/30x document
+    replicas. Copies are copy-prefixed per word, so the DISTINCT-word
+    table — the E-step's actual input — grows with the factor (the
+    axis the mapInPandas E-step parallelizes over), not just the row
+    count; the vocabulary broadcast stays V-bounded throughout."""
+    from ethiopia_legal_etl_spark.operators import unigram as uni_mod
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    out = []
+    for factor in (1, 10, 30):
+        d = f"{scratch}/tokenizer_x{factor}"
+        parts = []
+        for i in range(factor):
+            p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+            if i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ),
+                )
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        uni_mod.unigram_train_table(spark, d)  # warm
+        sec = timed(lambda: uni_mod.unigram_train_table(spark, d))
+        out.append(
+            {
+                "exp": "unigram_train",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec,
+            }
+        )
+        run_noop(uni_mod.unigram_encode_tokens(spark, d))  # warm
+        sec = timed(lambda: run_noop(uni_mod.unigram_encode_tokens(spark, d)))
+        out.append(
+            {
+                "exp": "unigram_encode",
+                "factor": factor,
+                "docs": base_n * factor,
+                "sec": sec,
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -973,6 +1028,8 @@ def main() -> None:
                     help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
     ap.add_argument("--selection", action="store_true",
                     help="DSIR/snapshot-dedup/shard/PQ data-selection scaling to 30x docs (~3 min)")
+    ap.add_argument("--tokenizer", action="store_true",
+                    help="unigram-LM train/encode scaling to 30x docs, distinct-word growth (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -1023,6 +1080,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.selection:
             for r in selection_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.tokenizer:
+            for r in tokenizer_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
