@@ -253,3 +253,115 @@ def observed_training_corpus(spark: SparkSession, sf_dir: str):
         )
     )
     return result, obs_in, obs_out
+
+
+@register(
+    "corpus_unimax_budget",
+    oracle="""
+    WITH lt AS (
+      SELECT lang,
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    ord AS (
+      SELECT lang, n_tokens,
+             n_tokens * 2 AS cap,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS k,
+             COUNT(*) OVER () AS L,
+             (SUM(n_tokens) OVER () * 3) // 2 AS budget,
+             COALESCE(SUM(n_tokens * 2) OVER (
+               ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_cap
+      FROM lt
+    ),
+    flg AS (
+      SELECT *,
+             CASE WHEN CAST(cap AS DOUBLE)
+                       <= CAST(budget - prefix_cap AS DOUBLE)
+                          / CAST(L - k + 1 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS fits
+      FROM ord
+    ),
+    pref AS (
+      SELECT *,
+             MIN(fits) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS capped
+      FROM flg
+    )
+    SELECT lang,
+           n_tokens,
+           CAST(capped AS BOOLEAN) AS epoch_capped,
+           CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+                ELSE CAST(budget - SUM(cap * capped) OVER () AS DOUBLE)
+                     / CAST(L - SUM(capped) OVER () AS DOUBLE)
+           END AS alloc_tokens,
+           (CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+                 ELSE CAST(budget - SUM(cap * capped) OVER () AS DOUBLE)
+                      / CAST(L - SUM(capped) OVER () AS DOUBLE)
+            END) / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM pref
+    """,
+    doc="UniMax language-budget allocation (Chung et al. 2023, "
+    "arXiv:2304.09151): distribute a token budget (here 1.5x the "
+    "corpus) across languages as uniformly as possible subject to a "
+    "per-language epoch cap (2 epochs — never repeat a language's "
+    "data more than twice). The paper's sequential waterfill has a "
+    "closed form over the size-ASCENDING order — a language is "
+    "epoch-capped iff its cap fits under the running fair share "
+    "computed from the prefix of caps; every uncapped language gets "
+    "an equal split of what the capped prefix leaves — so the whole "
+    "allocation is window functions over the |langs|-row aggregate: "
+    "NO driver loop, no UDF, and the only corpus-sized work is the "
+    "one token-count shuffle. Cross-engine-deterministic: every "
+    "prefix/total is an exact integer window; the fair shares are "
+    "single IEEE divisions of exact operands; comparisons are on "
+    "identical doubles. The small-corpus regime both branches "
+    "exercise here: the two smallest languages cap at 2 epochs, the "
+    "rest split the remainder evenly (the fairness UniMax buys over "
+    "temperature sampling, corpus_mixture_weights' family).",
+)
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    max_epochs = 2
+    lt = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w_ord = Window.orderBy("n_tokens", "lang")
+    w_all = Window.partitionBy()
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        lt.withColumn("cap", F.col("n_tokens") * max_epochs)
+        .withColumn("k", F.row_number().over(w_ord))
+        .withColumn("L", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "budget", F.expr("(SUM(n_tokens) OVER () * 3) DIV 2")
+        )
+        .withColumn(
+            "prefix_cap",
+            F.coalesce(F.sum("cap").over(w_prefix), F.lit(0)),
+        )
+        .withColumn(
+            "fits",
+            (
+                F.col("cap").cast("double")
+                <= (F.col("budget") - F.col("prefix_cap")).cast("double")
+                / (F.col("L") - F.col("k") + 1).cast("double")
+            ).cast("int"),
+        )
+        .withColumn("capped", F.min("fits").over(w_run))
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.sum(F.col("cap") * F.col("capped")).over(w_all))
+        .cast("double")
+        / (F.col("L") - F.sum("capped").over(w_all)).cast("double")
+    )
+    return base.select(
+        "lang",
+        "n_tokens",
+        F.col("capped").cast("boolean").alias("epoch_capped"),
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("n_tokens").cast("double")).alias("epochs"),
+    )

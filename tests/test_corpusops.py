@@ -826,3 +826,36 @@ def test_bpe_incremental_trainer_matches_naive_on_random_tables():
         assert got == expect
 
     check()
+
+
+def test_unimax_budget_waterfill_invariants(spark, sf_dir):
+    """UniMax allocation: budget conserved, epoch cap respected,
+    capped languages sit exactly at the cap, and every uncapped
+    language gets the same fair share, at least as large as any
+    capped language's allocation (the waterfill shape)."""
+    import pytest
+
+    from ethiopia_legal_etl_spark.operators.pipeline import (
+        corpus_unimax_budget,
+    )
+
+    rows = corpus_unimax_budget(spark, sf_dir).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = (total_tokens * 3) // 2
+    allocs = [r["alloc_tokens"] for r in rows]
+    assert sum(allocs) == pytest.approx(budget, rel=1e-12)
+    for r in rows:
+        assert 0 < r["alloc_tokens"] <= 2 * r["n_tokens"] + 1e-9
+        assert r["epochs"] == pytest.approx(
+            r["alloc_tokens"] / r["n_tokens"], rel=1e-12
+        )
+        if r["epoch_capped"]:
+            assert r["epochs"] == pytest.approx(2.0, rel=1e-12)
+    uncapped = [r["alloc_tokens"] for r in rows if not r["epoch_capped"]]
+    capped = [r["alloc_tokens"] for r in rows if r["epoch_capped"]]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) < 1e-9  # equal split
+        if capped:
+            assert min(uncapped) >= max(capped) - 1e-9
+    # both branches exercised on the driver corpus
+    assert capped and len(rows) == 5
