@@ -1071,3 +1071,181 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_sum long, v_first double, v_min double, v_max double"
         ),
     )
+
+
+@register(
+    "multimodal_decode_mpeg1_l2",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, sb.sb,
+             CASE WHEN sb.sb <= 2 THEN 15
+                  WHEN sb.sb <= 10 THEN 15
+                  WHEN sb.sb <= 22 THEN 7
+                  ELSE 3 END AS cat_len,
+             t.t
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(27)) AS sb) sb
+      CROSS JOIN (SELECT unnest(range(36)) AS t) t
+      WHERE (3 * sb.sb + d.doc_id) % 4 = 0
+    ),
+    lvl AS (
+      SELECT doc_id, sb, t,
+             1 + (doc_id + sb) % cat_len AS a,
+             (doc_id + sb) % 4 AS scfsi
+      FROM grid
+    ),
+    lv2 AS (
+      SELECT doc_id, sb, t, a, scfsi,
+             CASE WHEN sb <= 2 THEN
+               ([3,7,15,31,63,127,255,511,1023,2047,4095,8191,16383,
+                 32767,65535])[a]
+             WHEN sb <= 10 THEN
+               ([3,5,7,9,15,31,63,127,255,511,1023,2047,4095,8191,
+                 65535])[a]
+             WHEN sb <= 22 THEN ([3,5,7,9,15,31,65535])[a]
+             ELSE ([3,5,65535])[a] END AS levels
+      FROM lvl
+    ),
+    scf AS (
+      SELECT doc_id, sb, t, a, scfsi, levels,
+             CASE WHEN scfsi = 0 THEN (doc_id + 2*sb + 5*(t // 12)) % 21
+                  WHEN scfsi = 1 THEN CASE WHEN t // 12 <= 1
+                       THEN (doc_id + 2*sb) % 21
+                       ELSE (doc_id + 2*sb + 10) % 21 END
+                  WHEN scfsi = 2 THEN (doc_id + 2*sb) % 21
+                  ELSE CASE WHEN t // 12 = 0
+                       THEN (doc_id + 2*sb) % 21
+                       ELSE (doc_id + 2*sb + 5) % 21 END
+             END AS k
+      FROM lv2
+    ),
+    vv AS (
+      SELECT doc_id, sb, a, scfsi, levels, t,
+             (doc_id * 7 + sb * 5 + t * 11) % levels AS c,
+             k
+      FROM scf
+    ),
+    vals AS (
+      SELECT doc_id, sb, a, scfsi, levels, t, c,
+             (2.0 / CAST((1::BIGINT << k) AS DOUBLE))
+               * CAST(2 * c - (levels - 1) AS DOUBLE)
+               / CAST(levels AS DOUBLE) AS v
+      FROM vv
+    )
+    SELECT doc_id,
+           sb AS subband,
+           CAST(MAX(levels) AS BIGINT) AS levels,
+           CAST(MAX(scfsi) AS BIGINT) AS scfsi,
+           CAST(SUM(c) AS BIGINT) AS code_sum,
+           MAX(CASE WHEN t = 0 THEN v END) AS v_first,
+           MIN(v) AS v_min,
+           MAX(v) AS v_max
+    FROM vals
+    GROUP BY doc_id, sb
+    """,
+    doc="REAL MPEG-1 Audio Layer II decode (ISO/IEC 11172-3) — "
+    "extends the r6 Layer I decoder with Layer II's actual "
+    "machinery: Table B.2a class-dependent bit allocation (4/4/3/2 "
+    "nbal bits across the 27-subband limit), scfsi scalefactor "
+    "sharing across the three 12-sample parts (all four patterns "
+    "exercised via a doc_id formula), and GROUPED quantizers (3/5/9 "
+    "levels pack three samples into one 5/7/10-bit codeword). Per "
+    "doc the executor synthesizes a genuine 576-byte 192 kbps/48 kHz "
+    "mono frame from formulas, bit-packs it through the real frame "
+    "syntax, re-parses, degroups, and requantizes with the uniform "
+    "closed form sf*(2c-(L-1))/L that the spec's Table B.4 C/D "
+    "constants reduce to (derivation in functions/mpeg1.py). The "
+    "oracle recomputes every value FROM THE FORMULAS, never touching "
+    "the bitstream — parity proves slot arithmetic, table-driven "
+    "allocation widths, scfsi expansion, grouped-codeword packing, "
+    "and dequant end-to-end. Scalefactor indices are multiples of 3 "
+    "(exact power-of-two sf), L is always odd: one IEEE division per "
+    "value, raw-double parity, no rounding policy. Plan: parallelism "
+    "repartition of bare doc_ids, then synth -> parse mapInPandas.",
+)
+def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.mpeg1 import (
+        B2A_SBLIMIT,
+        b2a_class,
+        parse_layer2,
+        write_layer2_frame,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            frames = []
+            for i in ids:
+                alloc = [0] * B2A_SBLIMIT
+                scfsi_list, scf_tx, samples = [], [], []
+                for sb in range(B2A_SBLIMIT):
+                    if (3 * sb + i) % 4:
+                        continue
+                    _nbal, catalog = b2a_class(sb)
+                    a = 1 + (i + sb) % len(catalog)
+                    alloc[sb] = a
+                    levels = catalog[a - 1]
+                    scfsi = (i + sb) % 4
+                    f = [(i + 2 * sb + 5 * p) % 21 * 3 for p in range(3)]
+                    tx = {
+                        0: [f[0], f[1], f[2]],
+                        1: [f[0], f[2]],
+                        2: [f[0]],
+                        3: [f[0], f[1]],
+                    }[scfsi]
+                    scfsi_list.append(scfsi)
+                    scf_tx.append(tx)
+                    samples.append(
+                        [
+                            (i * 7 + sb * 5 + t * 11) % levels
+                            for t in range(36)
+                        ]
+                    )
+                frames.append(
+                    write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+                )
+            yield pd.DataFrame({"doc_id": ids, "frame": frames})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, frame binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
+                (f,) = parse_layer2(bytes(frame))
+                for s in f["subbands"]:
+                    rows.append(
+                        (
+                            doc_id,
+                            s["subband"],
+                            s["levels"],
+                            s["scfsi"],
+                            sum(s["codes"]),
+                            s["values"][0],
+                            min(s["values"]),
+                            max(s["values"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subband", "levels", "scfsi",
+                    "code_sum", "v_first", "v_min", "v_max",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, subband long, levels long, scfsi long, "
+            "code_sum long, v_first double, v_min double, v_max double"
+        ),
+    )

@@ -30,7 +30,7 @@ from ethiopia_legal_etl_spark.functions.media import (
     synth_bmp,
     synth_wav,
 )
-from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer1
+from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer1, parse_layer2
 from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
 from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
 
@@ -42,6 +42,7 @@ DECODERS = {
     "jpeg": decode_jpeg,
     "png": decode_png,
     "mpeg1": parse_layer1,
+    "mpeg1_l2": parse_layer2,
     "warc": parse_warc,
 }
 
@@ -57,6 +58,7 @@ def _valid_payloads() -> dict:
         "jpeg": jpeg,
         "png": encode_png([[(x, y, x ^ y) for x in range(5)] for y in range(4)]),
         "mpeg1": None,  # covered in test_mpeg1_codec.py's own fuzz
+        "mpeg1_l2": None,  # covered in test_mpeg1_codec.py's own fuzz
         "warc": write_warc(
             [{"type": "response", "uri": "http://x/1", "date": "d",
               "payload": b"pp", "record_id": "r1"}],

@@ -205,3 +205,177 @@ def test_fuzz_corrupted_valid_frame_rejects_or_parses(noise, cut):
         parse_layer1(mutated)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------
+# Layer II
+# ---------------------------------------------------------------------
+
+from ethiopia_legal_etl_spark.functions.mpeg1 import (  # noqa: E402
+    B2A_SBLIMIT,
+    b2a_class,
+    expand_scalefactors,
+    l2_sample_bits,
+    layer2_frame_bytes,
+    parse_layer2,
+    requantize_l2,
+    write_layer2_frame,
+)
+
+
+def _synth_l2_inputs(seed: int):
+    """Formula-driven valid Layer II frame content covering grouped
+    and non-grouped quantizers and all four scfsi patterns."""
+    alloc = [0] * B2A_SBLIMIT
+    scfsi_list, scf_tx, samples = [], [], []
+    for sb in range(B2A_SBLIMIT):
+        if (3 * sb + seed) % 4:
+            continue
+        _nbal, catalog = b2a_class(sb)
+        a = 1 + (seed + sb) % len(catalog)
+        alloc[sb] = a
+        levels = catalog[a - 1]
+        scfsi = (seed + sb) % 4
+        f = [(seed + 2 * sb + 5 * p) % 21 * 3 for p in range(3)]
+        scf_tx.append(
+            {0: [f[0], f[1], f[2]], 1: [f[0], f[2]],
+             2: [f[0]], 3: [f[0], f[1]]}[scfsi]
+        )
+        scfsi_list.append(scfsi)
+        samples.append([(seed * 7 + sb * 5 + t * 11) % levels for t in range(36)])
+    return alloc, scfsi_list, scf_tx, samples
+
+
+def test_l2_requantize_hand_computed_iso_values():
+    # 3-level quantizer (C=4/3, D=1/2 in Table B.4) at sf index 3
+    # (sf = 1.0): exact midtread {-2/3, 0, 2/3}
+    assert [requantize_l2(c, 3, 3) for c in (0, 1, 2)] == [
+        -2.0 / 3.0, 0.0, 2.0 / 3.0]
+    # 5-level (C=8/5, D=1/2): {-0.8,-0.4,0,0.4,0.8}
+    assert [requantize_l2(c, 5, 3) for c in range(5)] == [
+        -0.8, -0.4, 0.0, 0.4, 0.8]
+    # 15-level matches the Layer I closed form (2c+2-16)/15
+    from ethiopia_legal_etl_spark.functions.mpeg1 import requantize
+
+    for c in range(15):
+        assert requantize_l2(c, 15, 6) == requantize(c, 4, 6)
+    # scalefactor scaling: index 0 -> sf=2.0
+    assert requantize_l2(2, 3, 0) == 2.0 * (2.0 / 3.0)
+
+
+def test_l2_frame_slot_arithmetic():
+    assert layer2_frame_bytes(192000, 48000) == 576
+    assert layer2_frame_bytes(96000, 48000) == 288
+    assert layer2_frame_bytes(96000, 48000, padding=1) == 289
+
+
+def test_l2_b2a_table_shapes():
+    assert b2a_class(0) == (4, b2a_class(2)[1])
+    assert len(b2a_class(0)[1]) == 15 and b2a_class(0)[1][0] == 3
+    assert len(b2a_class(3)[1]) == 15 and b2a_class(3)[1][1] == 5
+    assert b2a_class(11) == (3, b2a_class(22)[1])
+    assert b2a_class(23) == (2, [3, 5, 65535])
+    with pytest.raises(ValueError):
+        b2a_class(27)
+    assert l2_sample_bits(7) == 3 and l2_sample_bits(65535) == 16
+    with pytest.raises(ValueError):
+        l2_sample_bits(9)  # grouped, not a 2^nb - 1 count
+
+
+def test_l2_scfsi_expansion_all_patterns():
+    assert expand_scalefactors(0, [1, 2, 3]) == [1, 2, 3]
+    assert expand_scalefactors(1, [4, 5]) == [4, 4, 5]
+    assert expand_scalefactors(2, [6]) == [6, 6, 6]
+    assert expand_scalefactors(3, [7, 8]) == [7, 8, 8]
+    for s, bad in ((0, [1]), (1, [1]), (2, [1, 2]), (3, [1, 2, 3])):
+        with pytest.raises(ValueError):
+            expand_scalefactors(s, bad)
+
+
+def test_l2_round_trip_identity_all_fields():
+    for seed in (0, 1, 2, 3, 9, 17):
+        alloc, scfsi_list, scf_tx, samples = _synth_l2_inputs(seed)
+        frame = write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+        assert len(frame) == 576
+        (f,) = parse_layer2(frame)
+        assert f["alloc_indices"] == alloc
+        assert [s["scfsi"] for s in f["subbands"]] == scfsi_list
+        assert [s["codes"] for s in f["subbands"]] == samples
+        for i, s in enumerate(f["subbands"]):
+            assert s["scf_parts"] == expand_scalefactors(
+                scfsi_list[i], scf_tx[i]
+            )
+            for t, c in enumerate(s["codes"]):
+                assert s["values"][t] == requantize_l2(
+                    c, s["levels"], s["scf_parts"][t // 12]
+                )
+
+
+def test_l2_grouped_codeword_packing_order():
+    """c = s0 + L*s1 + L^2*s2: first-in-time sample is the lowest
+    digit — pinned via a single 3-level subband with known codes."""
+    alloc = [0] * B2A_SBLIMIT
+    alloc[23] = 1  # vlow class, index 1 -> 3 levels (grouped, 5 bits)
+    codes = ([0, 1, 2] * 12)[:36]
+    frame = write_layer2_frame(alloc, [0], [[0, 0, 0]], [codes])
+    (f,) = parse_layer2(frame)
+    assert f["subbands"][0]["codes"] == codes
+    # the raw 5-bit codeword for (0,1,2) is 0 + 3*1 + 9*2 = 21
+    # header(32) + alloc bits (3*4 + 8*4 + 12*3 + 4*2 = 88) + scfsi(2)
+    # + scf(18) = 140 bits; the first codeword starts at bit 140
+    bits = "".join(f"{b:08b}" for b in frame)
+    assert int(bits[140:145], 2) == 21
+
+
+def test_l2_rejects_malformed():
+    alloc, scfsi_list, scf_tx, samples = _synth_l2_inputs(2)
+    good = write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+    with pytest.raises(ValueError):  # Layer I header into layer2 parser
+        parse_layer2(write_layer1_frame([0] * 32, [], []))
+    with pytest.raises(ValueError):  # truncated body
+        parse_layer2(good[:100])
+    with pytest.raises(ValueError):  # bad syncword
+        parse_layer2(b"\x00" + good[1:])
+    bad_mode = bytearray(good)
+    bad_mode[3] = (bad_mode[3] & 0b00111111) | (0b00 << 6)  # stereo
+    with pytest.raises(ValueError):
+        parse_layer2(bytes(bad_mode))
+    crc = bytearray(good)
+    crc[1] &= 0b11111110  # protection_bit 0 -> CRC present
+    with pytest.raises(ValueError):
+        parse_layer2(bytes(crc))
+    off_table = bytearray(good)
+    off_table[2] = (off_table[2] & 0x0F) | (14 << 4)  # 384 kbps: not B.2a
+    with pytest.raises(ValueError):
+        parse_layer2(bytes(off_table))
+
+
+def test_l2_encoder_validates_inputs():
+    alloc = [0] * B2A_SBLIMIT
+    alloc[0] = 1  # 3 levels
+    with pytest.raises(ValueError):  # code out of range for 3 levels
+        write_layer2_frame(alloc, [0], [[0, 0, 0]], [[3] * 36])
+    with pytest.raises(ValueError):  # scf index out of range
+        write_layer2_frame(alloc, [0], [[0, 0, 63]], [[0] * 36])
+    with pytest.raises(ValueError):  # scfsi/transmitted-count mismatch
+        write_layer2_frame(alloc, [2], [[0, 0]], [[0] * 36])
+    with pytest.raises(ValueError):  # alloc index beyond catalog
+        bad = list(alloc)
+        bad[23] = 4
+        write_layer2_frame(bad, [0, 0], [[0, 0, 0], [0, 0, 0]],
+                           [[0] * 36, [0] * 36])
+    with pytest.raises(ValueError):  # non-B.2a combination (44.1 kHz)
+        write_layer2_frame(alloc, [0], [[0, 0, 0]], [[0] * 36],
+                           sample_rate_index=0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200), st.integers(0, 575))
+def test_l2_fuzz_corrupted_valid_frame_rejects_or_parses(noise, cut):
+    alloc, scfsi_list, scf_tx, samples = _synth_l2_inputs(5)
+    good = write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+    mutated = good[:cut] + noise + good[cut + len(noise):]
+    try:
+        parse_layer2(mutated)
+    except ValueError:
+        pass
