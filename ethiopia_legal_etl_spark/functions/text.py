@@ -210,3 +210,73 @@ def canonicalize_url(url: str) -> str:
     if parts.query:
         out += "?" + _normalize_percent(parts.query)
     return out
+
+
+# ---------------------------------------------------------------------
+# Mojibake repair (ftfy-style, UTF-8-misread-as-cp1252)
+# ---------------------------------------------------------------------
+
+# cp1252's five unassigned bytes; the "sloppy" variant maps them to
+# their Latin-1 control chars so any byte sequence round-trips (the
+# same convention ftfy's sloppy-windows-1252 codec uses, and what
+# real-world decoders emit for these bytes)
+_CP1252_UNMAPPED = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def sloppy_cp1252_decode(data: bytes) -> str:
+    """Decode bytes the way a cp1252-assuming reader would — the
+    CORRUPTION direction of mojibake (UTF-8 bytes misread as
+    cp1252). Total: every byte maps to exactly one char."""
+    out = []
+    for b in data:
+        if b in _CP1252_UNMAPPED:
+            out.append(chr(b))
+        else:
+            out.append(bytes((b,)).decode("cp1252"))
+    return "".join(out)
+
+
+def sloppy_cp1252_encode(s: str) -> bytes:
+    """Inverse of sloppy_cp1252_decode. Raises ValueError for chars
+    with no cp1252/Latin-1 byte (true non-Western text cannot be the
+    product of a cp1252 misread, so repair must not apply)."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o < 256 and o in _CP1252_UNMAPPED:
+                out.append(o)
+            else:
+                raise ValueError(
+                    f"char U+{o:04X} has no cp1252 byte"
+                ) from None
+    return bytes(out)
+
+
+def fix_mojibake(s: str, max_passes: int = 2) -> tuple[str, int]:
+    """Repair UTF-8-misread-as-cp1252 mojibake ('Ã©' -> 'é'),
+    iterating for double-encoded text. A pass applies only when ALL
+    of: every char has a cp1252 byte; those bytes decode as valid
+    UTF-8; and the decode strictly SHRINKS the text (a genuine
+    misread always expands, so requiring shrinkage plus UTF-8
+    validity keeps clean Western text intact — ftfy's fuller
+    heuristics reduced to the two hard gates). Returns
+    (fixed_text, passes_applied)."""
+    cur = s
+    passes = 0
+    for _ in range(max_passes):
+        try:
+            b = sloppy_cp1252_encode(cur)
+        except ValueError:
+            break
+        try:
+            dec = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == cur or len(dec) >= len(cur):
+            break
+        cur = dec
+        passes += 1
+    return cur, passes

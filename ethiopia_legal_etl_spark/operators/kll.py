@@ -206,7 +206,8 @@ def sketch_kll_order_prices(
     orders = load_table(spark, sf_dir, "orders")
     rows = build_partition_sketches(orders, "o_totalprice", k).collect()
     sk = merged_sketch_from_rows(rows, k)
-    out = [(q, sk.quantile(q)) for q in QUANTILES]
+    # pruned-to-nothing input: no quantiles, empty result (schema kept)
+    out = [] if sk.n == 0 else [(q, sk.quantile(q)) for q in QUANTILES]
     return spark.createDataFrame(out, "quantile double, estimate double")
 
 

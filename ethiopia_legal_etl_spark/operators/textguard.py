@@ -452,3 +452,87 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("score"), 4).alias("min_score"),
         F.round(F.max("score"), 4).alias("max_score"),
     )
+
+
+_MOJIBAKE_SUFFIX = " café Ωmega 中文"
+
+
+@register(
+    "text_mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 3 = 0 AS was_corrupted,
+           doc_id % 3 = 0 AS detected,
+           TRUE AS exact_after_repair,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_passes,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN strlen(text || ' café Ωmega 中文')
+                     - LENGTH(text || ' café Ωmega 中文')
+                ELSE 0 END AS BIGINT) AS len_delta
+    FROM documents
+    """,
+    doc="ftfy-style mojibake repair (UTF-8 misread as cp1252: "
+    "'Ã©' -> 'é') — the encoding-damage gate every web-scale text "
+    "pipeline runs before tokenization. Every third doc is corrupted "
+    "executor-side (text + a non-ASCII suffix, UTF-8 bytes re-read "
+    "through the sloppy-cp1252 map), then repaired by "
+    "functions.text.fix_mojibake, whose two hard gates (cp1252 "
+    "re-encode must be VALID UTF-8 and must strictly shrink) make "
+    "clean text — including genuinely accented text — a no-op. The "
+    "oracle states the exact-recovery contract in SQL: detection "
+    "equals the known corruption set, EVERY row is byte-exact after "
+    "repair (clean rows untouched, corrupted rows restored to the "
+    "original), and the char-count delta equals the UTF-8 "
+    "byte-vs-char length difference of the original (the expansion a "
+    "misread causes). Vectorized pandas UDF stage, map-only, "
+    "shuffle-free; double-encoded mojibake and precision properties "
+    "pinned in tests/test_textguard.py.",
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.text import (
+        fix_mojibake,
+        sloppy_cp1252_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stage(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                corrupted = doc_id % 3 == 0
+                original = text + _MOJIBAKE_SUFFIX if corrupted else text
+                incoming = (
+                    sloppy_cp1252_decode(original.encode("utf-8"))
+                    if corrupted
+                    else text
+                )
+                fixed, passes = fix_mojibake(incoming)
+                rows.append(
+                    (
+                        int(doc_id),
+                        corrupted,
+                        passes > 0,
+                        fixed == original,
+                        passes,
+                        len(incoming) - len(fixed),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "was_corrupted", "detected",
+                    "exact_after_repair", "n_passes", "len_delta",
+                ],
+            )
+
+    return docs.mapInPandas(
+        stage,
+        schema=(
+            "doc_id long, was_corrupted boolean, detected boolean, "
+            "exact_after_repair boolean, n_passes long, len_delta long"
+        ),
+    )

@@ -218,8 +218,11 @@ def _seed_pieces(
 
 def _normalize_logp(counts: dict[str, int]) -> dict[str, float]:
     """Micro-count table -> log-probs: log(c) - log(total), one
-    transcendental per piece on EXACT integers — deterministic."""
+    transcendental per piece on EXACT integers — deterministic.
+    Empty table -> empty model (the pruned-to-nothing corpus case)."""
     total = sum(counts.values())
+    if total == 0:
+        return {}
     lt = math.log(total)
     return {p: math.log(c) - lt for p, c in counts.items() if c > 0}
 
@@ -241,6 +244,8 @@ def unigram_train_table(
     sc = spark.sparkContext
     wf = _word_freq_df(spark, sf_dir, min_freq, max_words).cache()
     seed = _seed_pieces(wf, max_piece_len, seed_size)
+    if not seed:  # empty / pruned-to-nothing corpus: empty vocabulary
+        return []
     # initial model: probs proportional to substring weight
     logp = _normalize_logp({p: int(w) * _SCALE for p, w in seed})
 

@@ -643,3 +643,103 @@ def host_rank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("host", F.col("rank").cast("long").alias("rank_microunits"))
+
+
+# ---------------------------------------------------------------------
+# Crawl-frontier Bloom gate
+# ---------------------------------------------------------------------
+
+
+def bloom_probe_frontier(
+    urls: DataFrame, m: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """From-scratch distributed Bloom filter over the `prior` URL set,
+    probed by every URL — the crawl-frontier seen-set primitive
+    (Bloom, CACM 1970): an 8 KB-scale bit set stands in for the
+    full history so the frontier can drop already-crawled URLs
+    without joining against 100 TB of crawl logs.
+
+    `urls` must have columns (url string, prior boolean). Returns the
+    input plus `flagged_seen` (Bloom says possibly-seen).
+
+    Plan shape — deliberately ZERO corpus shuffles and zero UDFs:
+    - build: set bit positions are JVM expressions
+      pmod(xxhash64(i, url), m) for i < k (Kirsch-Mitzenmacher-style
+      independent seeds via the hash's seed slot); explode + distinct
+      over the PRIOR side only yields a <= m-row set-bits table
+      (bounded by the filter size, never by history).
+    - probe: k sequential BROADCAST left joins of the bit table
+      against each URL's k positions; flagged = all k hit. Broadcast
+      hash joins on a <= m-row build side are map-side — the corpus
+      never shuffles.
+    Guarantee (property-tested): no false negatives — every truly
+    prior URL is flagged; false-positive rate is bounded by the
+    standard (1 - e^(-kn/m))^k envelope."""
+    if m < 8 or k < 1:
+        raise ValueError("degenerate bloom parameters")
+    positions = [
+        F.pmod(F.xxhash64(F.lit(i), F.col("url")), F.lit(m)) for i in range(k)
+    ]
+    bits = (
+        urls.where(F.col("prior"))
+        .select(F.explode(F.array(*positions)).alias("bit"))
+        .distinct()
+    )
+    probed = urls
+    for i in range(k):
+        probed = probed.withColumn(f"_p{i}", positions[i]).join(
+            F.broadcast(
+                bits.select(
+                    F.col("bit").alias(f"_p{i}"),
+                    F.lit(1).alias(f"_hit{i}"),
+                )
+            ),
+            f"_p{i}",
+            "left",
+        )
+    flagged = F.lit(True)
+    for i in range(k):
+        flagged = flagged & (F.coalesce(F.col(f"_hit{i}"), F.lit(0)) == 1)
+    return probed.withColumn("flagged_seen", flagged).drop(
+        *[c for i in range(k) for c in (f"_p{i}", f"_hit{i}")]
+    )
+
+
+@register(
+    "frontier_bloom_seen",
+    oracle=None,  # xxhash64 bit positions are engine-specific (DuckDB
+    # has no XXH64) -> rows-only; ground truth is the no-false-negative
+    # guarantee, the FPR envelope, and exact-anti-join accounting in
+    # tests/test_warc.py
+    doc="crawl-frontier Bloom seen-set gate: build an m=2^16-bit "
+    "filter over the prior crawl's URLs with k=5 xxhash64 positions "
+    "(pure JVM expressions), probe every candidate via k broadcast "
+    "joins of the <= m-row set-bits table — zero corpus shuffles, "
+    "zero UDFs. Single-row accounting proves the contract: "
+    "n_false_negatives is structurally 0 (a Bloom filter never "
+    "forgets), false positives are counted against the exact "
+    "anti-join truth the filter replaces at scale.",
+)
+def frontier_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://fsc.example.et/files/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".pdf"),
+        ).alias("url"),
+        (F.col("doc_id") % 2 == 0).alias("prior"),
+    )
+    probed = bloom_probe_frontier(urls)
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("prior").cast("long")).alias("n_prior"),
+        F.sum(F.col("flagged_seen").cast("long")).alias("n_flagged_seen"),
+        F.sum((F.col("prior") & ~F.col("flagged_seen")).cast("long")).alias(
+            "n_false_negatives"
+        ),
+        F.sum((~F.col("prior") & F.col("flagged_seen")).cast("long")).alias(
+            "n_false_positives"
+        ),
+        F.sum((~F.col("flagged_seen")).cast("long")).alias("n_passed"),
+    )

@@ -137,3 +137,71 @@ def test_perplexity_buckets_are_exact_terciles(spark, sf_dir):
         assert sorted(sizes, reverse=True) == sizes  # remainder goes early
         for b in (1, 2):
             assert buckets[b]["max_score"] <= buckets[b + 1]["min_score"]
+
+
+class TestMojibakeRepair:
+    def test_single_and_double_encoding_recovered(self):
+        from ethiopia_legal_etl_spark.functions.text import (
+            fix_mojibake,
+            sloppy_cp1252_decode,
+        )
+
+        orig = "résumé — café Ωmega 中文 €5 naïve"
+        once = sloppy_cp1252_decode(orig.encode("utf-8"))
+        assert once != orig and len(once) > len(orig)
+        assert fix_mojibake(once) == (orig, 1)
+        twice = sloppy_cp1252_decode(once.encode("utf-8"))
+        assert fix_mojibake(twice) == (orig, 2)
+
+    def test_clean_text_untouched(self):
+        from ethiopia_legal_etl_spark.functions.text import fix_mojibake
+
+        for clean in (
+            "plain ascii only",
+            "déjà vu — genuine accented text",  # encodes cp1252 but
+            # the bytes are NOT valid UTF-8 -> no pass applies
+            "中文 cannot be a cp1252 misread",
+            "",
+        ):
+            assert fix_mojibake(clean) == (clean, 0)
+
+    def test_unmapped_cp1252_bytes_round_trip(self):
+        from ethiopia_legal_etl_spark.functions.text import (
+            fix_mojibake,
+            sloppy_cp1252_decode,
+            sloppy_cp1252_encode,
+        )
+
+        # U+08FF encodes to 0xE2 0xA3 0xBF? no — pick a char whose
+        # UTF-8 encoding contains one of cp1252's five unassigned
+        # bytes (0x81 0x8D 0x8F 0x90 0x9D): U+0450 = 0xD1 0x90
+        orig = "xѐy"
+        corrupt = sloppy_cp1252_decode(orig.encode("utf-8"))
+        assert sloppy_cp1252_encode(corrupt) == orig.encode("utf-8")
+        assert fix_mojibake(corrupt) == (orig, 1)
+
+    def test_hypothesis_corrupt_then_fix_recovers(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from ethiopia_legal_etl_spark.functions.text import (
+            fix_mojibake,
+            sloppy_cp1252_decode,
+        )
+
+        # alphabet chosen so the ORIGINAL can never itself look like
+        # mojibake (no chars in cp1252's 0x80-0xBF continuation
+        # range), making exact recovery provable, not probabilistic
+        alphabet = (
+            "abcdefghij XYZ0123456789" + "éñüàö" + "中文日Ω"
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(hst.text(alphabet=alphabet, max_size=60))
+        def inner(t):
+            corrupt = sloppy_cp1252_decode(t.encode("utf-8"))
+            fixed, passes = fix_mojibake(corrupt)
+            assert fixed == t
+            assert passes == (1 if corrupt != t else 0)
+
+        inner()

@@ -216,3 +216,56 @@ def test_host_rank_fixed_point_matches_python_model(spark, sf_dir):
     # mass conservation up to the documented truncation leak
     assert sum(got.values()) <= 1_000_000
     assert sum(got.values()) >= 1_000_000 - (len(edges) + 2 * n) * 3
+
+
+def test_frontier_bloom_no_false_negatives_and_accounting(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.webarchive import (
+        frontier_bloom_seen,
+    )
+
+    (r,) = frontier_bloom_seen(spark, sf_dir).collect()
+    assert r["n_false_negatives"] == 0  # a Bloom filter never forgets
+    assert r["n_flagged_seen"] == r["n_prior"] + r["n_false_positives"]
+    assert r["n_passed"] == r["n_candidates"] - r["n_flagged_seen"]
+    # at m=2^16 / k=5 / n=250 the FPR envelope is ~1e-9: expect none
+    assert r["n_false_positives"] == 0
+    (again,) = frontier_bloom_seen(spark, sf_dir).collect()
+    assert again == r  # deterministic
+
+
+def test_frontier_bloom_small_filter_fpr_within_envelope(spark):
+    """Undersized filter (m=1024, k=3, n=200): false positives MUST
+    appear (the stress regime) but stay within 3x the standard
+    (1 - e^(-kn/m))^k envelope; false negatives stay impossible."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.operators.webarchive import (
+        bloom_probe_frontier,
+    )
+
+    m, k, n_prior, n_new = 1024, 3, 200, 800
+    urls = spark.range(n_prior + n_new).select(
+        F.concat(F.lit("https://x.et/u"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+        (F.col("id") < n_prior).alias("prior"),
+    )
+    rows = bloom_probe_frontier(urls, m=m, k=k).collect()
+    fn = sum(1 for r in rows if r["prior"] and not r["flagged_seen"])
+    fp = sum(1 for r in rows if not r["prior"] and r["flagged_seen"])
+    assert fn == 0
+    envelope = (1 - math.exp(-k * n_prior / m)) ** k
+    assert 0 < fp <= 3 * envelope * n_new, (fp, envelope * n_new)
+
+
+def test_frontier_bloom_probe_is_broadcast_no_sort_merge(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.webarchive import (
+        frontier_bloom_seen,
+    )
+
+    plan = frontier_bloom_seen(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5  # one per hash probe
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
