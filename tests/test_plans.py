@@ -307,6 +307,16 @@ SHUFFLE_BUDGET = {
     "robots_crawl_gate": 1,
     "url_canonical_dedup": 1,
     "sitemap_url_extract": 0,
+    # r6 late additions
+    "stream_stream_interval_join": 1,  # user-key join; agg reuses it
+    "corpus_unimax_budget": 2,  # corpus groupBy + bounded-frame window
+    "text_mojibake_repair": 0,  # map-only repair stage
+    "frontier_bloom_seen": 2,  # persisted bit-table distinct + 1-row agg
+    "unigram_encode_tokens": 0,  # broadcast-vocab map-only apply
+    "unigram_train_vocab": 0,  # result is the V-bounded local table
+    "sketch_kll_order_prices": 0,  # partials built map-only pre-plan
+    "multimodal_decode_mpeg1": 1,  # parallelism repartition
+    "multimodal_decode_mpeg1_l2": 1,  # parallelism repartition
 }
 
 
