@@ -747,3 +747,77 @@ def frontier_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum((~F.col("flagged_seen")).cast("long")).alias("n_passed"),
     )
+
+
+@register(
+    "anchor_text_profile",
+    oracle="""
+    WITH anchors AS (
+      SELECT 'h' || ((d.doc_id + t.i * 3) % 7) AS dst_host,
+             'term' || ((d.doc_id + t.i) % 11) || ' page' AS anchor
+      FROM documents d
+      JOIN (SELECT unnest(range(3)) AS i) t ON t.i < 2 + d.doc_id % 2
+    )
+    SELECT dst_host,
+           COUNT(*) AS n_links,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors,
+           MIN(anchor) AS first_anchor,
+           MAX(anchor) AS last_anchor
+    FROM anchors
+    GROUP BY dst_host
+    """,
+    doc="anchor-text aggregation over the synthetic link graph — the "
+    "web-graph signal an anchor-text corpus distills (what OTHER "
+    "pages call a destination is a quality/description signal the "
+    "destination can't control; cf. the anchor-text pretraining "
+    "datasets built from Common Crawl link graphs). Each doc "
+    "synthesizes genuine <a href>...</a> markup, pairs are extracted "
+    "with the pure-JVM regexp_extract_all + arrays_zip + posexplode "
+    "shape (A-2 family, zero Python), the destination HOST is parsed "
+    "from the href, and the per-host profile aggregates link count, "
+    "anchor diversity, and the lexicographic anchor extremes "
+    "(deterministic, unlike a mode pick). One shuffle on the "
+    "bounded host key; the oracle rebuilds every pair from the "
+    "doc_id formulas, value-exact.",
+)
+def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    html = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(1) + F.col("doc_id") % 2),
+            lambda i: F.concat(
+                F.lit('<a href="https://h'),
+                ((F.col("doc_id") + i * 3) % 7).cast("string"),
+                F.lit('.example.et/p'),
+                ((F.col("doc_id") + i) % 40).cast("string"),
+                F.lit('">term'),
+                ((F.col("doc_id") + i) % 11).cast("string"),
+                F.lit(" page</a>"),
+            ),
+        ),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    pairs = pages.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    "html", F.lit(r'href="([^"]*)"'), 1
+                ).alias("href"),
+                F.regexp_extract_all(
+                    "html", F.lit(r">([^<]*)</a>"), 1
+                ).alias("anchor"),
+            )
+        ).alias("pos", "entry"),
+    ).select(
+        F.regexp_extract(F.col("entry.href"), r"https://([^.]+)\.", 1).alias(
+            "dst_host"
+        ),
+        F.col("entry.anchor").alias("anchor"),
+    )
+    return pairs.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("anchor").alias("n_distinct_anchors"),
+        F.min("anchor").alias("first_anchor"),
+        F.max("anchor").alias("last_anchor"),
+    )

@@ -317,6 +317,7 @@ SHUFFLE_BUDGET = {
     "sketch_kll_order_prices": 0,  # partials built map-only pre-plan
     "multimodal_decode_mpeg1": 1,  # parallelism repartition
     "multimodal_decode_mpeg1_l2": 1,  # parallelism repartition
+    "anchor_text_profile": 2,  # host groupBy + count_distinct expand
 }
 
 
