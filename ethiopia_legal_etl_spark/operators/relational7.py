@@ -348,3 +348,104 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, col string, files_total long, files_hit long"
     )
+
+
+def mg_summary_stream(values, k: int) -> dict:
+    """Misra-Gries k-1-counter summary of one value stream (Misra &
+    Gries 1982): increment a tracked item, open a counter if fewer
+    than k-1 are live, else decrement ALL live counters (dropping
+    zeros). Invariant: any item with true frequency > n/k is ALWAYS
+    live at the end — deterministic, no hash, no probability."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k - 1:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def mg_merge(partials: list[dict], k: int) -> dict:
+    """Associative merge (Agarwal et al., PODS 2012): sum counters,
+    then subtract the k-th largest count so at most k-1 survive —
+    preserves the superset guarantee across partitions."""
+    merged: dict = {}
+    for p in partials:
+        for item, c in p.items():
+            merged[item] = merged.get(item, 0) + int(c)
+    if len(merged) >= k:
+        kth = sorted(merged.values(), reverse=True)[k - 1]
+        merged = {i: c - kth for i, c in merged.items() if c - kth > 0}
+    return merged
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) * 8 > (SELECT COUNT(*) FROM events)
+    """,
+    doc="Misra-Gries heavy hitters with an exact verification pass — "
+    "the DETERMINISTIC counterpart of heavy_hitters_cms (CMS bounds "
+    "hold with probability; the MG summary provably contains EVERY "
+    "item with frequency > n/k, no coin flips). Distributed shape: "
+    "one mapInPandas pass builds a <= k-1-counter summary per "
+    "partition (bounded rows, never data), the driver merges "
+    "associatively (sum, then subtract the k-th largest — the "
+    "mergeable-summaries construction), and a second pass counts the "
+    "<= k-1 candidates EXACTLY with a pushed isin filter. Because "
+    "candidates form a guaranteed superset of the true heavy "
+    "hitters, filtering the exact counts by count*k > n yields "
+    "precisely the true heavy-hitter set — which is why this sketch "
+    "entry is DuckDB-oracle-checkable while CMS is rows-only. At "
+    "100 TB the full groupBy this replaces would shuffle every "
+    "distinct key; this shuffles only the candidate-filtered rows.",
+)
+def heavy_hitters_mg(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+
+    def part(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["event_type"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    partials = ev.mapInPandas(part, "item string, cnt long").collect()
+    by_part: dict = {}
+    for r in partials:
+        by_part[r["item"]] = by_part.get(r["item"], 0) + int(r["cnt"])
+    merged = mg_merge([by_part], k)
+    candidates = sorted(merged)  # <= k-1 items, deterministic order
+    n_total = ev.count()
+    return (
+        ev.where(F.col("event_type").isin(candidates))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") * k > F.lit(n_total))
+    )

@@ -161,3 +161,84 @@ def test_heavy_hitters_cms_high_ndv_guard(spark):
     wide = spark.range(1000).selectExpr("CAST(id AS STRING) AS k")
     with pytest.raises(ValueError, match="exceeds the driver-probe bound"):
         _heavy_hitters_cms(spark, wide, "k", max_ndv=100)
+
+
+class TestMisraGries:
+    def test_superset_guarantee_random_streams(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from ethiopia_legal_etl_spark.operators.relational7 import (
+            mg_summary_stream,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            hst.lists(hst.integers(0, 20), min_size=1, max_size=400),
+            hst.integers(2, 10),
+        )
+        def inner(vals, k):
+            from collections import Counter
+
+            summary = mg_summary_stream(vals, k)
+            assert len(summary) <= k - 1
+            true = Counter(vals)
+            n = len(vals)
+            for item, c in true.items():
+                if c * k > n:  # freq > n/k MUST be tracked
+                    assert item in summary
+            # counts never overestimate
+            for item, c in summary.items():
+                assert 0 < c <= true[item]
+
+        inner()
+
+    def test_merge_preserves_guarantee(self):
+        import random
+        from collections import Counter
+
+        from ethiopia_legal_etl_spark.operators.relational7 import (
+            mg_merge,
+            mg_summary_stream,
+        )
+
+        rng = random.Random(11)
+        # skewed stream: two heavy items + uniform tail
+        vals = (
+            ["hot1"] * 3000 + ["hot2"] * 2500
+            + [f"t{rng.randrange(500)}" for _ in range(4000)]
+        )
+        rng.shuffle(vals)
+        k = 8
+        parts = [vals[i::5] for i in range(5)]
+        merged = mg_merge([mg_summary_stream(p, k) for p in parts], k)
+        assert len(merged) <= k - 1
+        true = Counter(vals)
+        n = len(vals)
+        for item, c in true.items():
+            if c * k > n:
+                assert item in merged
+        for item, c in merged.items():
+            assert c <= true[item]
+
+    def test_registry_entry_exact_heavy_set(self, spark, sf_dir):
+        from ethiopia_legal_etl_spark.operators.relational7 import (
+            heavy_hitters_mg,
+        )
+
+        rows = {
+            r["event_type"]: r["n_events"]
+            for r in heavy_hitters_mg(spark, sf_dir).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n = ev.count()
+        from pyspark.sql import functions as F
+
+        true = {
+            r["event_type"]: r["c"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+            if r["c"] * 8 > n
+        }
+        assert rows == true and len(rows) > 0
