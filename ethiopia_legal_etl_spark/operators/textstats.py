@@ -379,3 +379,115 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "cooccurrence_pmi_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    dd AS (SELECT toks FROM d WHERE LEN(toks) >= 2),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM dd) GROUP BY tok
+    ),
+    bi AS (
+      SELECT z[1] AS a, z[2] AS b, COUNT(*) AS c_ab
+      FROM (
+        SELECT unnest(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)]))
+          AS z
+        FROM dd
+      ) GROUP BY a, b
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+             (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bi) AS m
+    )
+    SELECT bi.a, bi.b,
+           CAST(bi.c_ab AS BIGINT) AS c_ab,
+           CAST(CAST(ROUND(LN(CAST(bi.c_ab * tot.n * tot.n AS DOUBLE)
+                    / CAST(tot.m * ua.c * ub.c AS DOUBLE)), 4)
+                AS DECIMAL(12,4)) AS DOUBLE) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.tok = bi.a
+    JOIN uni ub ON ub.tok = bi.b
+    CROSS JOIN tot
+    WHERE bi.c_ab >= 5
+    """,
+    doc="bigram co-occurrence PMI (Church & Hanks 1990) — the "
+    "collocation statistic behind phrase mining and the word2vec-era "
+    "co-occurrence matrix build: PMI(a,b) = ln(p(a,b)/(p(a)p(b))) "
+    "over adjacent token pairs. Spark shape: ONE corpus pass "
+    "produces bigrams via arrays_zip(slice, slice) — no self-join on "
+    "positions, the trap formulation that shuffles the token stream "
+    "twice and explodes at 100 TB — then two Zipf-bounded aggregates "
+    "(unigram + bigram vocab tables) joined broadcast. The PMI "
+    "argument is formed as ONE integer-product ratio "
+    "(c_ab*N^2)/(M*c_a*c_b) — exact BIGINT products, a single IEEE "
+    "division, one LN — with the registry's 4dp policy absorbing "
+    "libm last-ulp variance (the text_unigram_logprob convention). "
+    "min-count 5 filters the unstable low-count tail PMI is known "
+    "for.",
+)
+def cooccurrence_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    dd = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    dd = dd.cache()  # both aggregates read it; one corpus scan each
+    # cache the two Zipf-bounded vocab tables: each is referenced 2-3
+    # times (totals + the broadcast joins) and without caching every
+    # reference re-runs its CORPUS-scan aggregate (measured 7 data
+    # shuffles -> 4, all vocab-bounded after the fix)
+    uni = (
+        dd.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    bi = (
+        dd.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)").alias("a"),
+                    F.expr("slice(toks, 2, size(toks) - 1)").alias("b"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .cache()
+    )
+    tot = uni.agg(F.sum("c").alias("n")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("m"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bi.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            # DECIMAL-mediated 4dp round: both engines quantize to the
+            # identical decimal, then the identical nearest double —
+            # plain ROUND(double,4) reprs can differ in the last ulp
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n") * F.col("n")).cast("double")
+                    / (F.col("m") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            )
+            .cast("decimal(12,4)")
+            .cast("double")
+            .alias("pmi"),
+        )
+    )

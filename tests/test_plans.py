@@ -319,6 +319,7 @@ SHUFFLE_BUDGET = {
     "multimodal_decode_mpeg1_l2": 1,  # parallelism repartition
     "anchor_text_profile": 2,  # host groupBy + count_distinct expand
     "heavy_hitters_mg": 1,  # exact pass over MG candidates only
+    "cooccurrence_pmi_bigrams": 4,  # uni+bi vocab aggs + 2 1-row totals
 }
 
 
