@@ -512,3 +512,51 @@ def test_semantic_dedup_matches_bruteforce_model(spark, sf_dir):
         for r in dedup_semantic_keep(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cluster_jaccard_partitions_edge_nodes(spark, sf_dir):
+    """dedup_cluster_jaccard must be a PARTITION of the banded-edge node
+    set: every node in exactly one cluster, component = min(members),
+    n_docs/n_dropped consistent with the member list, and members must
+    reproduce the independent transitive closure of the edge set."""
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.operators.dedup import (
+        banded_jaccard_pairs,
+        dedup_cluster_jaccard,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = banded_jaccard_pairs(docs, threshold=0.9).collect()
+    # independent closure: pure-Python union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = {}
+    for n in list(parent):
+        want.setdefault(find(n), set()).add(n)
+
+    rows = dedup_cluster_jaccard(spark, sf_dir).collect()
+    got = {r["component"]: r for r in rows}
+    assert set(got) == set(want)
+    seen = set()
+    for comp, r in got.items():
+        members = list(r["members"])
+        assert members == sorted(members)
+        assert comp == min(members)
+        assert r["n_docs"] == len(members)
+        assert r["n_dropped"] == len(members) - 1
+        assert not (set(members) & seen), "clusters overlap"
+        seen |= set(members)
+        assert set(members) == want[comp]

@@ -320,6 +320,7 @@ SHUFFLE_BUDGET = {
     "anchor_text_profile": 2,  # host groupBy + count_distinct expand
     "heavy_hitters_mg": 1,  # exact pass over MG candidates only
     "cooccurrence_pmi_bigrams": 4,  # uni+bi vocab aggs + 2 1-row totals
+    "dedup_cluster_jaccard": 1,  # final cluster agg; rounds checkpointed
 }
 
 
