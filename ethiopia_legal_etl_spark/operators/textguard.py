@@ -536,3 +536,144 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_after_repair boolean, n_passes long, len_delta long"
         ),
     )
+
+
+_SB_TRAIN = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@register(
+    "lm_stupid_backoff",
+    oracle=f"""
+    WITH tr AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents WHERE source IN {_SB_TRAIN}
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT z[1] AS a, z[2] AS b, COUNT(*) AS c_ab
+      FROM (
+        SELECT unnest(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)]))
+          AS z
+        FROM tr WHERE LEN(toks) >= 2
+      ) GROUP BY a, b
+    ),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, z[1] AS a, z[2] AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)]))
+                 AS z
+        FROM d WHERE LEN(toks) >= 2
+      )
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE
+               WHEN bi.c_ab IS NOT NULL
+                 THEN LN(CAST(bi.c_ab AS DOUBLE) / ua.c)
+               WHEN ub.c IS NOT NULL
+                 THEN LN(CAST(0.4 AS DOUBLE) * ub.c / tot.n)
+               ELSE LN(CAST(0.4 AS DOUBLE) / tot.n)
+             END AS lp,
+             CASE WHEN bi.c_ab IS NULL AND ub.c IS NOT NULL
+                  THEN 1 ELSE 0 END AS backoff,
+             CASE WHEN bi.c_ab IS NULL AND ub.c IS NULL
+                  THEN 1 ELSE 0 END AS oov
+      FROM pairs p
+      LEFT JOIN bi ON bi.a = p.a AND bi.b = p.b
+      LEFT JOIN uni ua ON ua.tok = p.a
+      LEFT JOIN uni ub ON ub.tok = p.b
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(CAST(ROUND(lp, 4) AS DECIMAL(18,4))) AS DOUBLE)
+             AS logscore
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Stupid Backoff bigram LM scoring (Brants et al. 2007, 'Large "
+    "Language Models in Machine Translation' — THE distributed-LM "
+    "paper: score without normalized discounting because at corpus "
+    "scale the unnormalized backoff S(w|w') = c(w'w)/c(w') else "
+    "0.4*c(w)/N is as good and infinitely cheaper). LM trained on the "
+    "src0-src4 quarter of the corpus, every document scored against "
+    "it — so unseen-bigram backoff and OOV genuinely fire. Spark "
+    "shape: the bigram/unigram tables are Zipf/Heaps-bounded "
+    "aggregates broadcast back onto the single bigram-position pass "
+    "(arrays_zip(slice,slice), never a positional self-join); Brants "
+    "et al. shard the LM and ship n-grams to it — at 100 TB the LEFT "
+    "broadcast joins become shuffle joins on the bigram key, same "
+    "plan shape. Float policy: every LN argument is one IEEE "
+    "expression of exact integers evaluated in the same op order in "
+    "both engines; per-bigram terms ROUND(4) -> DECIMAL(18,4) exact "
+    "sum -> DOUBLE, so the per-doc total is summation-order-free.",
+)
+def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    train_srcs = [s.strip(" '") for s in _SB_TRAIN.strip("()").split(",")]
+
+    def bigrams(df: DataFrame, *keep: str) -> DataFrame:
+        z = F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks) - 1)").alias("a"),
+                F.expr("slice(toks, 2, size(toks) - 1)").alias("b"),
+            )
+        ).alias("z")
+        return df.where(F.size("toks") >= 2).select(*keep, z).select(
+            *keep, F.col("z.a").alias("a"), F.col("z.b").alias("b")
+        )
+
+    tr = docs.where(F.col("source").isin(train_srcs)).select(
+        toks.alias("toks")
+    )
+    uni = (
+        tr.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()  # feeds tot + both context/backoff joins
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = bigrams(tr).groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+
+    pairs = bigrams(docs.select("doc_id", toks.alias("toks")), "doc_id")
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(bi), ["a", "b"], "left")
+        .join(F.broadcast(ua), "a", "left")
+        .join(F.broadcast(ub), "b", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lp = (
+        F.when(
+            F.col("c_ab").isNotNull(),
+            F.log(F.col("c_ab").cast("double") / F.col("c_a")),
+        )
+        .when(
+            F.col("c_b").isNotNull(),
+            F.log(F.lit(0.4) * F.col("c_b") / F.col("n")),
+        )
+        .otherwise(F.log(F.lit(0.4) / F.col("n")))
+    )
+    backoff = (F.col("c_ab").isNull() & F.col("c_b").isNotNull()).cast("long")
+    oov = (F.col("c_ab").isNull() & F.col("c_b").isNull()).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(backoff).alias("n_backoff"),
+        F.sum(oov).alias("n_oov"),
+        F.sum(F.round(lp, 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("logscore"),
+    )

@@ -321,6 +321,7 @@ SHUFFLE_BUDGET = {
     "heavy_hitters_mg": 1,  # exact pass over MG candidates only
     "cooccurrence_pmi_bigrams": 4,  # uni+bi vocab aggs + 2 1-row totals
     "dedup_cluster_jaccard": 1,  # final cluster agg; rounds checkpointed
+    "lm_stupid_backoff": 4,  # uni+bi vocab aggs, 1-row total, doc agg
 }
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.textguard import (
@@ -205,3 +207,52 @@ class TestMojibakeRepair:
             assert passes == (1 if corrupt != t else 0)
 
         inner()
+
+
+def test_stupid_backoff_all_three_branches(spark, tmp_path):
+    """The driver corpus's 31-token vocab is fully covered by any train
+    split, so the OOV branch can never fire there — pin ALL THREE
+    scoring branches (seen bigram / unigram backoff / OOV) on a
+    synthetic corpus where the held-out sources contain novel tokens.
+
+    Train (src0): "a b a b c", "c a b" ->
+      uni a:3 b:3 c:2, N=8; bi (a,b):3 (b,a):1 (b,c):1 (c,a):1.
+    """
+    import math
+
+    from ethiopia_legal_etl_spark.operators.textguard import lm_stupid_backoff
+
+    rows = [
+        (0, "a b a b c", "src0"),
+        (1, "c a b", "src0"),
+        (2, "b c x", "src9"),  # (b,c) seen; (c,x): x unseen -> OOV
+        (3, "q r", "src9"),  # (q,r) both unseen -> OOV
+        (4, "a c", "src9"),  # (a,c) unseen, c seen -> backoff
+    ]
+    d = str(tmp_path / "sb")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in lm_stupid_backoff(spark, d).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+
+    def r4(x):
+        return round(x, 4)  # ties don't occur on these values
+
+    assert (got[2]["n_bigrams"], got[2]["n_backoff"], got[2]["n_oov"]) == (2, 0, 1)
+    assert got[2]["logscore"] == pytest.approx(
+        r4(math.log(1 / 3)) + r4(math.log(0.4 / 8)), abs=1e-9
+    )
+    assert (got[3]["n_bigrams"], got[3]["n_backoff"], got[3]["n_oov"]) == (1, 0, 1)
+    assert got[3]["logscore"] == pytest.approx(r4(math.log(0.4 / 8)), abs=1e-9)
+    assert (got[4]["n_bigrams"], got[4]["n_backoff"], got[4]["n_oov"]) == (1, 1, 0)
+    assert got[4]["logscore"] == pytest.approx(
+        r4(math.log(0.4 * 2 / 8)), abs=1e-9
+    )
+    # train docs score with zero backoff/OOV (their bigrams define the LM)
+    assert got[0]["n_backoff"] == got[0]["n_oov"] == 0
+    # pairs: (a,b)x2 -> ln(3/3)=0 each; (b,a),(b,c) -> ln(1/3) each
+    assert got[0]["logscore"] == pytest.approx(
+        2 * r4(math.log(1 / 3)), abs=1e-9
+    )
