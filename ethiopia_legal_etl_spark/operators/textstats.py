@@ -491,3 +491,154 @@ def cooccurrence_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi"),
         )
     )
+
+
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["sort", "merge", "join"]),
+    (2, ["window", "agg"]),
+    (3, ["stream", "batch"]),
+    (4, ["table", "scan", "filter"]),
+]
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle="""
+    WITH q(query_id, term) AS (
+      VALUES (0, 'hash'), (0, 'join'),
+             (1, 'sort'), (1, 'merge'), (1, 'join'),
+             (2, 'window'), (2, 'agg'),
+             (3, 'stream'), (3, 'batch'),
+             (4, 'table'), (4, 'scan'), (4, 'filter')
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    g AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+                     / COUNT(*) FROM dl) AS avgdl
+    ),
+    terms AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(
+               LN(CAST(1 AS DOUBLE)
+                  + (CAST(g.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               / (CAST(tf.tf AS DOUBLE)
+                  + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE)
+                         * (CAST(dl.dl AS DOUBLE) / g.avgdl))),
+             6) AS s
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN g
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             SUM(CAST(s AS DECIMAL(18,6))) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM terms GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, n_terms_hit,
+             CAST(sd AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sd DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(rank AS BIGINT) AS rank, n_terms_hit, score
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Okapi BM25 top-10 retrieval (Robertson/Sparck Jones; "
+    "Lucene-style always-positive idf = ln(1+(N-df+0.5)/(df+0.5)), "
+    "k1=1.2, b=0.75) for a fixed 5-query workload — the IR primitive "
+    "behind RAG corpus retrieval and hard-negative mining, one level "
+    "up from text_tfidf_top_terms. Spark shape: the query-term table "
+    "(12 rows) and the per-term df stats broadcast against the "
+    "(doc,term) tf aggregate, per-doc length joined on doc_id, the "
+    "1-row (N, avgdl) global broadcast; per-term scores ROUND(6) -> "
+    "DECIMAL(18,6) EXACT sum per (query,doc) -> ordering and the "
+    "top-10 cut both happen on the exact decimal, so rank order is "
+    "deterministic cross-engine (no float-sum-order or round-tie "
+    "ordering risk); ROW_NUMBER partitions by query_id — |queries| "
+    "partitions each bounded by matching-doc count; at 100 TB the "
+    "window becomes a per-partition top-k heap + merge on the same "
+    "key, same semantics.",
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # cache dl: it feeds both the avgdl global AND the per-doc join —
+    # uncached, the corpus scan + doc-length aggregate runs twice
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    g = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    s = F.round(
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        ),
+        6,
+    )
+    terms = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("query_id", "doc_id", s.alias("s"))
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).alias("sd"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sd").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "n_terms_hit",
+            F.col("sd").cast("double").alias("score"),
+        )
+    )

@@ -322,6 +322,9 @@ SHUFFLE_BUDGET = {
     "cooccurrence_pmi_bigrams": 4,  # uni+bi vocab aggs + 2 1-row totals
     "dedup_cluster_jaccard": 1,  # final cluster agg; rounds checkpointed
     "lm_stupid_backoff": 4,  # uni+bi vocab aggs, 1-row total, doc agg
+    # tf/dl/df aggs, 2 1-row globals, score agg, window, + re-key of the
+    # query-FILTERED tf side to doc_id for the dl join (tiny by then)
+    "retrieval_bm25_topk": 8,
 }
 
 

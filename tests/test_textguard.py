@@ -256,3 +256,28 @@ def test_stupid_backoff_all_three_branches(spark, tmp_path):
     assert got[0]["logscore"] == pytest.approx(
         2 * r4(math.log(1 / 3)), abs=1e-9
     )
+
+
+def test_bm25_rank_invariants(spark, sf_dir):
+    """Per query: ranks are contiguous 1..k, scores non-increasing in
+    rank, every score positive (Lucene idf is always > 0), and
+    n_terms_hit never exceeds the query's term count."""
+    from ethiopia_legal_etl_spark.operators.textstats import (
+        _BM25_QUERIES,
+        retrieval_bm25_topk,
+    )
+
+    n_terms = {qid: len(ts) for qid, ts in _BM25_QUERIES}
+    rows = retrieval_bm25_topk(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(n_terms)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        assert all(1 <= r["n_terms_hit"] <= n_terms[qid] for r in rs)
