@@ -642,3 +642,106 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sd").cast("double").alias("score"),
         )
     )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             LEN(toks) - 2 AS m,
+             list_transform(range(1, LEN(toks) - 1),
+               i -> CAST(('0x' || substr(md5(
+                      array_to_string(toks[i:i+2], ' ')), 1, 12)) AS BIGINT)
+             ) AS hs
+      FROM d WHERE LEN(toks) >= 3
+    ),
+    w AS (SELECT doc_id, m, hs, LEAST(4, m) AS wlen FROM g),
+    sel AS (
+      -- (pos, hash) packed into ONE BIGINT pos*2^48 + hash (hash is 48
+      -- bits by construction; pos bounded by doc length << 2^15):
+      -- list_distinct/list_sort on STRUCT lists is unimplemented in
+      -- DuckDB, and the packing sorts by pos-then-hash either way
+      SELECT doc_id, m,
+             list_sort(list_distinct(list_transform(
+               range(1, m - wlen + 2),
+               j -> CAST(j + (wlen - list_position(
+                      list_reverse(hs[j:j+wlen-1]),
+                      list_min(hs[j:j+wlen-1]))) AS BIGINT)
+                    * 281474976710656 + list_min(hs[j:j+wlen-1])
+             ))) AS fps
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_grams,
+           CAST(LEN(fps) AS BIGINT) AS n_fps,
+           ROUND(CAST(LEN(fps) AS DOUBLE) / m, 4) AS density,
+           list_transform(fps, s -> s // 281474976710656) AS fp_pos,
+           list_transform(fps, s -> s % 281474976710656) AS fp_hash
+    FROM sel
+    """,
+    doc="winnowing document fingerprints (Schleimer, Wilkerson, Aiken "
+    "SIGMOD 2003 — the MOSS algorithm): 3-token k-gram hashes, "
+    "sliding window w=4, select the RIGHTMOST minimal hash per "
+    "window (robust winnowing's tie rule), dedupe to the fingerprint "
+    "set. Guarantees every shared substring of >= w+k-1 tokens "
+    "yields a shared fingerprint — the local-selection property that "
+    "makes position-aware partial-overlap detection work where "
+    "MinHash (whole-doc similarity) cannot. Expected density 2/(w+1). "
+    "Engine-portable hash: first 12 hex chars of md5 as BIGINT "
+    "(Spark conv(substr(md5),16,10) == DuckDB '0x'||substr cast — "
+    "verified equal). Spark shape: pure JVM array expressions "
+    "(transform/slice/array_min/reverse/array_position), shuffle-"
+    "free, one pass, whole-stage codegen — per-row cost O(m*w) with "
+    "zero Python. Short docs (< k tokens) drop; docs with fewer "
+    "grams than w use one full-span window (standard).",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, W = 3, 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    m = (n - F.lit(K - 1)).alias("m")
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(toks, i, K), " "),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+    )
+    d = docs.where(n >= K).select(
+        "doc_id", m, hashes.alias("hs"), F.least(F.lit(W), m).alias("wlen")
+    )
+
+    PACK = 281474976710656  # 2^48: hash is 48 bits, pos takes the high bits
+
+    def pick(j):
+        win = F.slice("hs", j, F.col("wlen"))
+        mn = F.array_min(win)
+        revpos = F.array_position(F.reverse(win), mn)
+        pos = j.cast("long") + (F.col("wlen").cast("long") - revpos)
+        return pos * F.lit(PACK) + mn
+
+    sel = d.select(
+        "doc_id",
+        "m",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("m") - F.col("wlen") + 1), pick
+                )
+            )
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("m").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.round(F.size("fps").cast("double") / F.col("m"), 4).alias("density"),
+        F.expr(f"transform(fps, s -> s div {PACK}L)").alias("fp_pos"),
+        F.expr(f"transform(fps, s -> s % {PACK}L)").alias("fp_hash"),
+    )

@@ -325,6 +325,7 @@ SHUFFLE_BUDGET = {
     # tf/dl/df aggs, 2 1-row globals, score agg, window, + re-key of the
     # query-FILTERED tf side to doc_id for the dl join (tiny by then)
     "retrieval_bm25_topk": 8,
+    "winnowing_fingerprints": 0,  # pure per-row array expressions
 }
 
 
