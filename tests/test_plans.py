@@ -326,6 +326,7 @@ SHUFFLE_BUDGET = {
     # query-FILTERED tf side to doc_id for the dl join (tiny by then)
     "retrieval_bm25_topk": 8,
     "winnowing_fingerprints": 0,  # pure per-row array expressions
+    "graph_triangle_count": 6,  # und distinct, path joins, per-host+deg aggs
 }
 
 
