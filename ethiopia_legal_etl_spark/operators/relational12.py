@@ -198,3 +198,71 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("prob"),
     )
+
+
+@register(
+    "event_pattern_funnels",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             STRING_AGG(left(event_type, 1), '' ORDER BY ts, event_id)
+               AS seq,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_events, seq,
+           CAST(LEN(regexp_extract_all(seq, 's[vc]*p')) AS BIGINT)
+             AS n_funnels,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(seq, 's[vc]*p'),
+                  m -> LENGTH(m))), 0) AS BIGINT) AS longest_funnel
+    FROM g
+    """,
+    doc="MATCH_RECOGNIZE-style event-sequence pattern matching (the "
+    "CEP / funnel-with-ordering class — SQL:2016 row pattern "
+    "recognition, Flink CEP's bread and butter): per (user, day), "
+    "events become a letter sequence in strict (ts, event_id) order "
+    "(every event_type has a distinct initial; ties impossible at "
+    "sub-day granularity — measured min inter-event gap 58 ms ≫ the "
+    "µs-vs-ns engine precision gap), then the pattern "
+    "signup (view|click)* purchase runs as the regex 's[vc]*p' — "
+    "leftmost non-overlapping greedy matching is identical in Java "
+    "and DuckDB's RE2 for this pattern class. Spark shape: ONE "
+    "(user, day) aggregate; per-group sequences are day-bounded (the "
+    "sessionization trick that keeps collect_list safe at 100 TB — "
+    "never an unbounded per-user collect), then pure string "
+    "expressions. n_funnels = completed funnels; longest_funnel = "
+    "max matched span.",
+)
+def event_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("l"),
+        ).alias("s"),
+    )
+    seq = g.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("s")), lambda s: s["l"]),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    matches = F.expr("regexp_extract_all(seq, 's[vc]*p', 0)")
+    return seq.select(
+        "user_id",
+        "day",
+        "n_events",
+        "seq",
+        F.size(matches).cast("long").alias("n_funnels"),
+        F.coalesce(
+            F.array_max(F.transform(matches, lambda m: F.length(m))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("longest_funnel"),
+    )

@@ -45,3 +45,61 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
             )
             assert 0 <= rows[n]["clustering"] <= 1
 
+
+
+def test_event_pattern_funnels_semantics(spark, tmp_path):
+    """Pin the CEP matching rules on a crafted stream: leftmost
+    NON-OVERLAPPING matches, greedy [vc]* absorption, error letters
+    break a funnel, cross-day sequences never join."""
+    import datetime as dt
+
+    from ethiopia_legal_etl_spark.operators.relational12 import (
+        event_pattern_funnels,
+    )
+
+    base = dt.datetime(2026, 1, 5, 8, 0, 0)
+    rows = []
+
+    def add(uid, day_off, minute, etype):
+        rows.append(
+            (
+                len(rows),
+                base + dt.timedelta(days=day_off, minutes=minute),
+                uid,
+                etype,
+                1.0,
+                "{}",
+            )
+        )
+
+    # user 1 day 0: s v c p v s c p  -> two funnels (svcp, scp), longest 4
+    for m, e in enumerate(
+        ["signup", "view", "click", "purchase", "view", "signup", "click", "purchase"]
+    ):
+        add(1, 0, m, e)
+    # user 2 day 0: s v ERROR p -> error breaks the run, zero funnels
+    for m, e in enumerate(["signup", "view", "error", "purchase"]):
+        add(2, 0, m, e)
+    # user 3: signup on day 0, purchase on day 1 -> day split, no funnel
+    add(3, 0, 0, "signup")
+    add(3, 1, 0, "purchase")
+
+    d = str(tmp_path / "cep")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r["user_id"], str(r["day"])): r
+        for r in event_pattern_funnels(spark, d).collect()
+    }
+    r1 = got[(1, "2026-01-05")]
+    assert r1["seq"] == "svcpvscp"
+    assert r1["n_funnels"] == 2 and r1["longest_funnel"] == 4
+    r2 = got[(2, "2026-01-05")]
+    assert r2["seq"] == "svep" and r2["n_funnels"] == 0
+    assert r2["longest_funnel"] == 0
+    assert got[(3, "2026-01-05")]["n_funnels"] == 0
+    assert got[(3, "2026-01-06")]["n_funnels"] == 0

@@ -73,6 +73,9 @@ BNLJ_ALLOWED = {
     "corpus_perplexity_buckets",  # 1-row corpus-total broadcast crossJoin
     "embedding_matryoshka_overlap",  # 5-row query side broadcast × corpus
     "similarity_pq_adc",        # query × codebook LUT: 5 × 128 rows, both broadcast
+    "cooccurrence_pmi_bigrams",  # 1-row (N, M) totals broadcast crossJoin
+    "lm_stupid_backoff",        # 1-row token-total broadcast crossJoin
+    "retrieval_bm25_topk",      # 1-row (N, avgdl) broadcast crossJoin
 }
 
 
@@ -327,6 +330,7 @@ SHUFFLE_BUDGET = {
     "retrieval_bm25_topk": 8,
     "winnowing_fingerprints": 0,  # pure per-row array expressions
     "graph_triangle_count": 6,  # und distinct, path joins, per-host+deg aggs
+    "event_pattern_funnels": 1,  # single (user, day) aggregate
 }
 
 
