@@ -182,6 +182,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         etl,
         kll,
+        kmv,
         multimodal,
         pipeline,
         quality,

@@ -143,3 +143,69 @@ def test_registry_entry_runs_and_is_monotone(spark, sf_dir):
     # determinism across invocations (fixed file layout)
     again = [r["estimate"] for r in sketch_kll_order_prices(spark, sf_dir).collect()]
     assert again == ests
+
+
+class TestKMVSketch:
+    def test_union_and_intersection_within_envelope(self, spark, sf_dir):
+        """KMV estimates vs exact set sizes, computed independently in
+        Python: |est_union - exact| and |est_inter - exact| must stay
+        within 4 relative standard errors (1/sqrt(k-2)). The pairs
+        share one doc population here, so errors are correlated — the
+        bound applies per pair regardless."""
+        from ethiopia_legal_etl_spark.operators.kmv import (
+            _KMV_K,
+            _KMV_TOKENS,
+            sketch_kmv_cooccurrence,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        members: dict = {t: set() for t in _KMV_TOKENS}
+        for r in docs:
+            toks = set(r["text"].split(" "))
+            for t in _KMV_TOKENS:
+                if t in toks:
+                    members[t].add(r["doc_id"])
+
+        rows = sketch_kmv_cooccurrence(spark, sf_dir).collect()
+        assert len(rows) == 10
+        tol = 4.0 / (_KMV_K - 2) ** 0.5
+        for r in rows:
+            a, b = members[r["tok_a"]], members[r["tok_b"]]
+            exact_union, exact_inter = len(a | b), len(a & b)
+            assert r["exact_cooccur"] == exact_inter
+            if r["k_used"] < _KMV_K:  # degenerate: sketch IS the set
+                assert r["est_union"] == exact_union
+                assert r["est_intersection"] == r["n_both"] / r["k_used"] * exact_union
+            else:
+                assert abs(r["est_union"] - exact_union) <= tol * exact_union
+                assert (
+                    abs(r["est_intersection"] - exact_inter)
+                    <= 2 * tol * exact_union
+                )
+
+    def test_degenerate_branch_is_exact(self, spark, tmp_path):
+        """Sets smaller than k: the sketch IS the set, so est_union and
+        est_intersection must be EXACT (the driver corpus is dense —
+        every token set exceeds k at both SFs — so this branch needs a
+        tiny synthetic corpus)."""
+        from ethiopia_legal_etl_spark.operators.kmv import (
+            _KMV_K,
+            sketch_kmv_cooccurrence,
+        )
+
+        rows_in = [
+            (0, "join hash"), (1, "join scan"), (2, "join hash scan"),
+            (3, "hash window"), (4, "stream window join"), (5, "stream"),
+        ]
+        d = str(tmp_path / "kmv")
+        spark.createDataFrame(
+            rows_in, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = sketch_kmv_cooccurrence(spark, d).collect()
+        assert rows and all(r["k_used"] < _KMV_K for r in rows)
+        got = {(r["tok_a"], r["tok_b"]): r for r in rows}
+        r = got[("hash", "join")]
+        # hash={0,2,3}, join={0,1,2,4}: union=5, inter=2
+        assert r["est_union"] == 5.0
+        assert r["n_both"] == 2 and r["exact_cooccur"] == 2
+        assert r["est_intersection"] == 2 / 5 * 5.0

@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "cooccurrence_pmi_bigrams",  # 1-row (N, M) totals broadcast crossJoin
     "lm_stupid_backoff",        # 1-row token-total broadcast crossJoin
     "retrieval_bm25_topk",      # 1-row (N, avgdl) broadcast crossJoin
+    "sketch_kmv_cooccurrence",  # 5-row token pair/isin joins, both broadcast
 }
 
 
@@ -331,6 +332,7 @@ SHUFFLE_BUDGET = {
     "winnowing_fingerprints": 0,  # pure per-row array expressions
     "graph_triangle_count": 6,  # und distinct, path joins, per-host+deg aggs
     "event_pattern_funnels": 1,  # single (user, day) aggregate
+    "sketch_kmv_cooccurrence": 5,  # mem distinct, sketch window, merge agg, pair window reuse, exact gate
 }
 
 

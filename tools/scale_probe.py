@@ -1004,6 +1004,52 @@ def tokenizer_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def textir_probe(spark, scratch: str) -> list[dict]:
+    """r6-late text/IR operator scaling: BM25 retrieval, bigram PMI,
+    Stupid-Backoff LM scoring, and winnowing fingerprints at 1x/10x/30x
+    document replicas (same text, new doc_ids — the corpus-growth axis).
+    The claim under test: corpus cost grows ~linearly while every
+    intermediate the driver/broadcast path touches stays VOCAB-bounded
+    (uni/bi tables, df stats, query set) or row-local (winnowing)."""
+    from ethiopia_legal_etl_spark.operators import textguard as tg
+    from ethiopia_legal_etl_spark.operators import textstats as ts
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    builders = {
+        "bm25_topk": ts.retrieval_bm25_topk,
+        "pmi_bigrams": ts.cooccurrence_pmi_bigrams,
+        "lm_stupid_backoff": tg.lm_stupid_backoff,
+        "winnowing": ts.winnowing_fingerprints,
+    }
+    out = []
+    for factor in (1, 10, 30):
+        d = f"{scratch}/textir_x{factor}"
+        parts = [
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+            for i in range(factor)
+        ]
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        for name, builder in builders.items():
+            run_noop(builder(spark, d))  # warm
+            sec = timed(lambda: run_noop(builder(spark, d)))
+            out.append(
+                {
+                    "exp": name,
+                    "factor": factor,
+                    "docs": base_n * factor,
+                    "sec": sec,
+                }
+            )
+    return out
+
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1030,6 +1076,8 @@ def main() -> None:
                     help="DSIR/snapshot-dedup/shard/PQ data-selection scaling to 30x docs (~3 min)")
     ap.add_argument("--tokenizer", action="store_true",
                     help="unigram-LM train/encode scaling to 30x docs, distinct-word growth (~3 min)")
+    ap.add_argument("--textir", action="store_true",
+                    help="BM25/PMI/backoff-LM/winnowing scaling to 30x docs (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -1083,6 +1131,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.tokenizer:
             for r in tokenizer_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.textir:
+            for r in textir_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
