@@ -178,6 +178,7 @@ def all_queries() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and
     return the merged registry, DRIVER_WINDOW entries first."""
     from ethiopia_legal_etl_spark.operators import (  # noqa: F401
+        aqp,
         corpusops,
         dedup,
         etl,

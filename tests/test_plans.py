@@ -333,6 +333,7 @@ SHUFFLE_BUDGET = {
     "graph_triangle_count": 6,  # und distinct, path joins, per-host+deg aggs
     "event_pattern_funnels": 1,  # single (user, day) aggregate
     "sketch_kmv_cooccurrence": 5,  # mem distinct, sketch window, merge agg, pair window reuse, exact gate
+    "aqp_sampled_revenue": 2,  # sampled agg + exact-evidence agg (3-row join)
 }
 
 
