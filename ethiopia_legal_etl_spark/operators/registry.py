@@ -186,6 +186,7 @@ def all_queries() -> dict[str, Query]:
         kmv,
         multimodal,
         pipeline,
+        profiling,
         quality,
         relational,
         relational2,
