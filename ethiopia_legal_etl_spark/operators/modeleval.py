@@ -1,0 +1,249 @@
+"""Model-evaluation aggregates for the curation-classifier loop —
+exact AUC via the Mann-Whitney rank-sum identity, thresholded
+confusion metrics, and Cohen's kappa inter-labeler agreement.
+
+A quality-model gate (CCNet / RefinedWeb style, `operators/quality.py`)
+is only trustworthy with an eval harness next to it; at 100 TB that
+harness must itself be a distributed aggregate, not a scikit call on a
+driver-side collect. All three operators here are pure aggregates:
+
+- AUC: the rank-sum identity AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+  with AVERAGE ranks for ties (Mann-Whitney U; Hanley & McNeil 1982).
+  Grouping by DISTINCT SCORE first makes the rank table domain-bounded
+  (#distinct scores, not #rows), and doubling the ranks keeps every
+  intermediate an exact BIGINT: 2·avg_rank of a tie group =
+  2·cum_before + n_group + 1. The ONLY float op is one final division
+  of two exactly-agreed integers — so the AUC is oracle-hash-checkable
+  to the last bit, no epsilon.
+- Confusion/precision/recall/F1 at a fixed threshold: SUM(CASE)
+  algebraic aggregates, one map-side-combined scan; F1 computed as
+  2tp/(2tp+fp+fn) — again one division of exact integers.
+- Cohen's kappa (Cohen 1960): with integer cell counts, kappa =
+  (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) — a single division of
+  two exact BIGINTs (the po/pe rationals cleared of denominators).
+
+Scale notes: the AUC rank table is one shuffle on score (domain-
+bounded) plus one ordered prefix-sum window; at 100 TB with a
+continuous score, bucketize scores first (the fixed-width-bin AUC is
+the standard large-scale approximation) — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+@register(
+    "model_auc_exact",
+    oracle="""
+    WITH base AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(pos) AS BIGINT) AS pos_s
+      FROM base GROUP BY score
+    ),
+    ranked AS (
+      SELECT pos_s, n_s,
+             CAST(COALESCE(SUM(n_s) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM by_score
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+             CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+             CAST(SUM(pos_s * (2 * cum_before + n_s + 1)) AS BIGINT)
+               AS rank_sum_x2
+      FROM ranked
+    )
+    SELECT n_pos,
+           n - n_pos AS n_neg,
+           rank_sum_x2 - n_pos * (n_pos + 1) AS u_stat_x2,
+           CAST(rank_sum_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) AS auc
+    FROM tot
+    """,
+    doc="EXACT ROC-AUC of a document scorer (score = n_chars) against "
+    "a binary label (lang = 'en') via the Mann-Whitney rank-sum "
+    "identity with average-rank tie handling — every intermediate is "
+    "an exact BIGINT (ranks doubled to clear the .5 of tied averages) "
+    "and the single float op is the final division, so the AUC is "
+    "hash-checked cross-engine with no tolerance. Rank table is "
+    "grouped by distinct score (domain-bounded, not row-bounded).",
+)
+def model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    by_score = base.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("pos_s")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "pos_s",
+        "n_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = ranked.agg(
+        F.sum("n_s").alias("n"),
+        F.sum("pos_s").alias("n_pos"),
+        F.sum(
+            F.col("pos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        ).alias("rank_sum_x2"),
+    )
+    u2 = F.col("rank_sum_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    n_neg = F.col("n") - F.col("n_pos")
+    return tot.select(
+        F.col("n_pos"),
+        n_neg.alias("n_neg"),
+        u2.alias("u_stat_x2"),
+        (
+            u2.cast("double") / (2 * F.col("n_pos") * n_neg).cast("double")
+        ).alias("auc"),
+    )
+
+
+_THRESH = 300  # fixed decision threshold on the n_chars score
+
+
+@register(
+    "model_confusion_threshold",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        CAST(SUM(CASE WHEN n_chars >= {_THRESH} AND lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN n_chars >= {_THRESH} AND lang <> 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN n_chars < {_THRESH} AND lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN n_chars < {_THRESH} AND lang <> 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM documents
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+             AS accuracy,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+           CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+    FROM c
+    """,
+    doc=f"Confusion matrix + accuracy/precision/recall/F1 for the "
+    f"thresholded scorer (predict en iff n_chars >= {_THRESH}) vs the "
+    "lang label. Pure SUM(CASE) algebraic aggregates (map-side "
+    "partials, one 1-row reduce); each metric is one division of "
+    "exact integers (F1 as 2tp/(2tp+fp+fn)) so all four are "
+    "hash-checked with no tolerance.",
+)
+def model_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("n_chars") >= _THRESH
+    actual = F.col("lang") == "en"
+
+    def n(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    c = docs.agg(
+        n(pred & actual).alias("tp"),
+        n(pred & ~actual).alias("fp"),
+        n(~pred & actual).alias("fn"),
+        n(~pred & ~actual).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tp + tn).cast("double") / (tp + fp + fn + tn).cast("double")).alias(
+            "accuracy"
+        ),
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision_"),
+        (tp.cast("double") / (tp + fn).cast("double")).alias("recall_"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")).alias(
+            "f1"
+        ),
+    )
+
+
+@register(
+    "agreement_cohen_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, 'the', '')) >= 3
+                    OR LENGTH(text) - LENGTH(REPLACE(text, 'and', '')) >= 3
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             CAST(SUM(a) AS BIGINT) AS a_pos,
+             CAST(SUM(b) AS BIGINT) AS b_pos
+      FROM lab
+    )
+    SELECT n, n_agree, a_pos, b_pos,
+           CAST(n * n_agree - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+                AS DOUBLE)
+           / CAST(n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+                  AS DOUBLE) AS kappa
+    FROM c
+    """,
+    doc="Cohen's kappa (Cohen 1960) between the dataset lang label and "
+    "the marker-token lang-ID heuristic (same rule as "
+    "text_lang_id_heuristic) as binary en/not-en labelers. The "
+    "po/pe rationals are cleared of denominators so kappa = "
+    "(n·agree − Σ a_k b_k) / (n² − Σ a_k b_k) is ONE division of two "
+    "exact BIGINTs — hash-checked, no tolerance. One scan, 1-row "
+    "algebraic reduce; inter-annotator agreement is the standard "
+    "gate before trusting weak labels at corpus scale.",
+)
+def agreement_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def marker_count(marker: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", marker, ""))
+        ) / len(marker)
+
+    a = F.when(F.col("lang") == "en", 1).otherwise(0)
+    b = F.when(
+        (marker_count("the") >= 1) | (marker_count("and") >= 1), 1
+    ).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+        F.sum("a").alias("a_pos"),
+        F.sum("b").alias("b_pos"),
+    )
+    n, agree, ap, bp = (
+        F.col(x) for x in ("n", "n_agree", "a_pos", "b_pos")
+    )
+    chance = ap * bp + (n - ap) * (n - bp)
+    return c.select(
+        "n",
+        "n_agree",
+        "a_pos",
+        "b_pos",
+        (
+            (n * agree - chance).cast("double")
+            / (n * n - chance).cast("double")
+        ).alias("kappa"),
+    )

@@ -184,6 +184,7 @@ def all_queries() -> dict[str, Query]:
         etl,
         kll,
         kmv,
+        modeleval,
         multimodal,
         pipeline,
         profiling,
