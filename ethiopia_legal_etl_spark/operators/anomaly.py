@@ -1,0 +1,131 @@
+"""Streaming-shaped anomaly detection: rolling z-score outliers over
+per-user event streams, with the flag decision in EXACT INTEGER
+arithmetic (no float threshold anywhere).
+
+The standard telemetry operator — "flag an event whose value sits more
+than 3σ from the trailing-window mean" — normally leaks float
+nondeterminism through the running sums (a window SUM over DOUBLE is
+accumulation-order-dependent, so two engines legitimately disagree in
+the last bits, and a value sitting exactly near the 3σ edge flips).
+This implementation quantizes once (v = FLOOR(value·100), a single
+deterministic IEEE multiply+floor) and then clears ALL denominators
+from the z² > 9 test:
+
+    z² = (v·n − s)²(n−1) / (n·(n·ss − s²))   >   9
+  ⟺ (v·n − s)²·(n−1)  >  9·n·(n·ss − s²)      — pure BIGINT.
+
+So the anomaly set is bit-reproducible across engines, runs, and
+partitionings; z² is additionally emitted as one division of the two
+exactly-agreed integers. Magnitude audit: v ≤ 5·10⁴, window n ≤ 10 ⇒
+s ≤ 5·10⁵, n·ss ≤ 2.5·10¹¹, both sides < 2¹⁵³ᐟ³ — no BIGINT overflow.
+
+Scale notes: one shuffle (hash on user_id for the per-user ordered
+window); trailing ROWS frames stream in Structured Streaming as
+`applyInPandasWithState` per-key deques — the batch twin here pins
+the semantics. 100 TB: users are the natural partition key; skewed
+power-users fall under AQE skew handling, and the frame is O(10) rows
+of state per key regardless of history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+_WIN = 10  # trailing-window length (rows), excludes the current row
+_ZSQ = 9  # flag |z| > 3  ⇔  z² > 9
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             ts
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, v,
+             CAST(COUNT(v) OVER win AS BIGINT) AS n_prev,
+             CAST(COALESCE(SUM(v) OVER win, 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(v * v) OVER win, 0) AS BIGINT) AS ss
+      FROM q
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN {_WIN} PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, user_id, v, n_prev,
+           (v * n_prev - s) * (v * n_prev - s) * (n_prev - 1) AS zsq_num,
+           {_ZSQ} * n_prev * (n_prev * ss - s * s) AS zsq_thresh9,
+           CAST((v * n_prev - s) * (v * n_prev - s) * (n_prev - 1)
+                AS DOUBLE)
+             / CAST(n_prev * (n_prev * ss - s * s) AS DOUBLE) AS zsq,
+           v * n_prev > s AS spike_up
+    FROM w
+    WHERE n_prev = {_WIN}
+      AND n_prev * ss > s * s
+      AND (v * n_prev - s) * (v * n_prev - s) * (n_prev - 1)
+          > {_ZSQ} * n_prev * (n_prev * ss - s * s)
+    """,
+    doc="Rolling z-score anomaly detection over per-user event streams "
+    "(trailing 10-event frame, flag |z| > 3) with the flag decision in "
+    "EXACT INTEGER arithmetic: values quantized once to cents, then "
+    "(v·n−s)²(n−1) > 9·n(n·ss−s²) — all BIGINT, so the anomaly set is "
+    "bit-reproducible (a float window-sum formulation is accumulation-"
+    "order-dependent and engine-divergent at the 3σ edge). z² emitted "
+    "as one division of the two agreed integers. One shuffle (user "
+    "hash); O(frame) state per key — the applyInPandasWithState "
+    "streaming twin shape.",
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "ts",
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_WIN, -1)
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.count("v").over(win).alias("n_prev"),
+        F.coalesce(F.sum("v").over(win), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("v") * F.col("v")).over(win), F.lit(0)).alias(
+            "ss"
+        ),
+    )
+    dev = F.col("v") * F.col("n_prev") - F.col("s")
+    var_num = F.col("n_prev") * F.col("ss") - F.col("s") * F.col("s")
+    zsq_num = dev * dev * (F.col("n_prev") - 1)
+    zsq_thresh = F.lit(_ZSQ) * F.col("n_prev") * var_num
+    return (
+        w.where(
+            (F.col("n_prev") == _WIN)
+            & (var_num > 0)
+            & (zsq_num > zsq_thresh)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            "n_prev",
+            zsq_num.alias("zsq_num"),
+            zsq_thresh.alias("zsq_thresh9"),
+            (
+                zsq_num.cast("double")
+                / (F.col("n_prev") * var_num).cast("double")
+            ).alias("zsq"),
+            (dev > 0).alias("spike_up"),
+        )
+    )

@@ -178,7 +178,9 @@ def all_queries() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and
     return the merged registry, DRIVER_WINDOW entries first."""
     from ethiopia_legal_etl_spark.operators import (  # noqa: F401
+        anomaly,
         aqp,
+        basket,
         corpusops,
         dedup,
         etl,

@@ -1,0 +1,77 @@
+"""Association rules (operators/basket.py) and exact-integer rolling
+z-score anomalies (operators/anomaly.py): semantics pinned against
+independent computations on the fixed corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ethiopia_legal_etl_spark.operators.anomaly import anomaly_rolling_zscore
+from ethiopia_legal_etl_spark.operators.basket import assoc_rules_brand_pairs
+
+
+def test_assoc_rules_counts_and_metrics(spark, sf_dir):
+    rules = assoc_rules_brand_pairs(spark, sf_dir).collect()
+    assert rules, "the synthetic corpus must yield at least one rule"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_baskets = items.select("okey").distinct().count()
+    # spot-check the first rule's counts against direct filters
+    r = rules[0]
+    assert r["brand_a"] < r["brand_b"], "pairs must be unordered (a < b)"
+    a_orders = {x["okey"] for x in items.where(F.col("brand") == r["brand_a"]).collect()}
+    b_orders = {x["okey"] for x in items.where(F.col("brand") == r["brand_b"]).collect()}
+    assert r["n_a"] == len(a_orders)
+    assert r["n_b"] == len(b_orders)
+    assert r["n_both"] == len(a_orders & b_orders)
+    assert r["n_baskets"] == n_baskets
+    for r in rules:
+        assert r["support"] == r["n_both"] / r["n_baskets"]
+        assert r["confidence_a_b"] == r["n_both"] / r["n_a"]
+        assert r["lift"] == (r["n_both"] * r["n_baskets"]) / (r["n_a"] * r["n_b"])
+        assert r["n_both"] * 1000 >= r["n_baskets"], "min-support filter"
+
+
+def test_anomaly_flags_match_python_replay(spark, sf_dir):
+    import math
+    from collections import defaultdict, deque
+
+    flagged = {
+        r["event_id"]: r for r in anomaly_rolling_zscore(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    expect = {}
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r["user_id"]].append(r)
+    for uid, rows in streams.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        win: deque[int] = deque(maxlen=10)
+        for r in rows:
+            v = math.floor(r["value"] * 100)
+            if len(win) == 10:
+                s, ss, n = sum(win), sum(x * x for x in win), 10
+                dev = v * n - s
+                if n * ss > s * s and dev * dev * (n - 1) > 9 * n * (n * ss - s * s):
+                    expect[r["event_id"]] = (uid, v, dev > 0)
+            win.append(v)
+    assert set(flagged) == set(expect), (
+        len(flagged),
+        len(expect),
+        set(flagged) ^ set(expect),
+    )
+    for eid, (uid, v, up) in expect.items():
+        f = flagged[eid]
+        assert (f["user_id"], f["v"], f["spike_up"]) == (uid, v, up)
+        assert f["zsq"] > 9.0
+        assert f["zsq_num"] > f["zsq_thresh9"]
+    assert expect, "fixed corpus must contain at least one 3-sigma event"
