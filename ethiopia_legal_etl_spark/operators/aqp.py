@@ -38,6 +38,13 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
 _KNUTH = 2654435761  # same multiplicative constant as corpusops
 _F_PCT = 100000  # bucket cutoff of 1,000,000 -> f = 0.1
 
+# stratified tiers (BlinkDB columnsets): rare strata keep MORE of their
+# rows so per-group error bars stay tight. Cutoffs are chosen so 1/f
+# and (1-f)/f² are INTEGERS ({10, 90}, {2, 2}, {1, 0}) — the whole HT
+# estimator stays exact-decimal in every tier.
+_TIER_BIG = 10_000  # N_g >= this -> f = 0.1
+_TIER_MID = 2_000  # N_g >= this -> f = 0.5; below -> keep all (f = 1)
+
 
 @register(
     "aqp_sampled_revenue",
@@ -134,4 +141,131 @@ def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .between(lo, hi)
         .alias("ci_covers"),
+    )
+
+
+@register(
+    "aqp_stratified_revenue",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                  AS DECIMAL(18,4)) AS rev,
+             ((l_orderkey * 10 + l_linenumber) % 1000000007)
+               * {_KNUTH} % 1000000 AS bucket
+      FROM lineitem
+    ),
+    sizes AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CASE WHEN COUNT(*) >= {_TIER_BIG} THEN {_F_PCT}
+                  WHEN COUNT(*) >= {_TIER_MID} THEN 500000
+                  ELSE 1000000 END AS cutoff
+      FROM base GROUP BY l_returnflag, l_linestatus
+    ),
+    samp AS (
+      SELECT b.l_returnflag, b.l_linestatus, z.n_g, z.cutoff,
+             CAST(COUNT(*) AS BIGINT) AS n_sample,
+             SUM(b.rev) AS s,
+             SUM(CAST(b.rev AS DECIMAL(19,4))
+                 * CAST(b.rev AS DECIMAL(18,4))) AS ss
+      FROM base b
+      JOIN sizes z USING (l_returnflag, l_linestatus)
+      WHERE b.bucket < z.cutoff
+      GROUP BY b.l_returnflag, b.l_linestatus, z.n_g, z.cutoff
+    ),
+    exact AS (
+      SELECT l_returnflag, l_linestatus, SUM(rev) AS exact_s
+      FROM base GROUP BY l_returnflag, l_linestatus
+    ),
+    est AS (
+      SELECT s.l_returnflag, s.l_linestatus, s.n_g, s.n_sample,
+             CAST(s.cutoff AS BIGINT) AS cutoff,
+             CAST(CASE WHEN s.cutoff = {_F_PCT} THEN s.s * 10
+                       WHEN s.cutoff = 500000 THEN s.s * 2
+                       ELSE s.s END AS DOUBLE) AS est_sum,
+             ROUND(1.96 * SQRT(CAST(
+               CASE WHEN s.cutoff = {_F_PCT} THEN s.ss * 90
+                    WHEN s.cutoff = 500000 THEN s.ss * 2
+                    ELSE s.ss * 0 END AS DOUBLE)), 2) AS ci_half,
+             CAST(e.exact_s AS DOUBLE) AS exact_sum
+      FROM samp s
+      JOIN exact e USING (l_returnflag, l_linestatus)
+    )
+    SELECT l_returnflag, l_linestatus, n_g, n_sample, cutoff,
+           est_sum, ci_half,
+           exact_sum BETWEEN est_sum - ci_half AND est_sum + ci_half
+             AS ci_covers,
+           exact_sum
+    FROM est
+    """,
+    doc="BlinkDB STRATIFIED sample (the columnset mechanism, Agarwal "
+    "et al. EuroSys'13 §4): per (returnflag, linestatus) stratum the "
+    "sampling rate adapts to stratum size — f = 0.1 for strata with "
+    ">=10k rows, 0.5 for >=2k, keep-everything below — so rare groups "
+    "retain tight error bars instead of vanishing from a uniform "
+    "sample. The tiers are chosen so 1/f and (1-f)/f^2 are integers "
+    "({10,90}, {2,2}, {1,0}): the Horvitz-Thompson estimate and "
+    "variance stay EXACT DECIMAL in every tier and the whole "
+    "stratified error-bar table is oracle-hash-checked. Different SFs "
+    "land in different tiers, so the tier logic itself is exercised "
+    "cross-scale. Two passes over lineitem (stratum sizes, then "
+    "sampled aggregate); size table is 6 rows, broadcast.",
+)
+def aqp_stratified_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    strata = ["l_returnflag", "l_linestatus"]
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    ).cast("decimal(18,4)")
+    bucket = (
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 1000000007
+    ) * F.lit(_KNUTH) % 1000000
+    base = li.select(*strata, rev.alias("rev"), bucket.alias("bucket"))
+    sizes = base.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.when(F.count(F.lit(1)) >= _TIER_BIG, F.lit(_F_PCT))
+        .when(F.count(F.lit(1)) >= _TIER_MID, F.lit(500000))
+        .otherwise(F.lit(1000000))
+        .alias("cutoff"),
+    )
+    samp = (
+        base.join(F.broadcast(sizes), strata)
+        .where(F.col("bucket") < F.col("cutoff"))
+        .groupBy(*strata, "n_g", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("rev").alias("s"),
+            F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+        )
+    )
+    exact = base.groupBy(*strata).agg(F.sum("rev").alias("exact_s"))
+    est_sum = (
+        F.when(F.col("cutoff") == _F_PCT, F.col("s") * 10)
+        .when(F.col("cutoff") == 500000, F.col("s") * 2)
+        .otherwise(F.col("s"))
+    ).cast("double")
+    var_term = (
+        F.when(F.col("cutoff") == _F_PCT, F.col("ss") * 90)
+        .when(F.col("cutoff") == 500000, F.col("ss") * 2)
+        .otherwise(F.col("ss") * 0)
+    ).cast("double")
+    ci_half = F.round(F.lit(1.96) * F.sqrt(var_term), 2)
+    exact_sum = F.col("exact_s").cast("double")
+    return (
+        samp.join(exact, strata)
+        .select(
+            *strata,
+            "n_g",
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("cutoff").cast("long").alias("cutoff"),
+            est_sum.alias("est_sum"),
+            ci_half.alias("ci_half"),
+            exact_sum.between(
+                est_sum - ci_half, est_sum + ci_half
+            ).alias("ci_covers"),
+            exact_sum.alias("exact_sum"),
+        )
     )

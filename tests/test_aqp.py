@@ -36,3 +36,21 @@ def test_aqp_sample_fraction_near_nominal(spark, sf_dir):
     )
     f = n_samp / total
     assert 0.08 < f < 0.12, f
+
+
+def test_stratified_tiers_adapt_to_stratum_size(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.aqp import aqp_stratified_revenue
+
+    rows = aqp_stratified_revenue(spark, sf_dir).collect()
+    assert len(rows) == 6  # (returnflag x linestatus) strata
+    for r in rows:
+        # tier rule: cutoff must match the stratum size the row carries
+        expect = 100000 if r["n_g"] >= 10000 else 500000 if r["n_g"] >= 2000 else 1000000
+        assert r["cutoff"] == expect, (r["n_g"], r["cutoff"])
+        if r["cutoff"] == 1000000:
+            # keep-everything tier: the estimate IS exact, CI is zero
+            assert r["n_sample"] == r["n_g"]
+            assert r["ci_half"] == 0.0
+            assert r["est_sum"] == r["exact_sum"]
+        assert r["ci_covers"] is True
+        assert abs(r["est_sum"] - r["exact_sum"]) <= r["ci_half"]
