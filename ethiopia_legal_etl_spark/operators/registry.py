@@ -181,6 +181,7 @@ def all_queries() -> dict[str, Query]:
         anomaly,
         aqp,
         basket,
+        concentration,
         corpusops,
         dedup,
         etl,
