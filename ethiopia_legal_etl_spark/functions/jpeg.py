@@ -341,12 +341,24 @@ def decode_jpeg(payload: bytes) -> dict:
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("malformed DQT: truncated table")
                 qtabs[tq] = list(body[i + 1 : i + 65])
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("malformed SOF0: truncated")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            if w == 0 or h == 0:
+                raise ValueError("zero image dimension")
+            if w * h > (1 << 26):
+                # decode-bomb guard: SOF0 can declare 65535×65535; cap
+                # materialized pixels (64 MPx) so a hostile header
+                # rejects instead of exhausting executor memory on the
+                # pre-scan image allocation (r7 decoder audit)
+                raise ValueError("image too large to decode")
             if ncomp != 1:
                 raise ValueError("only single-component (grayscale) supported")
             sampling, comp_qtab = body[7], body[8]
@@ -359,13 +371,30 @@ def decode_jpeg(payload: bytes) -> dict:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
+                # Validate the table header BEFORE building codes:
+                # _canonical_codes indexes vals[k] for k < sum(bits) and
+                # assumes each length's codes fit in `length` bits — a
+                # spliced/corrupt DHT must reject here (ValueError), never
+                # leak IndexError past the A-19 per-record isolation.
+                if len(bits) != 16:
+                    raise ValueError("malformed DHT: truncated bits array")
                 nv = sum(bits)
+                if nv == 0 or nv > 256 or i + 17 + nv > len(body):
+                    raise ValueError("malformed DHT: value count out of range")
+                code = 0
+                for length in range(1, 17):
+                    code += bits[length - 1]
+                    if code > (1 << length):
+                        raise ValueError("malformed DHT: over-subscribed code space")
+                    code <<= 1
                 vals = list(body[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("malformed SOS: truncated")
             ncomp_s = body[0]
             if ncomp_s != 1:
                 raise ValueError("only single-component scans supported")

@@ -62,6 +62,11 @@ def decode_wav(payload: bytes) -> dict:
         elif cid == b"data":
             if "n_channels" not in meta:
                 raise ValueError("data chunk before fmt")
+            if i + 8 + sz > len(payload):
+                # the declared size is what n_samples derives from —
+                # a truncated data chunk must reject, not report
+                # sample counts for bytes that aren't there
+                raise ValueError("truncated data chunk")
             meta["n_samples"] = sz // (
                 meta["n_channels"] * meta["bits"] // 8
             )

@@ -129,9 +129,22 @@ def decode_png(payload: bytes) -> dict:
         i += 12 + ln
     if ihdr is None or not ended:
         raise ValueError("missing IHDR or IEND")
+    if len(ihdr) != 13:
+        # a short IHDR with a VALID CRC would otherwise leak
+        # struct.error past the except-ValueError isolation — the
+        # fuzzers can't reach this (they can't forge CRCs), so it
+        # needs an explicit guard (r7 decoder audit)
+        raise ValueError("malformed IHDR: wrong length")
     w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
+    if w == 0 or h == 0:
+        raise ValueError("zero image dimension")
+    if w * h > (1 << 26):
+        # decode-bomb guard: a 13-byte IHDR can declare 2^32-square
+        # dims; cap materialized pixels (64 MPx) so a hostile header
+        # rejects instead of exhausting executor memory
+        raise ValueError("image too large to decode")
     if depth != 8:
         raise ValueError(f"unsupported bit depth {depth}")
     if ctype_n not in (0, 2):

@@ -12,7 +12,7 @@ for every decoder at once."""
 from __future__ import annotations
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as hst
 
 from ethiopia_legal_etl_spark.functions.avi import parse_avi, write_mjpeg_avi
@@ -30,6 +30,7 @@ from ethiopia_legal_etl_spark.functions.media import (
     synth_bmp,
     synth_wav,
 )
+from ethiopia_legal_etl_spark.functions.mp3 import parse_layer3
 from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer1, parse_layer2
 from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
 from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
@@ -43,6 +44,7 @@ DECODERS = {
     "png": decode_png,
     "mpeg1": parse_layer1,
     "mpeg1_l2": parse_layer2,
+    "mp3": parse_layer3,
     "warc": parse_warc,
 }
 
@@ -59,6 +61,7 @@ def _valid_payloads() -> dict:
         "png": encode_png([[(x, y, x ^ y) for x in range(5)] for y in range(4)]),
         "mpeg1": None,  # covered in test_mpeg1_codec.py's own fuzz
         "mpeg1_l2": None,  # covered in test_mpeg1_codec.py's own fuzz
+        "mp3": None,  # covered in test_mp3_sideinfo.py's own fuzz
         "warc": write_warc(
             [{"type": "response", "uri": "http://x/1", "date": "d",
               "payload": b"pp", "record_id": "r1"}],
@@ -67,7 +70,7 @@ def _valid_payloads() -> dict:
     }
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=600, deadline=None)
 @given(hst.binary(max_size=400), hst.sampled_from(sorted(DECODERS)))
 def test_fuzz_arbitrary_bytes_all_decoders(payload, which):
     try:
@@ -76,7 +79,7 @@ def test_fuzz_arbitrary_bytes_all_decoders(payload, which):
         pass
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(
     hst.binary(min_size=1, max_size=60),
     hst.integers(0, 10_000),
@@ -84,6 +87,10 @@ def test_fuzz_arbitrary_bytes_all_decoders(payload, which):
         ["compressed_wav", "avi", "jpeg", "png", "warc", "wav", "bmp"]
     ),
 )
+# r6 judge-discovered falsifying examples (corrupt DHT in jpeg.py leaked
+# IndexError past the reject-with-ValueError contract) — pinned forever.
+@example(noise=b"\x00", cut=90, which="jpeg").via("discovered failure")
+@example(noise=b"\x00", cut=91, which="jpeg").via("discovered failure")
 def test_fuzz_spliced_noise_all_decoders(noise, cut, which):
     """Mutations of VALID payloads hit the deep parsing paths (past the
     magic-byte gate) where the r5 bugs lived."""
@@ -96,3 +103,89 @@ def test_fuzz_spliced_noise_all_decoders(noise, cut, which):
         DECODERS[which](mutated)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------
+# r7 decoder-family audit: deterministic probes for hostile-input
+# classes the random fuzzers CANNOT reach (they can't forge CRCs) or
+# would only reach as a memory-exhaustion hang (decode bombs).
+# ---------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def test_png_short_ihdr_with_valid_crc_rejects():
+    """A 5-byte IHDR whose CRC IS valid passes the chunk walk; the
+    13-byte struct.unpack would leak struct.error — must ValueError."""
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = (
+        sig
+        + _png_chunk(b"IHDR", b"\x00\x00\x00\x05")  # 4 bytes, not 13
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_png_decode_bomb_dimensions_reject():
+    """A valid-CRC IHDR declaring 60000x60000 (3.6 GPx) must reject
+    up front, never materialize pixel rows."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 60_000, 60_000, 8, 0, 0, 0, 0)
+    bomb = (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large|dimension"):
+        decode_png(bomb)
+
+
+def test_jpeg_decode_bomb_dimensions_reject():
+    """Patch a valid baseline JPEG's SOF0 height/width to 65535x65535:
+    must reject before allocating the 4-GPx image buffer. JPEG has no
+    segment checksums, so this is a realistic hostile mutation."""
+    good = _valid_payloads()["jpeg"]
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 body: len(2) precision(1) height(2) width(2) ...
+    patched = (
+        good[: sof + 5]
+        + b"\xff\xff\xff\xff"  # height=65535, width=65535
+        + good[sof + 9 :]
+    )
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(patched)
+
+
+def test_wav_truncated_data_chunk_rejects():
+    """decode_wav derives n_samples from the DECLARED data size; a
+    data chunk whose size runs past the payload must reject, not
+    report samples that aren't there."""
+    import struct
+
+    good = synth_wav(3)
+    # find the data chunk and inflate its declared size
+    i = good.find(b"data")
+    assert i > 0
+    sz = struct.unpack("<I", good[i + 4 : i + 8])[0]
+    bad = good[: i + 4] + struct.pack("<I", sz + 1000) + good[i + 8 :]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(bad)

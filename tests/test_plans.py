@@ -77,6 +77,9 @@ BNLJ_ALLOWED = {
     "lm_stupid_backoff",        # 1-row token-total broadcast crossJoin
     "retrieval_bm25_topk",      # 1-row (N, avgdl) broadcast crossJoin
     "sketch_kmv_cooccurrence",  # 5-row token pair/isin joins, both broadcast
+    "abc_classification_parts",  # 1-row broadcast grand-total crossJoin
+    "stats_benford_digits",     # 1-row broadcast digit-count total crossJoin
+    "assoc_rules_brand_pairs",  # 1-row broadcast basket-count total crossJoin
 }
 
 
@@ -418,3 +421,30 @@ def test_nfc_single_arrow_eval(spark, sf_dir):
     assert n_nodes == 1, f"expected exactly 1 ArrowEvalPython node, got {n_nodes}\n{plan}"
     # and within that node, the UDF is invoked once, not three times
     assert plan.count("nfc(") <= 2, plan  # header line + details line
+
+
+def test_no_unannotated_global_windows():
+    """r6 VERDICT #8: every global window (Window.orderBy(...) with no
+    partition key, or Window.partitionBy() with no args) moves ALL rows
+    to one partition — each site must carry an adjacent justification:
+    '# bounded:' (post-aggregate frame, size-bounded by construction)
+    or '# global-sort:' (a total ranking is the operator's semantics,
+    with the documented scale path). Grep-assertable, per the audit."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "ethiopia_legal_etl_spark"
+    pattern = re.compile(r"Window\.orderBy\(|Window\.partitionBy\(\)")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not pattern.search(line):
+                continue
+            window = lines[max(0, i - 6) : i + 1]
+            if not any("# bounded:" in l or "# global-sort:" in l for l in window):
+                offenders.append(f"{path.name}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "global windows without a '# bounded:' / '# global-sort:' "
+        f"annotation: {offenders}"
+    )
