@@ -196,9 +196,13 @@ def canonicalize_url(url: str) -> str:
     try:
         port = parts.port
     except ValueError:
-        # malformed port ('http://h:7x/'): keep the authority verbatim
-        # rather than crash URL-level dedup on crawl-frontier noise
-        pass
+        # malformed port ('http://h:7x/'): don't crash URL-level dedup
+        # on crawl-frontier noise — but still normalize the host part
+        # (lowercase + IPv6 re-bracket) so 'HTTP://Host:7x/' and
+        # 'http://host:7x/' share one dedup key (r6 ADVICE: the old
+        # verbatim-authority fallback split them)
+        _, _, port_text = hostport.rpartition(":")
+        hostport = f"{host}:{port_text}"
     else:
         if port is None or port == _DEFAULT_PORTS.get(scheme):
             hostport = host

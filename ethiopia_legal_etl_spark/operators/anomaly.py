@@ -16,8 +16,13 @@ from the z² > 9 test:
 
 So the anomaly set is bit-reproducible across engines, runs, and
 partitionings; z² is additionally emitted as one division of the two
-exactly-agreed integers. Magnitude audit: v ≤ 5·10⁴, window n ≤ 10 ⇒
-s ≤ 5·10⁵, n·ss ≤ 2.5·10¹¹, both sides < 2¹⁵³ᐟ³ — no BIGINT overflow.
+exactly-agreed integers. Magnitude audit: with |v| ≤ B and window
+n ≤ 10, |s| ≤ 10B, |v·n − s| ≤ 20B, so the largest term
+(v·n−s)²·(n−1) ≤ 3600·B² — below 2⁶³ for B ≤ 5·10⁷ (values up to
+$500k in cents). The bound is ENFORCED, not assumed (r6 ADVICE):
+any |v| > _V_BOUND raises at runtime rather than letting Spark
+silently wrap int64 where DuckDB would raise — keeping the
+"bit-reproducible" claim honest on arbitrary inputs.
 
 Scale notes: one shuffle (hash on user_id for the per-user ordered
 window); trailing ROWS frames stream in Structured Streaming as
@@ -37,6 +42,9 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
 
 _WIN = 10  # trailing-window length (rows), excludes the current row
 _ZSQ = 9  # flag |z| > 3  ⇔  z² > 9
+# |v| bound keeping every BIGINT term of the z² test under 2^63
+# (3600·B² < 2^63 ⇔ B ≤ 5·10⁷ cents = $500k); enforced via raise_error.
+_V_BOUND = 50_000_000
 
 
 @register(
@@ -84,10 +92,24 @@ _ZSQ = 9  # flag |z| > 3  ⇔  z² > 9
 )
 def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    v_raw = F.floor(F.col("value") * 100).cast("long")
+    # Enforce the documented no-overflow bound: fail loudly instead of
+    # wrapping int64 (DuckDB raises on BIGINT overflow; Spark wraps —
+    # an unguarded overflow would silently diverge cross-engine).
+    v = F.when(
+        F.abs(v_raw) > _V_BOUND,
+        F.raise_error(
+            F.concat(
+                F.lit(f"anomaly_rolling_zscore: |v| exceeds {_V_BOUND} "
+                      "(cents) — BIGINT z² test would overflow; value="),
+                F.col("value").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(v_raw)
     q = ev.select(
         "event_id",
         "user_id",
-        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        v.alias("v"),
         "ts",
     )
     win = (

@@ -49,7 +49,7 @@ _BENFORD = {d: round(math.log10(1 + 1 / d), 12) for d in range(1, 10)}
     "stats_benford_digits",
     oracle=f"""
     WITH digits AS (
-      SELECT CAST(SUBSTR(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
                   AS BIGINT) AS d
       FROM orders WHERE o_totalprice > 0
     ),
@@ -77,13 +77,17 @@ _BENFORD = {d: round(math.log10(1 + 1 / d), 12) for d in range(1, 10)}
     "engines), and the per-digit chi-square term (o-e)^2/e as a fixed "
     "IEEE expression over exactly-agreed operands — so even the test "
     "statistic hash-checks. First digit taken from the cents-quantized "
-    "integer's decimal rendering (no float log in the digit path). "
-    "Single scan + 9-row aggregate.",
+    "integer's decimal rendering (no float log in the digit path); the "
+    "quantization is FLOOR(x*100 + 0.5) on BOTH engines — an explicit "
+    "half-up round, because a bare int cast truncates in Spark but "
+    "rounds in DuckDB, and only cents-quantized inputs hide that "
+    "divergence (r6 ADVICE). Single scan + 9-row aggregate.",
 )
 def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = F.substring(
-        (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        1, 1,
     ).cast("long")
     obs = (
         orders.where(F.col("o_totalprice") > 0)
@@ -151,6 +155,11 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
     )
+    # global-sort: Gini needs one total ranking by construction; it runs
+    # over the customer-grain AGGREGATE (not raw orders). At 100 TB the
+    # scale path is a range-partitioned sort + per-partition offsets
+    # (see SCALING.md); the single-partition window is the exact-oracle
+    # form at gate scales.
     w = Window.orderBy("rev", "o_custkey")
     ranked = cust.select(
         "rev", F.row_number().over(w).cast("long").alias("i")
@@ -216,6 +225,9 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("rev")
     )
     tot = part_rev.agg(F.sum("rev").cast("decimal(24,2)").alias("total"))
+    # global-sort: ABC classes need one total revenue ranking by
+    # construction; runs over the part-grain AGGREGATE (|parts| rows,
+    # not raw lineitems). Scale path: range-partitioned sort + offsets.
     w = Window.orderBy(F.desc("rev"), "l_partkey")
     cum = part_rev.select(
         "l_partkey",

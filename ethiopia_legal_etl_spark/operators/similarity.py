@@ -117,7 +117,8 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resplit_oversized_cells(
-    d: DataFrame, cell_col: str, id_col: str, max_cell_size: int
+    d: DataFrame, cell_col: str, id_col: str, max_cell_size: int,
+    *, strict: bool = False,
 ) -> DataFrame:
     """Bound the within-cell self-join cost: cells larger than
     `max_cell_size` are re-split by a secondary hash of the id into
@@ -133,16 +134,34 @@ def resplit_oversized_cells(
     The cell-size table joins on the cell key — the same key the
     pair join shuffles on — so no broadcast assumption; AQE
     broadcasts it when small.
+
+    strict=True is ORACLE-PARITY mode: instead of silently splitting
+    (which narrows the pair set vs a whole-cell SQL oracle — r6 ADVICE
+    on dedup_semantic_keep), any cell over the bound fails the job
+    loudly at runtime. Callers whose registered SQL oracle spans whole
+    cells use strict=True so implementation and oracle provably
+    coincide; scale callers without an exact-oracle contract keep the
+    default split behavior.
     """
     sizes = d.groupBy(cell_col).agg(F.count(F.lit(1)).alias("cell_n"))
     n_sub = F.greatest(
         F.lit(1), F.ceil(F.col("cell_n") / F.lit(max_cell_size))
     ).cast("int")
-    return (
-        d.join(sizes.select(cell_col, n_sub.alias("n_sub")), cell_col)
-        .withColumn("sub", F.pmod(F.xxhash64(id_col), F.col("n_sub")).cast("int"))
-        .drop("n_sub")
-    )
+    joined = d.join(sizes.select(cell_col, n_sub.alias("n_sub")), cell_col)
+    if strict:
+        sub = F.when(
+            F.col("n_sub") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cell over max_cell_size={max_cell_size} in "
+                          "strict (oracle-parity) mode: "),
+                    F.col(cell_col).cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+    else:
+        sub = F.pmod(F.xxhash64(id_col), F.col("n_sub")).cast("int")
+    return joined.withColumn("sub", sub).drop("n_sub")
 
 
 @register(
@@ -634,7 +653,9 @@ def read_probed_cells(
     "witness... which may itself be dropped; tau-transitive chains "
     "over-drop vs greedy — the standard trade, stated honestly). "
     "Plan: cells are the IVF-style label blocks with the cell-size "
-    "bound ENFORCED (resplit_oversized_cells), candidate pairs via "
+    "bound ENFORCED in strict oracle-parity mode (a cell past the "
+    "bound fails loudly rather than silently narrowing the pair set "
+    "vs the whole-cell NOT EXISTS oracle), candidate pairs via "
     "equi-join on (cell, sub) — never all-pairs — then LEFT ANTI "
     "join = the NOT EXISTS, then one per-label aggregation. Output "
     "is the per-label kept/dropped accounting (the dedup-rate "
@@ -643,7 +664,7 @@ def read_probed_cells(
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
-    cells = resplit_oversized_cells(d, "label", "vec_id", 10_000)
+    cells = resplit_oversized_cells(d, "label", "vec_id", 10_000, strict=True)
     a = cells.alias("a")
     b = cells.alias("b")
     cos = cosine(F.col("a.e"), F.col("b.e"))

@@ -75,3 +75,30 @@ def test_anomaly_flags_match_python_replay(spark, sf_dir):
         assert f["zsq"] > 9.0
         assert f["zsq_num"] > f["zsq_thresh9"]
     assert expect, "fixed corpus must contain at least one 3-sigma event"
+
+
+def test_anomaly_overflow_bound_enforced(spark, tmp_path):
+    """r6 ADVICE: the BIGINT no-overflow audit must be ENFORCED, not
+    assumed — a value past the documented bound fails the job loudly
+    instead of silently wrapping int64 where DuckDB would raise."""
+    import pytest
+
+    from ethiopia_legal_etl_spark.operators.anomaly import _V_BOUND
+
+    rows = [
+        (i, 1, f"2024-01-01 00:00:{i:02d}", "view", float(i), "{}")
+        for i in range(12)
+    ]
+    # one event far past the bound ($500k in cents)
+    rows.append(
+        (99, 1, "2024-01-01 00:01:00", "view", (_V_BOUND + 100) / 100.0, "{}")
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, user_id: long, ts: string, event_type: string, "
+        "value: double, props: string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception) as exc:
+        anomaly_rolling_zscore(spark, str(tmp_path)).collect()
+    assert "overflow" in str(exc.value) or "exceeds" in str(exc.value)

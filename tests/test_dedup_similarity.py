@@ -309,6 +309,29 @@ def test_oversized_cell_resplit_bounds_verify_work(spark):
     assert len(bounded) > 0
 
 
+def test_resplit_strict_mode_fails_loudly_on_oversized_cell(spark):
+    """strict=True (oracle-parity mode, r6 ADVICE on dedup_semantic_keep):
+    a cell past the bound must FAIL the job, never silently narrow the
+    pair set vs a whole-cell SQL oracle; cells under the bound pass
+    through with sub == 0."""
+    import pyspark.errors
+
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        resplit_oversized_cells,
+    )
+
+    rows = [(i, "hot" if i < 80 else "cold", [float(i)]) for i in range(100)]
+    d = spark.createDataFrame(rows, "vec_id: long, label: string, e: array<double>")
+
+    ok = resplit_oversized_cells(d, "label", "vec_id", 200, strict=True)
+    assert {r["sub"] for r in ok.select("sub").distinct().collect()} == {0}
+
+    bad = resplit_oversized_cells(d, "label", "vec_id", 50, strict=True)
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "max_cell_size" in str(exc.value)
+
+
 def test_hll_sketch_merge_matches_exact(spark, sf_dir):
     """Merged per-day HLL sketches estimate the global distinct user
     count within HLL's error envelope (lgK=12 default → ~1.6% rse;

@@ -190,8 +190,20 @@ class TestCanonicalizeUrl:
         assert (
             canonicalize_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
         )
-        # malformed port: keep authority verbatim instead of raising
-        assert canonicalize_url("http://h.example:7x/a").endswith("/a")
+        # malformed port: don't raise, but still normalize the host part
+        # (r6 ADVICE: verbatim authority split 'HTTP://Host:7x/' and
+        # 'http://host:7x/' into distinct dedup keys)
+        assert (
+            canonicalize_url("http://h.example:7x/a")
+            == "http://h.example:7x/a"
+        )
+        assert canonicalize_url("HTTP://H.Example:7x/a") == canonicalize_url(
+            "http://h.example:7x/a"
+        )
+        # malformed port on an IPv6 host keeps the brackets
+        assert (
+            canonicalize_url("http://[::1]:7x/a") == "http://[::1]:7x/a"
+        )
 
     def test_empty_path_userinfo_query(self):
         from ethiopia_legal_etl_spark.functions.text import canonicalize_url
