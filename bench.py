@@ -67,6 +67,11 @@ SECONDARY = [
     # r6 (late): EM train + Viterbi encode in one entry — the
     # mapInPandas E-step/encode heavyweight (operators/unigram.py)
     "unigram_encode_tokens",
+    # r7 (VERDICT r6 #7): the two most expensive r6-late shapes with no
+    # round-over-round tracking — distributed EM over the word table,
+    # and the iterative min-label fixpoint closure. r7 is their baseline.
+    "unigram_train_vocab",
+    "dedup_cluster_jaccard",
 ]
 
 

@@ -90,6 +90,7 @@ def model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = base.groupBy("score").agg(
         F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("pos_s")
     )
+    # bounded: |distinct scores| rows (post-aggregate frame), not raw docs
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     ranked = by_score.select(
         "pos_s",

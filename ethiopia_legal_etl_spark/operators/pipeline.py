@@ -140,7 +140,7 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
-    w_all = Window.partitionBy()  # tiny aggregated frame; see doc
+    w_all = Window.partitionBy()  # bounded: |langs|-row aggregated frame
     share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
     shares = stats.withColumn("share", share).withColumn(
         "wdec", F.sqrt(F.col("share")).cast("decimal(20,12)")
@@ -326,6 +326,7 @@ def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).alias("n_tokens")
     )
+    # bounded: |langs| rows (per-language token-total frame)
     w_ord = Window.orderBy("n_tokens", "lang")
     w_all = Window.partitionBy()
     w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)

@@ -94,16 +94,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # — rotate OUT for six entries the driver has never checked
     # (added at the end of the window below). Rotated-out names stay
     # oracle-gated by tests/test_full_registry_gate.py on every run.
+    # r7 rotation (VERDICT r6 #4): q5_region_revenue,
+    # sql_q6_forecast_revenue, window_lag_lead_delta,
+    # text_tfidf_top_terms, similarity_cosine_topk and
+    # stream_tumbling_window — all driver-green for multiple rounds
+    # with their §2 classes keeping another in-window representative
+    # (q1 for agg, window_range_7day_frame for windows,
+    # text_quality_model_score/text_unicode_nfc for text,
+    # embedding_near_dup_cosine for embeddings,
+    # stream_session_window/stream_dedup_twin for streaming) — rotate
+    # OUT for the six strongest never-driver-sampled entries (below).
+    # Rotated-out names stay oracle-gated by
+    # tests/test_full_registry_gate.py on every pytest run.
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "sql_q6_forecast_revenue",
     "join_left_order_counts",
     "interval_join_error_purchase",
     "asof_error_prev_purchase",
     "topk_orders_by_price",
-    "window_lag_lead_delta",
     "window_range_7day_frame",
-    "agg_distinct_customers",
     "rollup_lineitem_flags",
     "scalar_string_part",
     "scalar_date_orders",
@@ -129,9 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rotated-out names stay oracle-gated by the full-registry CI gate.
     "multimodal_decode_audio_compressed",
     "dedup_simhash_band",
-    "similarity_cosine_topk",
     "embedding_near_dup_cosine",
-    "text_tfidf_top_terms",
     "multimodal_video_frame_sample",
     # r5 (final): pipeline_training_corpus (driver-checked green since
     # r1) swapped for the round's flagship composition so the harness
@@ -140,7 +146,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stays under the full-registry CI gate.
     "warc_to_text_pipeline",
     # streaming batch twins + UDF surface
-    "stream_tumbling_window",
     "stream_session_window",
     "sql_udf_year_extract",
     "arrow_token_count",
@@ -171,6 +176,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_quality_curation",
     "warc_ingest_extract",
     "pack_sequences_offsets",
+    # r7 rotation IN (VERDICT r6 #4): the six strongest entries the
+    # driver has never sampled — the first oracle-checked ITERATIVE op
+    # (recursive-CTE-checked connected components), bit-exact integer
+    # PageRank, exact rank-sum AUC, AQP with exact HT error bars, the
+    # oracle-checked Misra-Gries sketch, and the stream-stream
+    # interval join batch twin.
+    "dedup_cluster_jaccard",
+    "host_rank_fixed_point",
+    "model_auc_exact",
+    "aqp_sampled_revenue",
+    "heavy_hitters_mg",
+    "stream_stream_interval_join",
+    # r7 flagship: MP3 (Layer III) frame-syntax + scalefactor decode
+    # with a formula-recomputing oracle (functions/mp3.py; VERDICT r6
+    # #5). agg_distinct_customers (driver-green r1-r6) rotates out —
+    # q1/rollup keep aggregates represented and the approx-distinct
+    # sketch family stays under the full-registry gate.
+    "multimodal_mp3_sideinfo",
 )
 
 

@@ -291,6 +291,7 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue")
     )
+    # bounded: |months| rows (monthly post-aggregate frame), not raw orders
     w = Window.orderBy("month")
     return monthly.select(
         "month",

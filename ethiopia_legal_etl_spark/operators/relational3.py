@@ -33,6 +33,8 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
     # explicit null placement: Spark defaults ASC NULLS FIRST, DuckDB
     # NULLS LAST — pin it so both engines rank null prices identically
+    # bounded: o_custkey < 50 filter caps the frame (demo of the op;
+    # real ntile runs partitioned or over pre-aggregated data, see doc)
     w = Window.orderBy(F.col("o_totalprice").asc_nulls_first(), "o_orderkey")
     return orders.select(
         "o_orderkey",

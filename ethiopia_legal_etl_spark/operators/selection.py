@@ -280,7 +280,7 @@ def shard_export_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
     )
-    w_all = Window.partitionBy()  # 8-row aggregated frame
+    w_all = Window.partitionBy()  # bounded: 8-row aggregated frame
     return per_shard.select(
         "shard",
         "n_docs",
