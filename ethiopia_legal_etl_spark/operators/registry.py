@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Query]:
         relational11,
         relational12,
         relational13,
+        relational14,
         selection,
         similarity,
         textguard,

@@ -1,0 +1,67 @@
+"""Wave 14 semantics tests: invariants the order-insensitive oracle
+hash can't see — recursion shape, lateral top-k ordering, pivot/
+unpivot inverse, EWMA fold semantics. Value correctness stays the
+oracle's job (tools/check_oracle.py + the full-registry gate).
+"""
+
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.relational14 import (
+    ewma_user_value,
+    pivot_unpivot_orders,
+    recursive_cte_walk,
+)
+
+
+def test_recursive_walk_shape_and_step_function(spark, sf_dir):
+    rows = recursive_cte_walk(spark, sf_dir).collect()
+    # 25 seeds x depths 0..7, frontier never expands (out-degree 1)
+    by_seed: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_seed.setdefault(r["seed"], {})[r["depth"]] = r["node"]
+    assert len(by_seed) == 25
+    for seed, walk in by_seed.items():
+        assert sorted(walk) == list(range(8))
+        assert walk[0] == seed
+        for d in range(7):
+            assert walk[d + 1] == (walk[d] * 7 + 13) % 50
+
+
+def test_pivot_unpivot_is_identity_on_groupby(spark, sf_dir):
+    long = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["n_orders"]
+        for r in pivot_unpivot_orders(spark, sf_dir).collect()
+    }
+    base = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert long == base
+
+
+def test_ewma_matches_python_replay_exactly(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_user_value(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], float(r["value"]))
+        )
+    for uid, rows in streams.items():
+        rows.sort()
+        e = rows[0][2]
+        for _, _, v in rows[1:]:
+            e = v * 0.5 + e * 0.5  # the exact fold expression
+        n, ewma = got[uid]
+        assert n == len(rows)
+        assert ewma == e, (uid, ewma, e)  # BIT-exact, not approximately
