@@ -526,3 +526,82 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "dedup_substring_fraction",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(t[i:i + 7], ' ') AS gram
+      FROM toks,
+           LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM grams g JOIN cnt c ON g.gram = c.gram
+    GROUP BY g.doc_id
+    """,
+    doc="EXACT-SUBSTRING duplication accounting (Lee et al. 2022, "
+    "arXiv:2107.06499 'Deduplicating Training Data Makes Language "
+    "Models Better', the ExactSubstr variant): every 8-token window "
+    "of every document, counted corpus-wide; a window position is "
+    "duplicated iff its exact token sequence occurs >= 2 times "
+    "anywhere in the corpus (including within the same document — "
+    "the paper's definition). Output per doc: window count, "
+    "duplicated-window count, and the duplicated fraction (one IEEE "
+    "division of exact integers — raw-double identical cross-"
+    "engine). The paper builds a suffix array; an 8-token fixed "
+    "window over a hash-grouped corpus is the shuffle-native "
+    "equivalent for fixed k (a suffix array finds variable-length "
+    "matches >= k, which the fixed-k windows cover positionally: "
+    "any duplicated span of >= 8 tokens makes all its windows "
+    "duplicated). Plan: windows via transform(sequence)+slice inside "
+    "codegen (no Python), one shuffle to count grams, one join back "
+    "keyed on the gram, one per-doc aggregate. 100 TB: shuffle "
+    "8-byte xxhash64 digests of the windows instead of the strings "
+    "(the dedup_exact_hash pattern; collision rate ~n^2/2^64 "
+    "documented) and salt the top-frequency grams — kept as the "
+    "string form here because the oracle must compute identical "
+    "keys.",
+)
+def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = 8
+    grams = (
+        docs.where(F.size(toks) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+            (
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_fraction"),
+        )
+    )

@@ -583,3 +583,31 @@ def test_cluster_jaccard_partitions_edge_nodes(spark, sf_dir):
         assert not (set(members) & seen), "clusters overlap"
         seen |= set(members)
         assert set(members) == want[comp]
+
+
+def test_substring_fraction_planted_duplicate_span(spark, tmp_path):
+    """Plant a 12-token span shared by two docs in otherwise-unique
+    text: all 5 of its 8-token windows must be flagged in BOTH docs,
+    and a doc of globally unique tokens must have dup_fraction 0."""
+    from ethiopia_legal_etl_spark.operators.dedup import (
+        dedup_substring_fraction,
+    )
+
+    span = " ".join(f"S{j}" for j in range(12))
+    rows = [
+        (1, "A0 A1 A2 " + span + " A3 A4 A5"),
+        (2, "B0 B1 " + span + " B2 B3 B4 B5"),
+        (3, " ".join(f"C{j}" for j in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substring_fraction(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 18 tokens -> 11 windows; the shared 12-token span yields
+    # exactly 5 fully-inside windows, duplicated in doc 2
+    assert got[1]["n_grams"] == 11 and got[1]["n_dup_grams"] == 5
+    assert got[2]["n_grams"] == 11 and got[2]["n_dup_grams"] == 5
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_fraction"] == 0.0
+    assert got[1]["dup_fraction"] == 5 / 11
