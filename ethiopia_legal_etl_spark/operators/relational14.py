@@ -158,3 +158,105 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").cast("long").alias("n_events"),
         fold.alias("ewma"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p
+    )
+    SELECT stage, n_users,
+           CAST(n_users AS DOUBLE)
+             / LAG(n_users, 1, n_users) OVER (ORDER BY stage)
+             AS conversion_from_prev
+    FROM stages
+    """,
+    doc="ORDERED-SEQUENCE funnel (view -> later click -> later "
+    "purchase): stage k is reached iff the user performed the stage-k "
+    "event STRICTLY AFTER their stage-(k-1) entry time — the "
+    "time-ordering constraint that distinguishes a funnel from three "
+    "independent filters (a user who purchased before ever viewing "
+    "does not convert). Three chained conditional-min aggregates, "
+    "each joined on user_id; timestamps never leave the plan (engines "
+    "disagree on raw ts rendering, not ordering), only exact stage "
+    "counts and their pairwise conversion ratios (one IEEE division "
+    "each) are emitted. Plan: all three aggregates shuffle on the "
+    "same user_id key, so at 100 TB one repartition(user_id) is "
+    "reused across every stage with zero re-shuffles (co-partitioned "
+    "joins); the final 3-row frame is driver-trivial. "
+    "# bounded: 3-row stage frame for the LAG window.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage"), "n_users"
+            )
+        )
+    )
+    # bounded: 3-row stage frame
+    w = Window.orderBy("stage")
+    return stages.select(
+        "stage",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double")
+        ).alias("conversion_from_prev"),
+    ).withColumn(
+        "conversion_from_prev",
+        F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
+    )

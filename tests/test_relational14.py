@@ -65,3 +65,37 @@ def test_ewma_matches_python_replay_exactly(spark, sf_dir):
         n, ewma = got[uid]
         assert n == len(rows)
         assert ewma == e, (uid, ewma, e)  # BIT-exact, not approximately
+
+
+def test_funnel_ordering_constraint_enforced(spark, tmp_path):
+    """A user whose purchase precedes their first view must NOT count
+    as converted; a properly ordered user passes all three stages."""
+    import pyspark.sql.functions as F
+
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        funnel_view_click_purchase,
+    )
+
+    rows = [
+        # user 1: view < click < purchase  -> reaches stage 3
+        (1, 1, "2024-01-01 00:00:01", "view", 1.0, "{}"),
+        (2, 1, "2024-01-01 00:00:02", "click", 1.0, "{}"),
+        (3, 1, "2024-01-01 00:00:03", "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE view -> stops at stage 2
+        (4, 2, "2024-01-01 00:00:01", "purchase", 1.0, "{}"),
+        (5, 2, "2024-01-01 00:00:02", "view", 1.0, "{}"),
+        (6, 2, "2024-01-01 00:00:03", "click", 1.0, "{}"),
+        # user 3: view only -> stage 1
+        (7, 3, "2024-01-01 00:00:01", "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, user_id: long, ts: string, event_type: string, "
+        "value: double, props: string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_view_click_purchase(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
