@@ -260,3 +260,155 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conversion_from_prev",
         F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
     )
+
+
+@register(
+    "quantiles_exact_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="EXACT interpolated quantiles (Spark percentile == DuckDB "
+    "quantile_cont: both implement the linear-interpolation estimator "
+    "over the sorted group, and the arithmetic is the same IEEE "
+    "expression at the same two order statistics — probed "
+    "bit-identical, no rounding policy). The exact form is the "
+    "correctness anchor for the registry's KLL sketch entries "
+    "(sketch_kll_quantiles bounds its error against this). Scale "
+    "note: exact percentile materializes each group sorted — right "
+    "for dashboard-grade grouped stats (|groups| bounded); at 100 TB "
+    "per-key streaming quantiles use the KLL path instead.",
+)
+def quantiles_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+@register(
+    "stats_corr_exact_moments",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(38,0)) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0)) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) AS covar_samp_cents
+    FROM m
+    """,
+    doc="Pearson correlation + sample covariance from EXACT DECIMAL "
+    "moments: quantity and cents-quantized price accumulate as "
+    "DECIMAL(38,0) sums (order-independent, engine-exact), then corr "
+    "= (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) is ONE "
+    "fixed IEEE expression over exactly-agreed operands — raw-double "
+    "identical, where the built-in corr()/covar_samp() accumulate "
+    "floats in partition order and legitimately differ in the last "
+    "bits across engines (the same exactness discipline as "
+    "anomaly_rolling_zscore and the Gini entry). One shuffle, "
+    "map-side partial decimal sums.",
+)
+def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
+    m = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (num / F.sqrt(vx * vy)).alias("corr_qty_price"),
+        (num / (n * (n - F.lit(1))).cast("double")).alias("covar_samp_cents"),
+    )
+
+
+@register(
+    "sessionize_gap30_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sess_seq
+    """,
+    doc="batch SESSIONIZATION with row-level session IDs: a new "
+    "session starts when the gap to the previous event exceeds 30 "
+    "minutes (first event of a user starts session 1 — the NULL lag "
+    "falls through the CASE to 1 in both engines); session ids are "
+    "the running sum of the new-session flags. This ASSIGNS an id to "
+    "every row — the thing stream_session_window's aggregate-only "
+    "session_window() cannot do — which is what joining other tables "
+    "back to sessions requires. Timestamps never leave the plan "
+    "(engines agree on ordering and interval comparison, not ts "
+    "rendering). One shuffle (user hash) reused by both windows and "
+    "the final aggregate — zero extra exchanges at any scale.",
+)
+def sessionize_gap30_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTE")
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap_ok, 0).otherwise(1)
+    )
+    sess = flagged.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sess_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )

@@ -99,3 +99,67 @@ def test_funnel_ordering_constraint_enforced(spark, tmp_path):
         for r in funnel_view_click_purchase(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_sessionize_gap_boundary_semantics(spark, tmp_path):
+    """Events exactly 30 min apart stay in ONE session (<=); 30 min +
+    1 s starts a new one. First event of each user opens session 1."""
+    import pyspark.sql.functions as F
+
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        sessionize_gap30_events,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", 1.0, "{}"),
+        (2, 1, "2024-01-01 00:30:00", "click", 2.0, "{}"),  # == 30 min: same
+        (3, 1, "2024-01-01 01:00:01", "purchase", 3.0, "{}"),  # > 30 min: new
+        (4, 2, "2024-01-01 05:00:00", "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, user_id: long, ts: string, event_type: string, "
+        "value: double, props: string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["user_id"], r["sess_seq"]): (r["n_events"], r["n_purchases"])
+        for r in sessionize_gap30_events(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 1): (2, 0), (1, 2): (1, 1), (2, 1): (1, 0)}
+
+
+def test_corr_exact_moments_matches_python(spark, sf_dir):
+    import math
+
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        stats_corr_exact_moments,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["corr_qty_price"])
+        for r in stats_corr_exact_moments(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (int(r["l_quantity"]), math.floor(r["l_extendedprice"] * 100 + 0.5))
+        )
+    for flag, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        corr = float(n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert got[flag][0] == n
+        assert got[flag][1] == corr, flag  # exact-moments => bit equal
+        assert -1.0 <= corr <= 1.0
