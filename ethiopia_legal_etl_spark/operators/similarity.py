@@ -689,3 +689,79 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
     )
+
+
+@register(
+    "embedding_mutual_nn",
+    oracle="""
+    WITH d AS (SELECT vec_id, label,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 600),
+    a AS (SELECT vec_id, e FROM d WHERE label = 0),
+    b AS (SELECT vec_id, e FROM d WHERE label = 1),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             LIST_COSINE_SIMILARITY(a.e, b.e) AS cos
+      FROM a CROSS JOIN b
+    ),
+    fwd AS (
+      SELECT src_id, tgt_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, tgt_id) AS rn
+      FROM pairs
+    ),
+    bwd AS (
+      SELECT src_id, tgt_id,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                ORDER BY cos DESC, src_id) AS rn
+      FROM pairs
+    )
+    SELECT f.src_id, f.tgt_id, ROUND(f.cos, 4) AS cos_sim
+    FROM fwd f JOIN bwd w
+      ON f.src_id = w.src_id AND f.tgt_id = w.tgt_id
+    WHERE f.rn = 1 AND w.rn = 1
+    """,
+    doc="MUTUAL-NEAREST-NEIGHBOR bitext/parallel-pair mining (the "
+    "Artetxe & Schwenk 2019 margin-mining family, arXiv:1811.01136; "
+    "the filter behind LASER/CCMatrix parallel-corpus construction): "
+    "treating label 0 as the source 'language' and label 1 as the "
+    "target, emit exactly the pairs where each side is the other's "
+    "top-1 cosine neighbor — the mutuality condition that removes "
+    "hub/asymmetric false matches a one-directional top-1 keeps. "
+    "Ranking uses the raw cosine (bit-identical cross-engine — same "
+    "fold the near-dup oracle relies on) with vec_id tiebreak; only "
+    "the rounded value is emitted. Plan: bounded two-cell cross "
+    "product (broadcast NL join — both sides are single-label cells), "
+    "two window ranks, one self-join on the rank-1 rows. 100 TB: the "
+    "cross product runs per ANN bucket (IVF cell) over shortlisted "
+    "candidates instead of whole languages — this entry pins the "
+    "mutuality semantics on the exact form.",
+)
+def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 600)
+    d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = d.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("e").alias("ea")
+    )
+    b = d.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("e").alias("eb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "src_id", "tgt_id", cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    # bounded: one single-label cell per side (~|label| rows each)
+    w_fwd = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
+    w_bwd = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), "src_id")
+    ranked = pairs.select(
+        "src_id",
+        "tgt_id",
+        "cos",
+        F.row_number().over(w_fwd).alias("rn_f"),
+        F.row_number().over(w_bwd).alias("rn_b"),
+    )
+    return (
+        ranked.where((F.col("rn_f") == 1) & (F.col("rn_b") == 1))
+        .select("src_id", "tgt_id", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -611,3 +611,44 @@ def test_substring_fraction_planted_duplicate_span(spark, tmp_path):
     assert got[2]["n_grams"] == 11 and got[2]["n_dup_grams"] == 5
     assert got[3]["n_dup_grams"] == 0 and got[3]["dup_fraction"] == 0.0
     assert got[1]["dup_fraction"] == 5 / 11
+
+
+def test_mutual_nn_mutuality_property(spark, sf_dir):
+    """Every emitted pair must be mutually top-1 under brute-force
+    cosine; and no src or tgt appears twice (top-1 each way is a
+    partial matching)."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        embedding_mutual_nn,
+    )
+
+    pairs = [
+        (r["src_id"], r["tgt_id"])
+        for r in embedding_mutual_nn(spark, sf_dir).collect()
+    ]
+    assert pairs
+    srcs = [a for a, _ in pairs]
+    tgts = [b for _, b in pairs]
+    assert len(set(srcs)) == len(srcs) and len(set(tgts)) == len(tgts)
+
+    emb = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < 600)
+        .collect()
+    }
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    a_side = {i: e for i, (lab, e) in emb.items() if lab == 0}
+    b_side = {i: e for i, (lab, e) in emb.items() if lab == 1}
+    for s, t in pairs:
+        best_t = min(
+            ((-cos(a_side[s], e), j) for j, e in b_side.items())
+        )[1]
+        best_s = min(
+            ((-cos(b_side[t], e), j) for j, e in a_side.items())
+        )[1]
+        assert best_t == t and best_s == s, (s, t)

@@ -80,6 +80,7 @@ BNLJ_ALLOWED = {
     "abc_classification_parts",  # 1-row broadcast grand-total crossJoin
     "stats_benford_digits",     # 1-row broadcast digit-count total crossJoin
     "assoc_rules_brand_pairs",  # 1-row broadcast basket-count total crossJoin
+    "embedding_mutual_nn",      # bounded two-cell cross product, target side broadcast
 }
 
 
