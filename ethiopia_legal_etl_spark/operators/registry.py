@@ -208,6 +208,7 @@ def all_queries() -> dict[str, Query]:
         corpusops,
         dedup,
         etl,
+        features,
         kll,
         kmv,
         modeleval,
