@@ -412,3 +412,83 @@ def sessionize_gap30_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="SALTED TWO-PHASE aggregation — the hot-key shuffle fix as an "
+    "operator: phase 1 aggregates by (lang, salt16) where salt = "
+    "hash(doc_id) mod 16 (spreads one skewed language over 16 "
+    "reducers), phase 2 merges the 16 partials per language. "
+    "Count/sum are commutative monoids, so the result is EXACTLY the "
+    "direct groupBy (the oracle runs the direct form — the identity "
+    "is the point). At gate scales AQE handles mild skew alone; this "
+    "pins the manual technique for the 1000-executor case where one "
+    "language holds half the corpus and a single reducer would "
+    "otherwise process it serially (SCALING.md's measured 2.2x "
+    "skew-split win). Two shuffles by design: 16x narrower each.",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int")
+    )
+    partial = salted.groupBy("lang", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_part"),
+    )
+    return partial.groupBy("lang").agg(
+        F.sum("n_part").alias("n_docs"),
+        F.sum("chars_part").alias("total_chars"),
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE via partial-aggregate merge: the "
+    "'historical' partition (orders before 1997) is aggregated once, "
+    "the 'new arrivals' (1997 onward) separately, and the two partial "
+    "states merge by summing — never re-scanning history. The oracle "
+    "runs the full recompute; equality IS the maintenance-correctness "
+    "claim, and it holds exactly because count and exact-DECIMAL sums "
+    "are commutative monoids (a float sum would NOT merge exactly — "
+    "accumulation order differs between the incremental and full "
+    "paths). The daily-rollup pattern at 100 TB: yesterday's state is "
+    "a tiny aggregate table, only the new partition is scanned; "
+    "merge cost is |groups|, independent of history size.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias(
+                "price_part"
+            ),
+        )
+
+    hist = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        hist.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_part").alias("n_orders"),
+            F.sum("price_part").cast("double").alias("total_price"),
+        )
+    )
