@@ -72,6 +72,9 @@ SECONDARY = [
     # and the iterative min-label fixpoint closure. r7 is their baseline.
     "unigram_train_vocab",
     "dedup_cluster_jaccard",
+    # r7: corpus-wide 8-token-gram count + join back — the heaviest
+    # new shuffle shape this round. r7 is its baseline.
+    "dedup_substring_fraction",
 ]
 
 

@@ -6,7 +6,7 @@ expressions both engines evaluate identically).
 
 - winsorization: clamp a feature at its per-group p5/p95 — the
   standard outlier guard before scaling. Percentile interpolation is
-  bit-identical cross-engine (probed in quantiles_exact_prices), and
+  bit-identical cross-engine (probed in percentile_order_price's family), and
   the clamp is row-local, so every output value hash-matches raw.
 - leave-one-out target encoding: encode a categorical by the mean of
   the target over the OTHER rows of its group — the leakage-safe
@@ -52,8 +52,8 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     """,
     doc="per-group WINSORIZATION at p5/p95 (the standard outlier "
     "clamp before feature scaling): bounds from the bit-identical "
-    "interpolated percentile (same estimator both engines — see "
-    "quantiles_exact_prices), then a row-local LEAST/GREATEST clamp, "
+    "interpolated percentile (same estimator both engines — the "
+    "percentile_order_price family), then a row-local LEAST/GREATEST clamp, "
     "so every output double hash-matches raw. Plan: one aggregate to "
     "|event_types| rows, joined back on the group key (AQE "
     "broadcasts it), zero data-sized windows.",
@@ -147,7 +147,9 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression floor((v - lo)/(hi - lo) * 10) over exactly-agreed "
     "endpoints (min/max of doubles are exact picks), with the v = hi "
     "edge clamped into the last bin — identical arithmetic both "
-    "engines, exact integer counts out. Degenerate groups (hi == lo) "
+    "engines, exact integer counts out (width_bucket_price_histogram "
+    "is the fixed-literal-bounds sibling; this one derives bounds "
+    "from each group's own data). Degenerate groups (hi == lo) "
     "are excluded rather than divided by zero. Plan: aggregate to "
     "|types| rows, join back, one count aggregate — the "
     "aggregate-join-aggregate sandwich, all map-side partial.",

@@ -196,7 +196,10 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase): stage k is reached iff the user performed the stage-k "
     "event STRICTLY AFTER their stage-(k-1) entry time — the "
     "time-ordering constraint that distinguishes a funnel from three "
-    "independent filters (a user who purchased before ever viewing "
+    "independent filters — completing the funnel family: "
+    "funnel_signup_purchase_7d is the 2-stage windowed variant, "
+    "event_pattern_funnels the regex-CEP variant, this the k-stage "
+    "chained-conversion report (a user who purchased before ever viewing "
     "does not convert). Three chained conditional-min aggregates, "
     "each joined on user_id; timestamps never leave the plan (engines "
     "disagree on raw ts rendering, not ordering), only exact stage "
@@ -263,37 +266,6 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quantiles_exact_prices",
-    oracle="""
-    SELECT o_orderpriority,
-           quantile_cont(o_totalprice, 0.25) AS p25,
-           quantile_cont(o_totalprice, 0.5) AS p50,
-           quantile_cont(o_totalprice, 0.75) AS p75,
-           quantile_cont(o_totalprice, 0.9) AS p90
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="EXACT interpolated quantiles (Spark percentile == DuckDB "
-    "quantile_cont: both implement the linear-interpolation estimator "
-    "over the sorted group, and the arithmetic is the same IEEE "
-    "expression at the same two order statistics — probed "
-    "bit-identical, no rounding policy). The exact form is the "
-    "correctness anchor for the registry's KLL sketch entries "
-    "(sketch_kll_quantiles bounds its error against this). Scale "
-    "note: exact percentile materializes each group sorted — right "
-    "for dashboard-grade grouped stats (|groups| bounded); at 100 TB "
-    "per-key streaming quantiles use the KLL path instead.",
-)
-def quantiles_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
-    )
-
-
-@register(
     "stats_corr_exact_moments",
     oracle="""
     WITH q AS (
@@ -326,7 +298,9 @@ def quantiles_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical, where the built-in corr()/covar_samp() accumulate "
     "floats in partition order and legitimately differ in the last "
     "bits across engines (the same exactness discipline as "
-    "anomaly_rolling_zscore and the Gini entry). One shuffle, "
+    "anomaly_rolling_zscore and the Gini entry; regr_quantity_price "
+    "covers the BUILT-IN regr_* family under the round(4-6) policy — "
+    "this entry is the exactness alternative). One shuffle, "
     "map-side partial decimal sums.",
 )
 def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,41 +385,6 @@ def sessionize_gap30_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
             "total_value"
         ),
-    )
-
-
-@register(
-    "agg_salted_twophase",
-    oracle="""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
-    """,
-    doc="SALTED TWO-PHASE aggregation — the hot-key shuffle fix as an "
-    "operator: phase 1 aggregates by (lang, salt16) where salt = "
-    "hash(doc_id) mod 16 (spreads one skewed language over 16 "
-    "reducers), phase 2 merges the 16 partials per language. "
-    "Count/sum are commutative monoids, so the result is EXACTLY the "
-    "direct groupBy (the oracle runs the direct form — the identity "
-    "is the point). At gate scales AQE handles mild skew alone; this "
-    "pins the manual technique for the 1000-executor case where one "
-    "language holds half the corpus and a single reducer would "
-    "otherwise process it serially (SCALING.md's measured 2.2x "
-    "skew-split win). Two shuffles by design: 16x narrower each.",
-)
-def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    salted = docs.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int")
-    )
-    partial = salted.groupBy("lang", "salt").agg(
-        F.count(F.lit(1)).alias("n_part"),
-        F.sum(F.col("n_chars").cast("long")).alias("chars_part"),
-    )
-    return partial.groupBy("lang").agg(
-        F.sum("n_part").alias("n_docs"),
-        F.sum("chars_part").alias("total_chars"),
     )
 
 
