@@ -643,3 +643,99 @@ def corpus_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("n_tokens_kept"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "preference_pairs_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             ROUND(
+               0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 50,
+                           1.0)
+             + 0.5 * (CAST(LEN(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)
+                      / LEN(string_split(text, ' '))), 4) AS q
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS r_best,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q ASC, doc_id)
+               AS r_worst,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT b.lang, CAST(b.r_best AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           b.q AS chosen_q, w.q AS rejected_q,
+           b.q - w.q AS margin
+    FROM ranked b JOIN ranked w
+      ON b.lang = w.lang AND b.r_best = w.r_worst
+    WHERE b.r_best <= b.n // 2
+      AND b.q - w.q > 0.05
+      AND b.doc_id <> w.doc_id
+    """,
+    doc="PREFERENCE-PAIR construction for DPO/RLHF-style training "
+    "(pair the i-th BEST document with the i-th WORST of the same "
+    "language, keep pairs with a quality margin > 0.05): the "
+    "deterministic rank-pairing scheme that yields maximally-"
+    "separated, non-overlapping pairs without an O(n^2) candidate "
+    "join. Quality is the corpus quality score (length + lexical "
+    "diversity, round-4 — the pipeline_training_corpus formula), "
+    "ranks tie-break on doc_id, and the margin is one subtraction of "
+    "two exactly-agreed rounded doubles. Plan: one lang-hash shuffle "
+    "shared by both window ranks and the self-join (co-partitioned — "
+    "zero extra exchanges); i <= n/2 caps pairs at half the corpus. "
+    "At 100 TB: langs are the natural partition; a skewed dominant "
+    "language ranks within AQE-split partitions of one key — the "
+    "global-per-lang rank is the semantics, so the scale path is the "
+    "range-partitioned two-pass rank, same as the Gini note.",
+)
+def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    q = F.round(
+        0.5 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.5 * (F.size(F.array_distinct(toks)).cast("double") / n_tokens),
+        4,
+    )
+    scored = docs.select("doc_id", "lang", q.alias("q"))
+    w_best = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
+    w_worst = Window.partitionBy("lang").orderBy(F.asc("q"), "doc_id")
+    w_n = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "q",
+        F.row_number().over(w_best).alias("r_best"),
+        F.row_number().over(w_worst).alias("r_worst"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    b = ranked.alias("b")
+    w = ranked.alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.lang") == F.col("w.lang"))
+            & (F.col("b.r_best") == F.col("w.r_worst")),
+        )
+        .where(
+            (F.col("b.r_best") <= F.floor(F.col("b.n") / 2))
+            & (F.col("b.q") - F.col("w.q") > 0.05)
+            & (F.col("b.doc_id") != F.col("w.doc_id"))
+        )
+        .select(
+            F.col("b.lang").alias("lang"),
+            F.col("b.r_best").cast("long").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_doc"),
+            F.col("w.doc_id").alias("rejected_doc"),
+            F.col("b.q").alias("chosen_q"),
+            F.col("w.q").alias("rejected_q"),
+            (F.col("b.q") - F.col("w.q")).alias("margin"),
+        )
+    )

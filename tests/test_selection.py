@@ -329,3 +329,33 @@ def test_pq_adc_empty_input(spark, tmp_path):
     out = similarity_pq_adc(spark, str(tmp_path))
     assert out.count() == 0
     assert set(out.columns) == {"q_id", "vec_id", "l2_dist", "rn"}
+
+
+def test_preference_pairs_properties(spark, sf_dir):
+    """DPO-pair invariants: chosen strictly better than rejected by
+    the margin, no doc appears on both sides of any pair, pair ranks
+    are unique per lang, and pairing really is i-th-best with
+    i-th-worst."""
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.operators.selection import (
+        preference_pairs_quality,
+    )
+
+    rows = preference_pairs_quality(spark, sf_dir).collect()
+    assert rows
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        assert r["chosen_q"] - r["rejected_q"] > 0.05
+        assert abs(r["margin"] - (r["chosen_q"] - r["rejected_q"])) == 0.0
+        assert r["chosen_doc"] != r["rejected_doc"]
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, pairs in per_lang.items():
+        ranks = [p["pair_rank"] for p in pairs]
+        assert len(set(ranks)) == len(ranks)
+        chosen = {p["chosen_doc"] for p in pairs}
+        rejected = {p["rejected_doc"] for p in pairs}
+        assert not (chosen & rejected), lang
+        # the best-ranked pair has the widest margin in its lang
+        best = min(pairs, key=lambda p: p["pair_rank"])
+        assert best["margin"] == max(p["margin"] for p in pairs)
