@@ -584,3 +584,53 @@ def streaming_user_state_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_sessionize_gap(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """True-stream twin of sessionize_gap30_events (operators/
+    relational14.py): per-user row-level session-ID assignment via
+    applyInPandasWithState. State per user is (last event-time in µs,
+    current session seq) — O(1) per key regardless of history, the
+    100 TB contract. Each micro-batch's rows are sorted (ts, event_id)
+    inside the update function; across batches correctness relies on
+    per-user event-time-ordered arrival (guaranteed by a watermarked
+    upstream or, in tests, time-ordered micro-batches) — the same
+    assumption every gap-based streaming sessionizer makes.
+    Emits (user_id, event_id, sess_seq) once per input row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, sess_seq long"
+    state_schema = "last_us long, seq long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(key, pdf_iter, state: GroupState):
+        last_us, seq = state.get if state.exists else (-1, 0)
+        frames = list(pdf_iter)
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        out_ids, out_seqs = [], []
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us < 0 or us - last_us > gap_us:
+                seq += 1
+            last_us = us
+            out_ids.append(int(eid))
+            out_seqs.append(seq)
+        state.update((int(last_us), int(seq)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "sess_seq": out_seqs,
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

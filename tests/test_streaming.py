@@ -752,3 +752,56 @@ def test_stream_stream_leftouter_join_emits_unmatched(
     assert got_unmatched <= want_unmatched
     assert len(got_unmatched) > 0
     assert not (got_unmatched & {pid for pid, _ in got_matched})
+
+
+def test_streaming_sessionize_matches_batch(spark, time_ordered_events):
+    """The applyInPandasWithState sessionizer must assign the SAME
+    session structure as the batch window formulation when events
+    arrive in time order across 4 micro-batches — i.e., per-user
+    (session -> event count) multisets agree, and the 30-min gap
+    state genuinely survives batch boundaries."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        streaming_sessionize_gap,
+    )
+
+    schema = spark.read.parquet(time_ordered_events).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(time_ordered_events)
+    )
+    got_rows = run_to_memory(
+        spark, streaming_sessionize_gap(stream), "t_sessionize", "update"
+    ).collect()
+    # update mode emits each event exactly once (we emit only the
+    # batch's own rows)
+    assert len({r["event_id"] for r in got_rows}) == len(got_rows)
+    stream_sessions: dict = {}
+    for r in got_rows:
+        stream_sessions.setdefault((r["user_id"], r["sess_seq"]), 0)
+        stream_sessions[(r["user_id"], r["sess_seq"])] += 1
+
+    batch = {
+        (r["user_id"], r["sess_seq"]): r["n_events"]
+        for r in _batch_sessionize(spark, time_ordered_events).collect()
+    }
+    assert stream_sessions == batch
+
+
+def _batch_sessionize(spark, events_dir):
+    """Batch sessionizer over an arbitrary events directory (the
+    registry entry reads <sf_dir>/events.parquet; this mirrors its
+    exact logic over the fixture dir)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTE")
+    flagged = ev.withColumn("new_sess", F.when(gap_ok, 0).otherwise(1))
+    sess = flagged.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sess_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
