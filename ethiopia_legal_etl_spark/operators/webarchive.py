@@ -932,3 +932,127 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""
+    s{i} AS (
+      SELECT e.a AS node FROM sym e
+      JOIN {prev} x ON e.a = x.node
+      JOIN {prev} y ON e.b = y.node
+      GROUP BY e.a HAVING COUNT(*) >= {k}
+    )"""
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 6  # fixpoint on this graph at round 4: the pendant
+                   # ladder (hosts 50-54) cascades one node per round
+                   # into the core, then the 8 degree-weak quadratic
+                   # nodes peel; 2 rounds of margin, asserted by the
+                   # pytest peeler
+
+
+@register(
+    "graph_kcore_hosts",
+    oracle=f"""
+    WITH quad AS (
+      SELECT DISTINCT d.doc_id % 50 AS src,
+             ((d.doc_id % 50) * (d.doc_id % 50) + t.i * 13 + 1) % 50 AS dst
+      FROM documents d
+      JOIN (SELECT unnest(range(3)) AS i) t ON t.i < 1 + d.doc_id % 3
+    ),
+    ladder AS (
+      SELECT 50 + i AS src, 51 + i AS dst
+      FROM (SELECT unnest(range(4)) AS i)
+      UNION ALL
+      SELECT 50 + i, (2 * i) % 10 FROM (SELECT unnest(range(5)) AS i)
+      UNION ALL
+      SELECT 50 + i, (2 * i + 1) % 10 FROM (SELECT unnest(range(5)) AS i)
+    ),
+    links AS (
+      SELECT src, dst FROM quad UNION SELECT src, dst FROM ladder
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM links WHERE src <> dst
+      UNION
+      SELECT dst AS a, src AS b FROM links WHERE src <> dst
+    ),
+    s0 AS (SELECT DISTINCT a AS node FROM sym),
+    {",".join(_kcore_round_sql(i, _KCORE_K) for i in range(1, _KCORE_ROUNDS + 1))}
+    SELECT e.a AS host, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym e
+    JOIN s{_KCORE_ROUNDS} x ON e.a = x.node
+    JOIN s{_KCORE_ROUNDS} y ON e.b = y.node
+    GROUP BY e.a
+    """,
+    doc=f"{_KCORE_K}-CORE decomposition of the undirected host graph "
+    "(Seidman 1983 k-cores; the dense-subgraph / spam-cluster signal "
+    "that complements PageRank's centrality and the triangle count's "
+    "local clustering): iteratively peel nodes with degree < k until "
+    "the remainder is the maximal subgraph where every node keeps "
+    f">= {_KCORE_K} surviving neighbors. Both engines unroll the SAME "
+    f"{_KCORE_ROUNDS} peeling rounds (degree recomputation per round "
+    "is an aggregate, which DuckDB's recursive CTEs cannot express — "
+    "so the oracle is the fixed unroll and a pytest peeler "
+    "independently proves the fixpoint is reached by round "
+    f"{_KCORE_ROUNDS - 1} on this graph, making the unroll EQUAL to "
+    "true k-core, not an approximation). Pure integer set logic — "
+    "bit-reproducible. Plan: each round is one self-join of the "
+    "symmetric edge list with the survivor set + one aggregate; "
+    "edges shuffle on the node key every round (same key -> "
+    "co-partitioned reuse); at 100 TB rounds are O(diameter-ish) and "
+    "each is a bounded join, the standard distributed peeling shape.",
+)
+def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    quad = (
+        docs.join(
+            spark.range(3).select(F.col("id").alias("i")),
+            F.col("i") < 1 + F.col("doc_id") % 3,
+        )
+        .select(
+            (F.col("doc_id") % 50).alias("src"),
+            (
+                ((F.col("doc_id") % 50) * (F.col("doc_id") % 50)
+                 + F.col("i") * 13 + 1) % 50
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    r4 = spark.range(4).select(F.col("id").alias("i"))
+    r5 = spark.range(5).select(F.col("id").alias("i"))
+    ladder = (
+        r4.select((50 + F.col("i")).alias("src"), (51 + F.col("i")).alias("dst"))
+        .union(r5.select((50 + F.col("i")).alias("src"),
+                         ((2 * F.col("i")) % 10).alias("dst")))
+        .union(r5.select((50 + F.col("i")).alias("src"),
+                         ((2 * F.col("i") + 1) % 10).alias("dst")))
+    )
+    links = quad.union(ladder).distinct()
+    und = links.where(F.col("src") != F.col("dst"))
+    sym = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(und.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    survivors = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        survivors = (
+            sym.join(survivors.withColumnRenamed("node", "a"), "a")
+            .join(
+                survivors.select(F.col("node").alias("b")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select(F.col("a").alias("node"))
+        )
+    return (
+        sym.join(survivors.withColumnRenamed("node", "a"), "a")
+        .join(survivors.select(F.col("node").alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("host"), "core_degree")
+    )

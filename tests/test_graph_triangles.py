@@ -103,3 +103,55 @@ def test_event_pattern_funnels_semantics(spark, tmp_path):
     assert r2["longest_funnel"] == 0
     assert got[(3, "2026-01-05")]["n_funnels"] == 0
     assert got[(3, "2026-01-06")]["n_funnels"] == 0
+
+
+def test_kcore_matches_independent_peeler_and_reaches_fixpoint(spark, sf_dir):
+    """Independent union-peeling ground truth for graph_kcore_hosts:
+    (a) the unrolled rounds equal true k-core (fixpoint reached within
+    the unroll, with >= 2 rounds of margin), (b) real peeling happened
+    (some nodes removed), (c) every survivor keeps >= k surviving
+    neighbors and every peeled node would not."""
+    from ethiopia_legal_etl_spark.operators.webarchive import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore_hosts,
+    )
+
+    got = {
+        r["host"]: r["core_degree"]
+        for r in graph_kcore_hosts(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    adj: dict[int, set[int]] = {}
+
+    def add(a_, b_):
+        if a_ != b_:
+            adj.setdefault(a_, set()).add(b_)
+            adj.setdefault(b_, set()).add(a_)
+
+    for r in docs.collect():
+        src = r["doc_id"] % 50
+        for i in range(1 + r["doc_id"] % 3):
+            add(src, (src * src + i * 13 + 1) % 50)
+    for i in range(4):
+        add(50 + i, 51 + i)
+    for i in range(5):
+        add(50 + i, (2 * i) % 10)
+        add(50 + i, (2 * i + 1) % 10)
+    a = {n: set(v) for n, v in adj.items()}
+    rounds = 0
+    while True:
+        dead = [n for n, v in a.items() if len(v) < _KCORE_K]
+        if not dead:
+            break
+        rounds += 1
+        for n in dead:
+            for m in a.get(n, ()):
+                a[m].discard(n)
+            del a[n]
+    assert rounds >= 4, "graph must exercise a multi-round peel cascade"
+    assert rounds <= _KCORE_ROUNDS - 2, "need >= 2 rounds of fixpoint margin"
+    assert 0 < len(a) < len(adj), "peeling must remove some but not all"
+    assert got == {n: len(v) for n, v in a.items()}
+    assert all(d >= _KCORE_K for d in got.values())
