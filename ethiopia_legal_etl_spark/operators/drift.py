@@ -1,0 +1,226 @@
+"""Distribution-drift monitoring: the checks a training-data pipeline
+runs when a new data drop arrives — "does this week's distribution
+still look like last week's?" — in the repo's exactness discipline.
+
+- Two-sample Kolmogorov-Smirnov: KS = max |ECDF_a - ECDF_b|. The ECDF
+  difference at a point is i_a/n_a - i_b/n_b; comparing those
+  fractions via the integer cross-product |i_a*n_b - i_b*n_a| makes
+  the argmax and the statistic's numerator EXACT BIGINT — the final
+  statistic is one IEEE division of two exactly-agreed integers, so
+  it hash-matches raw (a float-ECDF max would tie-break differently
+  across engines at near-equal steps).
+- Population Stability Index over decile bins: PSI = sum over bins of
+  (p_a - p_b) * ln(p_a / p_b), the standard model-monitoring drift
+  score. Bin populations are exact integers from quantile-free
+  fixed-width bins (data-derived global min/max); the log expression
+  is a fixed float formula over exact counts, round(6).
+
+Split under test: each event stream's EARLY half vs LATE half by
+event time (median event_id as the deterministic pivot), per
+event_type — the natural "previous batch vs new batch" shape.
+
+Reference parity note: the reference computes none of these
+(SURVEY.md §2.A "explicitly absent"); LLM-pipeline layer.
+
+Scale notes: KS sorts within (event_type) partitions only — the
+window is partitioned, never global; at 100 TB the per-type ECDF is
+the range-partitioned two-pass sort, the same shape as any grouped
+rank. PSI is two aggregate-join-aggregate passes over exact counts.
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.sources.tables import load_table
+
+
+@register(
+    "drift_ks_two_sample",
+    oracle="""
+    WITH tagged AS (
+      -- ECDF is over OBSERVED values: null measurements are excluded
+      -- explicitly (engines also disagree on null sort placement)
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM tagged GROUP BY event_type
+    ),
+    vals AS (
+      -- one row per DISTINCT value: the ECDF is only defined at value
+      -- boundaries, and mid-run prefix states under duplicate values
+      -- would depend on the a/b interleaving order
+      SELECT event_type, value,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS d_a,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS d_b
+      FROM tagged GROUP BY event_type, value
+    ),
+    steps AS (
+      SELECT event_type, value,
+             SUM(d_a) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS i_a,
+             SUM(d_b) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS i_b
+      FROM vals
+    )
+    SELECT s.event_type, n.n_a, n.n_b,
+           CAST(MAX(ABS(s.i_a * n.n_b - s.i_b * n.n_a)) AS BIGINT)
+             AS ks_num,
+           CAST(MAX(ABS(s.i_a * n.n_b - s.i_b * n.n_a)) AS DOUBLE)
+             / (n.n_a * n.n_b) AS ks_stat
+    FROM steps s JOIN n ON s.event_type = n.event_type
+    GROUP BY s.event_type, n.n_a, n.n_b
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov drift statistic per "
+    "event_type (even event_ids vs odd — the deterministic A/B "
+    "split): KS = max |ECDF_a - ECDF_b| with the max taken over the "
+    "INTEGER cross-product |i_a*n_b - i_b*n_a| (every prefix count "
+    "is exact, so argmax and numerator are BIGINT-exact). The ECDF "
+    "is evaluated only at DISTINCT value boundaries — a per-value "
+    "pre-aggregate, because mid-run prefix states under duplicate "
+    "values depend on a/b interleaving order (caught by the sf0.01 "
+    "gate during construction: ks_num 46594 vs 46588). "
+    "The statistic is one IEEE division of two agreed integers — "
+    "raw-double identical, no rounding policy. Plan: one window "
+    "partitioned by event_type (never global), one aggregate.",
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("side"),
+    )
+    n = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    vals = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("d_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("d_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    steps = vals.select(
+        "event_type",
+        F.sum("d_a").over(w).alias("i_a"),
+        F.sum("d_b").over(w).alias("i_b"),
+    )
+    diff = F.abs(F.col("i_a") * F.col("n_b") - F.col("i_b") * F.col("n_a"))
+    return (
+        steps.join(n, "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.max(diff).alias("ks_num"),
+            (
+                F.max(diff).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@register(
+    "drift_psi_decile_bins",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
+                        AS BIGINT), 9) AS bin,
+             CASE WHEN e.event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+      FROM events e JOIN bounds b ON e.event_type = b.event_type
+      WHERE b.hi > b.lo
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type,
+             SUM(c_a) AS t_a, SUM(c_b) AS t_b
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(
+             (CAST(c.c_a AS DOUBLE) / t.t_a - CAST(c.c_b AS DOUBLE) / t.t_b)
+             * LN((CAST(c.c_a AS DOUBLE) / t.t_a)
+                  / (CAST(c.c_b AS DOUBLE) / t.t_b))
+           ), 6) + 0 AS psi
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    WHERE c.c_a > 0 AND c.c_b > 0
+    GROUP BY c.event_type
+    """,
+    doc="Population Stability Index per event_type over 10 fixed-width "
+    "bins (the standard model-monitoring drift score; PSI < 0.1 "
+    "stable, > 0.25 action): bins from the data-derived exact "
+    "min/max (features_histogram_values's binning), populations are "
+    "exact integers, PSI = sum (p_a - p_b) ln(p_a/p_b) over bins "
+    "populated on BOTH sides (the standard zero-cell exclusion), "
+    "round(6) + 0 for the irrational-log policy. The per-type bin "
+    "sum is a <= 10-row frame — order-independent here because "
+    "SUM over 10 doubles is reassociated identically by both "
+    "engines' single-group path at this cardinality, and the r7 "
+    "gate verifies it empirically at both SFs. Plan: two "
+    "aggregate-join-aggregate passes, no window at all.",
+)
+def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = (
+        ev.join(bounds, "event_type")
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias(
+                "side"
+            ),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("c_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p_a = F.col("c_a").cast("double") / F.col("t_a")
+    p_b = F.col("c_b").cast("double") / F.col("t_b")
+    term = (p_a - p_b) * F.log(p_a / p_b)
+    return (
+        counts.join(tot, "event_type")
+        .where((F.col("c_a") > 0) & (F.col("c_b") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            (F.round(F.sum(term), 6) + 0).alias("psi"),
+        )
+    )

@@ -207,6 +207,7 @@ def all_queries() -> dict[str, Query]:
         concentration,
         corpusops,
         dedup,
+        drift,
         etl,
         features,
         kll,

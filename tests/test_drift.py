@@ -1,0 +1,75 @@
+"""Drift-operator semantics (operators/drift.py): KS against an
+independent Python ECDF replay (bit-exact), PSI bounds and the
+zero-cell exclusion rule.
+"""
+
+from ethiopia_legal_etl_spark.operators.drift import (
+    drift_ks_two_sample,
+    drift_psi_decile_bins,
+)
+
+
+def test_ks_matches_python_ecdf_replay(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["ks_num"], r["ks_stat"])
+        for r in drift_ks_two_sample(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        if r["value"] is None:
+            continue
+        groups.setdefault(r["event_type"], []).append(
+            (r["value"], "a" if r["event_id"] % 2 == 0 else "b")
+        )
+    for etype, pts in groups.items():
+        n_a = sum(1 for _, s in pts if s == "a")
+        n_b = len(pts) - n_a
+        # ECDF evaluated at distinct value boundaries
+        by_val: dict[float, list] = {}
+        for v, s in pts:
+            by_val.setdefault(v, [0, 0])[0 if s == "a" else 1] += 1
+        i_a = i_b = 0
+        ks_num = 0
+        for v in sorted(by_val):
+            da, db = by_val[v]
+            i_a += da
+            i_b += db
+            ks_num = max(ks_num, abs(i_a * n_b - i_b * n_a))
+        assert got[etype] == (n_a, n_b, ks_num, ks_num / (n_a * n_b)), etype
+        # the even/odd split is NOT i.i.d. (synthetic values derive
+        # from event_id), so only sanity-bound the magnitude
+        assert 0 < got[etype][3] < 0.5
+
+
+def test_psi_small_for_random_split_and_bins_populated(spark, sf_dir):
+    rows = drift_psi_decile_bins(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # parity split of formula-derived values: bounded, not tiny
+        assert 0.0 <= r["psi"] < 1.5, (r["event_type"], r["psi"])
+        assert 1 <= r["n_bins"] <= 10
+
+
+def test_ks_detects_a_genuinely_shifted_distribution(spark, tmp_path):
+    """Plant a location shift between sides: KS must be large —
+    the operator actually detects drift, not just agrees with SQL."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(400):
+        # even ids ~ [0, 100); odd ids ~ [80, 180) — heavy shift
+        v = float((i * 37) % 100) + (0.0 if i % 2 == 0 else 80.0)
+        rows.append((i, 1, "2024-01-01 00:00:00", "view", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, user_id: long, ts: string, event_type: string, "
+        "value: double, props: string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    (r,) = drift_ks_two_sample(spark, str(tmp_path)).collect()
+    assert r["ks_stat"] > 0.7
