@@ -1007,9 +1007,11 @@ _KCORE_ROUNDS = 6  # fixpoint on this graph at round 4: the pendant
 def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     quad = (
-        docs.join(
-            spark.range(3).select(F.col("id").alias("i")),
-            F.col("i") < 1 + F.col("doc_id") % 3,
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("doc_id") % 3)
+            ).alias("i"),
         )
         .select(
             (F.col("doc_id") % 50).alias("src"),
