@@ -1038,7 +1038,12 @@ def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(und.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
-    survivors = sym.select(F.col("a").alias("node")).distinct()
+    # localCheckpoint: each round references `survivors` twice and
+    # `sym` once — without truncation the lineage tree doubles per
+    # round (2^rounds plan copies; measured 24 s at sf0.1 vs 2 s
+    # truncated). Same discipline as dedup_cluster_jaccard.
+    sym = sym.localCheckpoint()
+    survivors = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         survivors = (
             sym.join(survivors.withColumnRenamed("node", "a"), "a")
@@ -1050,6 +1055,7 @@ def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select(F.col("a").alias("node"))
+            .localCheckpoint()
         )
     return (
         sym.join(survivors.withColumnRenamed("node", "a"), "a")
