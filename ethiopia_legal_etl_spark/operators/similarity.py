@@ -765,3 +765,166 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where((F.col("rn_f") == 1) & (F.col("rn_b") == 1))
         .select("src_id", "tgt_id", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 400
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
+    pool AS (SELECT vec_id, e FROM emb WHERE vec_id >= 3),
+    rel AS (
+      SELECT q.q_id, p.vec_id, p.e,
+             LIST_COSINE_SIMILARITY(q.qe, p.e) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY LIST_COSINE_SIMILARITY(q.qe, p.e) DESC, p.vec_id
+             ) AS rn
+      FROM q CROSS JOIN pool p
+    ),
+    short AS (SELECT q_id, vec_id, e, rel FROM rel WHERE rn <= 20),
+    sims AS (
+      SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+             LIST_COSINE_SIMILARITY(a.e, b.e) AS sim
+      FROM short a JOIN short b
+        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT q_id, vec_id, rel AS score FROM short
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY rel DESC, vec_id) = 1
+    ),
+    c2 AS (
+      SELECT sh.q_id, sh.vec_id,
+             0.7 * sh.rel - 0.3 * MAX(s.sim) AS score
+      FROM short sh
+      JOIN sims s ON s.q_id = sh.q_id AND s.va = sh.vec_id
+      JOIN s1 ON s1.q_id = s.q_id AND s1.vec_id = s.vb
+      WHERE sh.vec_id NOT IN (SELECT vec_id FROM s1 WHERE s1.q_id = sh.q_id)
+      GROUP BY sh.q_id, sh.vec_id, sh.rel
+    ),
+    s2 AS (
+      SELECT q_id, vec_id, score FROM c2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id) = 1
+    ),
+    sel12 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    c3 AS (
+      SELECT sh.q_id, sh.vec_id,
+             0.7 * sh.rel - 0.3 * MAX(s.sim) AS score
+      FROM short sh
+      JOIN sims s ON s.q_id = sh.q_id AND s.va = sh.vec_id
+      JOIN sel12 sl ON sl.q_id = s.q_id AND sl.vec_id = s.vb
+      WHERE sh.vec_id NOT IN
+            (SELECT vec_id FROM sel12 WHERE sel12.q_id = sh.q_id)
+      GROUP BY sh.q_id, sh.vec_id, sh.rel
+    ),
+    s3 AS (
+      SELECT q_id, vec_id, score FROM c3
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id) = 1
+    )
+    SELECT q_id, CAST(1 AS BIGINT) AS mmr_rank, vec_id,
+           ROUND(score, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT q_id, 2, vec_id, ROUND(score, 6) FROM s2
+    UNION ALL
+    SELECT q_id, 3, vec_id, ROUND(score, 6) FROM s3
+    """,
+    doc="MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein "
+    "1998 — the diversity re-ranker RAG retrieval runs after ANN "
+    "shortlisting so the k passages aren't near-copies): greedy "
+    "selection over a cosine-top-20 shortlist, step score = "
+    "0.7*rel - 0.3*max_sim_to_selected, three unrolled steps in BOTH "
+    "engines (greedy argmax is inherently sequential; the unroll is "
+    "the declarative form, like graph_kcore_hosts' peeling). All "
+    "cosines are the bit-identical fold the near-dup oracle relies "
+    "on, the step expression is fixed IEEE over agreed operands, and "
+    "argmax tiebreaks on vec_id — so selection is deterministic and "
+    "hash-exact; scores rounded 6 for display only. Plan: bounded "
+    "3-query broadcast against the pool for relevance, a 20x20-per-"
+    "query sim matrix, then three bounded join-aggregate-rank steps. "
+    "100 TB: the shortlist comes from the ANN path (IVF/LSH entries) "
+    "and MMR runs on the bounded candidates only — never the corpus.",
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    d = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    q = d.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    pool = d.where(F.col("vec_id") >= 3)
+    rel = (
+        F.broadcast(q)
+        .crossJoin(pool)
+        .select(
+            "q_id", "vec_id", "e", cosine(F.col("qe"), F.col("e")).alias("rel")
+        )
+    )
+    w_rel = Window.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
+    short = (
+        rel.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint()  # bounded: 3 queries x 20 candidates
+    )
+    a = short.alias("a")
+    b = short.alias("b")
+    sims = a.join(
+        b,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        cosine(F.col("a.e"), F.col("b.e")).alias("sim"),
+    ).localCheckpoint()  # bounded: 3 x 20 x 19 rows
+
+    w_pick = Window.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+    selected = (
+        short.withColumn("score", F.col("rel"))
+        .withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .select("q_id", "vec_id", "score", F.lit(1).alias("mmr_rank"))
+        .localCheckpoint()
+    )
+    for step in (2, 3):
+        sel_keys = selected.select(
+            F.col("q_id").alias("sq"), F.col("vec_id").alias("sv")
+        )
+        msim = (
+            sims.join(
+                sel_keys,
+                (F.col("q_id") == F.col("sq")) & (F.col("vb") == F.col("sv")),
+            )
+            .groupBy("q_id", "va")
+            .agg(F.max("sim").alias("msim"))
+            .select("q_id", F.col("va").alias("vec_id"), "msim")
+        )
+        cand = (
+            short.join(
+                selected.select("q_id", "vec_id"),
+                ["q_id", "vec_id"],
+                "left_anti",
+            )
+            .join(msim, ["q_id", "vec_id"])
+            .withColumn(
+                "score", 0.7 * F.col("rel") - 0.3 * F.col("msim")
+            )
+        )
+        pick = (
+            cand.withColumn("pick", F.row_number().over(w_pick))
+            .where(F.col("pick") == 1)
+            .select("q_id", "vec_id", "score", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "q_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "vec_id",
+        F.round("score", 6).alias("mmr_score"),
+    )

@@ -652,3 +652,63 @@ def test_mutual_nn_mutuality_property(spark, sf_dir):
             ((-cos(b_side[t], e), j) for j, e in a_side.items())
         )[1]
         assert best_t == t and best_s == s, (s, t)
+
+
+def test_mmr_matches_greedy_python_replay(spark, sf_dir):
+    """Bit-exact replay of the MMR greedy selection in Python: same
+    shortlist, same step expression 0.7*rel - 0.3*max_sim, same
+    tiebreaks — and diversity actually engages (rank-2 is NOT always
+    the rank-2 by pure relevance)."""
+    import math
+
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        retrieval_mmr_rerank,
+    )
+
+    got = {}
+    for r in retrieval_mmr_rerank(spark, sf_dir).collect():
+        got[(r["q_id"], r["mmr_rank"])] = r["vec_id"]
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < 400)
+        .collect()
+    }
+
+    def cos(u, v):
+        return sum(a * b for a, b in zip(u, v)) / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    for q_id in (0, 1, 2):
+        qe = emb[q_id]
+        rels = sorted(
+            ((-cos(qe, e), vid) for vid, e in emb.items() if vid >= 3)
+        )[:20]
+        short = [(vid, -negrel) for negrel, vid in rels]
+        sel = [min(short, key=lambda t: (-t[1], t[0]))[0]]
+        for _ in (2, 3):
+            best = None
+            for vid, rel in short:
+                if vid in sel:
+                    continue
+                msim = max(cos(emb[vid], emb[s]) for s in sel)
+                score = 0.7 * rel - 0.3 * msim
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid)
+            sel.append(best[1])
+        assert [got[(q_id, k)] for k in (1, 2, 3)] == sel, q_id
+        # diversity engaged for at least one query overall is asserted
+        # outside the loop
+    pure_rank2 = {}
+    for q_id in (0, 1, 2):
+        qe = emb[q_id]
+        rels = sorted(
+            ((-cos(qe, e), vid) for vid, e in emb.items() if vid >= 3)
+        )
+        pure_rank2[q_id] = rels[1][1]
+    assert any(
+        got[(q, 2)] != pure_rank2[q] for q in (0, 1, 2)
+    ), "MMR never diverged from pure relevance — diversity term inert"
