@@ -1128,3 +1128,80 @@ register(
     "materializes. 2 shuffles; deterministic (doc_id order) so two "
     "runs produce byte-identical packs.",
 )(pack_token_sequences)
+
+
+@register(
+    "span_corruption_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE LENGTH(text) > 0
+    ),
+    pos AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 17) % 100) < 15 AS masked
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    runs AS (
+      SELECT doc_id, i, masked,
+             CASE WHEN masked AND NOT COALESCE(
+                    LAG(masked) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+                  THEN 1 ELSE 0 END AS span_start
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           CASE WHEN SUM(span_start) > 0
+                THEN CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+                     / SUM(span_start)
+                ELSE 0.0 END AS mean_span_len
+    FROM runs GROUP BY doc_id
+    """,
+    doc="SPAN-CORRUPTION masking accounting (the T5 / UL2 denoising-"
+    "objective prep step: ~15% of tokens masked, contiguous runs "
+    "become single sentinel spans): a deterministic integer mask "
+    "((doc_id*31 + pos*17) mod 100 < 15 — reproducible across runs "
+    "and partitionings, no RNG state), with span boundaries found by "
+    "the masked-and-prev-unmasked lag test. Outputs per doc the token "
+    "count, masked count, SPAN count, and mean span length (one IEEE "
+    "division of exact integers) — the statistics that size the "
+    "encoder/decoder sequence budget for a denoising objective. "
+    "Plan: posexplode inside codegen, one doc-hash shuffle shared by "
+    "the lag window and the aggregate.",
+)
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        (((F.col("doc_id") * 31 + (F.col("i0") + 1) * 17) % 100) < 15).alias(
+            "masked"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = pos.withColumn(
+        "span_start",
+        F.when(
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+            1,
+        ).otherwise(0),
+    )
+    n_masked = F.sum(F.when(F.col("masked"), 1).otherwise(0))
+    n_spans = F.sum("span_start")
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        F.when(
+            n_spans > 0, n_masked.cast("double") / n_spans
+        ).otherwise(F.lit(0.0)).alias("mean_span_len"),
+    )

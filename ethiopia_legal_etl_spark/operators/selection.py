@@ -739,3 +739,82 @@ def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.q") - F.col("w.q")).alias("margin"),
         )
     )
+
+
+@register(
+    "contrastive_negative_sample",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    anchors AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id < 200
+    ),
+    negs AS (
+      SELECT a.doc_id AS anchor_id, a.lang AS anchor_lang, j.j,
+             (a.doc_id * 2654435761 + (j.j + 1) * 40503) % n.n_docs
+               AS raw_neg
+      FROM anchors a
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(4)) AS j) j
+    ),
+    fixed AS (
+      SELECT anchor_id, anchor_lang, j,
+             CASE WHEN raw_neg = anchor_id
+                  THEN (raw_neg + 1) % (SELECT n_docs FROM n)
+                  ELSE raw_neg END AS neg_id
+      FROM negs
+    )
+    SELECT f.anchor_id, f.j, f.neg_id,
+           d.lang = f.anchor_lang AS hard_negative
+    FROM fixed f JOIN documents d ON d.doc_id = f.neg_id
+    """,
+    doc="DETERMINISTIC negative sampling for contrastive / embedding "
+    "training (the data-construction step behind InfoNCE-style "
+    "objectives): 4 negatives per anchor via the Knuth multiplicative "
+    "hash (anchor * 2654435761 + (j+1) * 40503) mod corpus-size — "
+    "pure integer arithmetic, so the sample is reproducible, "
+    "order-independent, and partition-count-independent (the "
+    "corpus_stratified_sample property, extended to PAIR "
+    "construction). Self-collisions are repaired deterministically "
+    "(+1 mod n). Negatives sharing the anchor's language are flagged "
+    "hard_negative — the curriculum signal a contrastive trainer "
+    "weights up. Plan: 1-row corpus-count broadcast, 4-way explode, "
+    "one equi-join back to documents for the negative's metadata. "
+    "At 100 TB the join shuffles on doc_id — the dimension lookup "
+    "shape, salting-free because the hash spreads anchors uniformly.",
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.where(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    negs = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "anchor_lang",
+            "n_docs",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+        )
+        .withColumn(
+            "raw_neg",
+            (F.col("anchor_id") * 2654435761 + (F.col("j") + 1) * 40503)
+            % F.col("n_docs"),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(
+                F.col("raw_neg") == F.col("anchor_id"),
+                (F.col("raw_neg") + 1) % F.col("n_docs"),
+            ).otherwise(F.col("raw_neg")),
+        )
+    )
+    return negs.join(
+        docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")),
+        "neg_id",
+    ).select(
+        "anchor_id",
+        "j",
+        "neg_id",
+        (F.col("neg_lang") == F.col("anchor_lang")).alias("hard_negative"),
+    )

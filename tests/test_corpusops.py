@@ -859,3 +859,38 @@ def test_unimax_budget_waterfill_invariants(spark, sf_dir):
             assert min(uncapped) >= max(capped) - 1e-9
     # both branches exercised on the driver corpus
     assert capped and len(rows) == 5
+
+
+def test_span_corruption_mask_density_and_runs(spark, sf_dir):
+    """Mask density ~15% by construction; span count equals the number
+    of maximal masked runs replayed in Python; mean span length is
+    exactly n_masked / n_spans."""
+    from ethiopia_legal_etl_spark.operators.corpusops import (
+        span_corruption_stats,
+    )
+
+    got = {
+        r["doc_id"]: r for r in span_corruption_stats(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.length("text") > 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    total_tokens = total_masked = 0
+    for d in docs:
+        n = len(d["text"].split(" "))
+        mask = [((d["doc_id"] * 31 + (i + 1) * 17) % 100) < 15 for i in range(n)]
+        spans = sum(
+            1 for i, m in enumerate(mask) if m and (i == 0 or not mask[i - 1])
+        )
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["n_masked"] == sum(mask)
+        assert r["n_spans"] == spans
+        if spans:
+            assert r["mean_span_len"] == sum(mask) / spans
+        total_tokens += n
+        total_masked += sum(mask)
+    assert abs(total_masked / total_tokens - 0.15) < 0.02

@@ -81,6 +81,7 @@ BNLJ_ALLOWED = {
     "stats_benford_digits",     # 1-row broadcast digit-count total crossJoin
     "assoc_rules_brand_pairs",  # 1-row broadcast basket-count total crossJoin
     "embedding_mutual_nn",      # bounded two-cell cross product, target side broadcast
+    "contrastive_negative_sample",  # 1-row corpus-count broadcast crossJoin
 }
 
 

@@ -359,3 +359,27 @@ def test_preference_pairs_properties(spark, sf_dir):
         # the best-ranked pair has the widest margin in its lang
         best = min(pairs, key=lambda p: p["pair_rank"])
         assert best["margin"] == max(p["margin"] for p in pairs)
+
+
+def test_negative_sampling_deterministic_and_collision_free(spark, sf_dir):
+    from ethiopia_legal_etl_spark.operators.selection import (
+        contrastive_negative_sample,
+    )
+
+    rows = contrastive_negative_sample(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seen = {}
+    for r in rows:
+        # a negative is never the anchor itself
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["neg_id"] < n_docs
+        # Knuth-hash replay
+        raw = (r["anchor_id"] * 2654435761 + (r["j"] + 1) * 40503) % n_docs
+        expect = (raw + 1) % n_docs if raw == r["anchor_id"] else raw
+        assert r["neg_id"] == expect
+        seen.setdefault(r["anchor_id"], set()).add(r["j"])
+    # every anchor got all 4 slots
+    assert all(js == {0, 1, 2, 3} for js in seen.values())
+    # both hard and easy negatives occur (multilingual corpus)
+    flags = {r["hard_negative"] for r in rows}
+    assert flags == {True, False}
