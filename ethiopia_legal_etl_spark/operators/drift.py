@@ -117,8 +117,24 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_b").over(w).alias("i_b"),
     )
     diff = F.abs(F.col("i_a") * F.col("n_b") - F.col("i_b") * F.col("n_a"))
+    # Enforce the BIGINT no-overflow bound (the anomaly_rolling_zscore
+    # discipline): |i*n| <= n_a*n_b must stay under 2^63, i.e.
+    # n_a*n_b < 9.2e18 (~3e9 rows per side per type). Checked in
+    # double space BEFORE the integer product can wrap.
+    guard = F.when(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        >= F.lit(float(2**63)),
+        F.raise_error(
+            F.concat(
+                F.lit("drift_ks_two_sample: n_a*n_b would overflow the "
+                      "BIGINT cross-product for event_type="),
+                F.col("event_type"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_a"))
     return (
         steps.join(n, "event_type")
+        .withColumn("n_a", guard)
         .groupBy("event_type", "n_a", "n_b")
         .agg(
             F.max(diff).alias("ks_num"),
