@@ -27,8 +27,10 @@ per-job.
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -108,3 +110,76 @@ class LegalFeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> LegalFeedStreamReader:
         return LegalFeedStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "LegalFeedWriter":
+        return LegalFeedWriter(self.options)
+
+
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: the part file the task staged and its
+    row count — the two facts the driver-side commit needs."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class LegalFeedWriter(DataSourceWriter):
+    """Writer half of the custom Python DataSource (the reference's
+    JSON doc sink, fetch_legal_docs.py:70-74, as a first-class
+    `df.write.format("legalfeed")` target): each task streams its
+    partition to ITS OWN JSONL part file (no coordination, no driver
+    bottleneck — one file per task, the parquet-writer layout), then
+    the driver-side commit() writes a _MANIFEST naming every part and
+    its row count. The manifest is the transactional boundary: a
+    reader that requires it sees either the whole write or none of it
+    (task retries leave orphan parts, which the manifest excludes —
+    the same recipe as sources/shards.py). abort() records the
+    failure marker instead of half-published data."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("legalfeed writer requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{part:05d}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        parts = sorted(
+            (
+                {"file": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ),
+            key=lambda d: d["file"],
+        )
+        manifest = {
+            "parts": parts,
+            "total_rows": sum(p["n_rows"] for p in parts),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        with open(os.path.join(self.path, "_ABORTED"), "w") as fh:
+            fh.write("write aborted; parts are not committed\n")

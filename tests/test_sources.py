@@ -104,3 +104,42 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     # partition pruning: non-matching lang dirs never scanned
     assert q.count() == docs.where(docs.lang == one_lang).count()
     assert "PartitionFilters: [isnotnull(lang" in formatted_plan(q)
+
+
+def test_legalfeed_custom_writer_roundtrip_with_manifest(spark, sf_dir, tmp_path):
+    """Writer half of the custom Python DataSource: per-task JSONL
+    part files + a driver-side _MANIFEST commit. Round trip must be
+    exact and the manifest must account for every row."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.sources.pydatasource import (
+        LegalFeedDataSource,
+    )
+
+    spark.dataSource.register(LegalFeedDataSource)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id") < 100)
+        .repartition(4)
+    )
+    out = str(tmp_path / "feed_out")
+    docs.write.format("legalfeed").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["parts"]) >= 1
+    listed = {p["file"] for p in manifest["parts"]}
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert listed == on_disk  # manifest names exactly the staged parts
+
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/part-*.jsonl"
+    )
+    assert back.count() == 100
+    orig = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert got == orig
