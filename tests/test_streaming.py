@@ -805,3 +805,76 @@ def _batch_sessionize(spark, events_dir):
     return sess.groupBy("user_id", "sess_seq").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+def test_streaming_sessionize_state_survives_restart(
+    spark, time_ordered_events, tmp_path
+):
+    """applyInPandasWithState state recovery for the sessionizer: run
+    the 4 time-ordered micro-batches as TWO separate queries sharing
+    one checkpoint (stop after the first, start a fresh query for the
+    rest). The per-user (last_ts, sess_seq) state must be restored
+    from the state store, so sessions spanning the restart boundary
+    keep their IDs — the combined output equals the batch form."""
+    import glob
+    import os
+    import shutil
+
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        streaming_sessionize_gap,
+    )
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    os.makedirs(src)
+
+    schema = spark.read.parquet(time_ordered_events).schema
+    files = sorted(glob.glob(f"{time_ordered_events}/*.parquet"))
+    assert len(files) == 4
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        def sink(batch_df, batch_id: int):
+            # idempotent batch-id-keyed sink (update-mode operator
+            # cannot drive the append-only parquet sink directly)
+            batch_df.write.mode("overwrite").parquet(f"{out}/bid={batch_id}")
+
+        q = (
+            streaming_sessionize_gap(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: first two chunks, then the query STOPS. copy2 keeps
+    # the fixture's increasing mtimes — the file source orders
+    # micro-batches by mtime, and a plain copy() would let chunk 03
+    # beat chunk 02 into batch order (out-of-order event time).
+    for f in files[:2]:
+        shutil.copy2(f, src)
+    run_query()
+    # phase 2: remaining chunks arrive; a NEW query resumes from the
+    # same checkpoint and must restore every user's session state
+    for f in files[2:]:
+        shutil.copy2(f, src)
+    run_query()
+
+    got_rows = spark.read.parquet(out).collect()
+    assert len({r["event_id"] for r in got_rows}) == len(got_rows)
+    stream_sessions: dict = {}
+    for r in got_rows:
+        k = (r["user_id"], r["sess_seq"])
+        stream_sessions[k] = stream_sessions.get(k, 0) + 1
+    batch = {
+        (r["user_id"], r["sess_seq"]): r["n_events"]
+        for r in _batch_sessionize(spark, time_ordered_events).collect()
+    }
+    assert stream_sessions == batch
