@@ -173,17 +173,26 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              SUM(c_a) AS t_a, SUM(c_b) AS t_b
       FROM counts GROUP BY event_type
-    )
-    SELECT c.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_bins,
-           ROUND(SUM(
+    ),
+    terms AS (
+      SELECT c.event_type, c.bin,
              (CAST(c.c_a AS DOUBLE) / t.t_a - CAST(c.c_b AS DOUBLE) / t.t_b)
              * LN((CAST(c.c_a AS DOUBLE) / t.t_a)
-                  / (CAST(c.c_b AS DOUBLE) / t.t_b))
-           ), 6) + 0 AS psi
-    FROM counts c JOIN tot t ON c.event_type = t.event_type
-    WHERE c.c_a > 0 AND c.c_b > 0
-    GROUP BY c.event_type
+                  / (CAST(c.c_b AS DOUBLE) / t.t_b)) AS term
+      FROM counts c JOIN tot t ON c.event_type = t.event_type
+      WHERE c.c_a > 0 AND c.c_b > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           -- ORDERED left fold (bin order, 0.0 seed): the sum is
+           -- reassociation-free, so the value cannot depend on either
+           -- engine's partial-aggregation grouping
+           ROUND(list_reduce(
+             list_prepend(0.0, list_transform(
+               list_sort(LIST({'bin': bin, 'term': term})),
+               x -> x.term)),
+             (acc, x) -> acc + x), 6) + 0 AS psi
+    FROM terms GROUP BY event_type
     """,
     doc="Population Stability Index per event_type over 10 fixed-width "
     "bins (the standard model-monitoring drift score; PSI < 0.1 "
@@ -191,11 +200,11 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min/max (features_histogram_values's binning), populations are "
     "exact integers, PSI = sum (p_a - p_b) ln(p_a/p_b) over bins "
     "populated on BOTH sides (the standard zero-cell exclusion), "
-    "round(6) + 0 for the irrational-log policy. The per-type bin "
-    "sum is a <= 10-row frame — order-independent here because "
-    "SUM over 10 doubles is reassociated identically by both "
-    "engines' single-group path at this cardinality, and the r7 "
-    "gate verifies it empirically at both SFs. Plan: two "
+    "round(6) + 0 for the irrational-log policy. The per-type term "
+    "sum is an ORDERED LEFT FOLD over the bin-sorted terms (the "
+    "ewma_user_value discipline) — a plain SUM of doubles would "
+    "depend on partial-aggregation grouping and hence on the "
+    "caller's shuffle-partition count. Plan: two "
     "aggregate-join-aggregate passes, no window at all.",
 )
 def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,12 +240,26 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_a = F.col("c_a").cast("double") / F.col("t_a")
     p_b = F.col("c_b").cast("double") / F.col("t_b")
     term = (p_a - p_b) * F.log(p_a / p_b)
+    # ordered left fold over (bin, term) structs — a plain SUM of the
+    # <= 10 double terms would depend on partial-aggregation grouping
+    # (and hence on the caller's shuffle-partition count); the fold is
+    # reassociation-free in both engines
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bin"), term.alias("term")))
+            ),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         counts.join(tot, "event_type")
         .where((F.col("c_a") > 0) & (F.col("c_b") > 0))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_bins"),
-            (F.round(F.sum(term), 6) + 0).alias("psi"),
+            (F.round(folded, 6) + 0).alias("psi"),
         )
     )
