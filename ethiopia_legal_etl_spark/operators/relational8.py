@@ -316,3 +316,59 @@ def pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "arrow_grouped_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY user_id
+    """,
+    doc="grouped applyInArrow (Spark 4's Arrow-native grouped-map — "
+    "the LAST unexercised entry in the pandas-API family: scalar "
+    "pandas_udf, GROUPED_AGG, grouped applyInPandas, cogrouped "
+    "applyInPandas, mapInPandas, mapInArrow, and now grouped "
+    "applyInArrow): per-user event stats computed with "
+    "pyarrow.compute kernels on each group's Table — no pandas "
+    "materialization, exact integer outputs (cents quantized with "
+    "the engine-agreed FLOOR(x*100 + 0.5)), so the hash matches with "
+    "no float policy at all. Scale note: like every grouped-map, no "
+    "map-side partials — each user's rows ship whole to one task; "
+    "built-in aggs stay preferred in hot paths, this pins the API "
+    "for genuinely non-SQL per-group Arrow compute.",
+)
+def arrow_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": [table.column("user_id")[0].as_py()],
+                "n_events": [table.num_rows],
+                "cents_sum": [pc.sum(cents).as_py()],
+                "first_event": [pc.min(table.column("event_id")).as_py()],
+                "last_event": [pc.max(table.column("event_id")).as_py()],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInArrow(
+        stats,
+        schema=(
+            "user_id long, n_events long, cents_sum long, "
+            "first_event long, last_event long"
+        ),
+    )
