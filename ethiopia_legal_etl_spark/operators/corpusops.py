@@ -256,12 +256,23 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, tok, COUNT(*) AS c
       FROM tok GROUP BY doc_id, lang, tok
     ),
+    byc AS (
+      SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS m
+      FROM cnt GROUP BY doc_id, lang, c
+    ),
     tot AS (
-      SELECT doc_id, lang, SUM(c) AS n_tokens,
-             LN(CAST(SUM(c) AS DOUBLE))
-               - SUM(c * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
-               AS h
-      FROM cnt GROUP BY doc_id, lang
+      SELECT doc_id, lang,
+             CAST(SUM(m * c) AS BIGINT) AS n_tokens,
+             LN(CAST(SUM(m * c) AS DOUBLE))
+               - list_reduce(
+                   list_prepend(0.0, list_transform(
+                     list_sort(LIST({{'c': c,
+                       'term': CAST(m * c AS DOUBLE)
+                               * LN(CAST(c AS DOUBLE))}})),
+                     x -> x.term)),
+                   (acc, x) -> acc + x)
+                 / CAST(SUM(m * c) AS DOUBLE) AS h
+      FROM byc GROUP BY doc_id, lang
     ),
     gated AS (
       SELECT doc_id, lang, n_tokens, ROUND(h, 4) AS h4
@@ -277,13 +288,17 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="composed curation pipeline over the new corpus operators: "
     "per-host cap (unbiased hash order) → paragraph-level exact dedup "
     "with reconstruction → token-entropy quality gate → per-language "
-    "accounting. One plan, six necessary shuffles (host window; block "
-    "window; doc regroup; (doc,token) agg; doc agg; lang agg) — no "
+    "accounting. One plan, seven necessary shuffles (host window; "
+    "block window; doc regroup; (doc,token) agg; count-of-counts "
+    "regroup — sqrt(n)-sized; doc agg; lang agg) — no "
     "intermediate materialization, so at 100 TB the corpus streams "
-    "through once. Float policy: the entropy gate compares h ROUNDED "
-    "to 4dp in both engines (an unrounded comparison could flip for a "
-    "doc whose h sits within an ulp of 2.0, since summation order "
-    "differs between engines — ADVICE r4); the reported average sums "
+    "through once. Float policy: the c*ln(c) term sum is an ORDERED "
+    "FOLD over count-of-counts (regroup by the integer count value, "
+    "then fold in c-order — reassociation-free in both engines and "
+    "bounded at sqrt(2n) terms/doc; VERDICT r7 #3), the entropy gate "
+    "compares h ROUNDED to 4dp in both engines (an unrounded "
+    "comparison could flip for a doc whose h sits within an ulp of "
+    "2.0 — ADVICE r4); the reported average sums "
     "per-doc entropies ROUNDED to 4dp as exact DECIMALs "
     "(order-independent), then divides by the count — no "
     "float-accumulation divergence.",
@@ -308,9 +323,32 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = cnt.groupBy("doc_id", "lang").agg(
-        F.sum("c").alias("n_tokens"),
-        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sum_clnc"),
+    # count-of-counts regroup + ordered fold (VERDICT r7 #3): the sum
+    # of c*ln(c) terms must not be a float SUM (its value would depend
+    # on partial-aggregation grouping, hence on the caller's
+    # shuffle-partition count). Grouping by the INTEGER count value c
+    # first keeps both heavy aggregations map-side combinable and
+    # bounds the folded list at sqrt(2*n_tokens) entries per doc
+    # (distinct positive integers summing to n), so the
+    # reassociation-free fold costs O(sqrt n), not O(n_distinct).
+    byc = cnt.groupBy("doc_id", "lang", "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    term = (F.col("m") * F.col("c")).cast("double") * F.log(
+        F.col("c").cast("double")
+    )
+    tot = byc.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("m") * F.col("c")).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("c"), term.alias("term")))
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_clnc"),
     )
     h = F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col(
         "n_tokens"
@@ -339,10 +377,24 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
       SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
     ),
+    byc AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS m
+      FROM cnt GROUP BY doc_id, c
+    ),
     tot AS (
-      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
-             SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
-      FROM cnt GROUP BY doc_id
+      SELECT doc_id,
+             CAST(SUM(m * c) AS BIGINT) AS n_tokens,
+             CAST(SUM(m) AS BIGINT) AS n_distinct,
+             -- ordered fold over the count-of-counts terms: the float
+             -- sum is reassociation-free in both engines
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(LIST({'c': c,
+                   'term': CAST(m * c AS DOUBLE)
+                           * LN(CAST(c AS DOUBLE))})),
+                 x -> x.term)),
+               (acc, x) -> acc + x) AS sum_clnc
+      FROM byc GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct,
            ROUND(LN(CAST(n_tokens AS DOUBLE))
@@ -359,7 +411,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of one division+ln per token — fewer irrational ops, "
     "less float divergence (ROUND 4dp per the registry float "
     "policy; the gate compares the ROUNDED value in both engines so "
-    "an ulp-of-2.0 doc cannot flip between them — ADVICE r4). "
+    "an ulp-of-2.0 doc cannot flip between them — ADVICE r4). The "
+    "term sum itself is an ORDERED FOLD over count-of-counts "
+    "(VERDICT r7 #3): regrouping by the integer count value c makes "
+    "the fold list sqrt(2n)-bounded while the (doc,token) and "
+    "(doc,c) aggregations stay map-side partial — the sum no longer "
+    "depends on partial-aggregation grouping or the caller's "
+    "shuffle-partition count. "
     "Shuffles (doc_id, token) pairs — doc_id in the key spreads "
     "stopword skew — then per-doc aggregation; both partial-agg "
     "collapse map-side.",
@@ -371,10 +429,28 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sum_clnc"),
+    # count-of-counts regroup + ordered fold (VERDICT r7 #3): see
+    # corpus_curation_pipeline — removes the last
+    # grouping-order-dependent float SUM while keeping the big
+    # (doc,token) aggregation map-side partial; the folded list is
+    # bounded at sqrt(2*n_tokens) entries per doc.
+    byc = cnt.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("m"))
+    term = (F.col("m") * F.col("c")).cast("double") * F.log(
+        F.col("c").cast("double")
+    )
+    tot = byc.groupBy("doc_id").agg(
+        F.sum(F.col("m") * F.col("c")).alias("n_tokens"),
+        F.sum("m").alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("c"), term.alias("term")))
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_clnc"),
     )
     h = F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col(
         "n_tokens"

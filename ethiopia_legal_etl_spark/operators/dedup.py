@@ -399,7 +399,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT component,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
-           list_sort(list(node)) AS members
+           array_to_string(list_sort(list(node)), ',') AS members
     FROM comp GROUP BY component
     """,
     doc="near-dup CLUSTER resolution, oracle-checked end-to-end: the "
@@ -428,10 +428,19 @@ def dedup_cluster_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
+    # members stringified (house rule: DRIVER_WINDOW outputs are
+    # scalar-only — the driver's pandas canonicalizer cannot sort
+    # array-typed cells; oracle mirrors with array_to_string)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("node")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
     )
 
 

@@ -159,7 +159,7 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT), 9) AS bin,
              CASE WHEN e.event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
       FROM events e JOIN bounds b ON e.event_type = b.event_type
-      WHERE b.hi > b.lo
+      WHERE b.hi > b.lo AND e.value IS NOT NULL
     ),
     counts AS (
       SELECT event_type, bin,
@@ -212,8 +212,13 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # NULL values are EXCLUDED, mirroring drift_ks_two_sample: without
+    # the filter FLOOR(NULL - lo ...) is NULL and the NULL-skipping
+    # least()/LEAST of both engines lands every missing measurement in
+    # bin 9, inflating the top decile on both sides (ADVICE r7)
     binned = (
-        ev.join(bounds, "event_type")
+        ev.where(F.col("value").isNotNull())
+        .join(bounds, "event_type")
         .where(F.col("hi") > F.col("lo"))
         .select(
             "event_type",

@@ -49,6 +49,7 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
            e.value < b.p05 AS clamped_low,
            e.value > b.p95 AS clamped_high
     FROM events e JOIN bounds b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
     """,
     doc="per-group WINSORIZATION at p5/p95 (the standard outlier "
     "clamp before feature scaling): bounds from the bit-identical "
@@ -59,7 +60,14 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     "broadcasts it), zero data-sized windows.",
 )
 def features_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL measurements are EXCLUDED (ADVICE r7): both engines'
+    # NULL-skipping least/greatest would otherwise fabricate
+    # value_wins = p05 for a missing value. The percentile bounds are
+    # NULL-skipping in both engines already, so only the row set
+    # changes.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     bounds = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("p05"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
@@ -137,7 +145,7 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
                         AS BIGINT), 9) AS bin
       FROM events e JOIN bounds b ON e.event_type = b.event_type
-      WHERE b.hi > b.lo
+      WHERE b.hi > b.lo AND e.value IS NOT NULL
     )
     SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
     FROM binned GROUP BY event_type, bin
@@ -159,8 +167,12 @@ def features_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # NULLs excluded, mirroring drift_psi_decile_bins (ADVICE r7):
+    # the NULL-skipping least() would otherwise drop every NULL value
+    # into bin 9
     binned = (
-        ev.join(bounds, "event_type")
+        ev.where(F.col("value").isNotNull())
+        .join(bounds, "event_type")
         .where(F.col("hi") > F.col("lo"))
         .select(
             "event_type",

@@ -106,19 +106,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # OUT for the six strongest never-driver-sampled entries (below).
     # Rotated-out names stay oracle-gated by
     # tests/test_full_registry_gate.py on every pytest run.
+    # r8 rotation (VERDICT r7 #2 + #4): join_left_order_counts,
+    # asof_error_prev_purchase, topk_orders_by_price,
+    # scalar_date_orders, array_ops_doc_tokens and
+    # predicates_null_in_like — all driver-green since r1 with their
+    # §2 classes keeping another in-window representative
+    # (interval_join_error_purchase for joins, window_range for
+    # ordered windows, scalar_string_part/scalar_json_events for
+    # scalars, map_ops_user_stats for array/map) — rotate OUT, along
+    # with dedup_simhash_band (4 straight rounds of rows-only
+    # `no_oracle`, zero driver-visible signal; the rows-only class
+    # keeps CI-gate + property coverage). IN: the seven strongest
+    # never-driver-sampled oracle-checked entries, listed at the end
+    # of the window. Rotated-out names stay oracle-gated by
+    # tests/test_full_registry_gate.py on every pytest run.
     "q1_pricing_summary",
-    "join_left_order_counts",
     "interval_join_error_purchase",
-    "asof_error_prev_purchase",
-    "topk_orders_by_price",
     "window_range_7day_frame",
     "rollup_lineitem_flags",
     "scalar_string_part",
-    "scalar_date_orders",
     "scalar_json_events",
-    "array_ops_doc_tokens",
     "map_ops_user_stats",
-    "predicates_null_in_like",
     # dedup / similarity / text / multimodal / pipeline
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
@@ -136,7 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full container-parse -> frame-sample -> JPEG-decode chain. The
     # rotated-out names stay oracle-gated by the full-registry CI gate.
     "multimodal_decode_audio_compressed",
-    "dedup_simhash_band",
     "embedding_near_dup_cosine",
     "multimodal_video_frame_sample",
     # r5 (final): pipeline_training_corpus (driver-checked green since
@@ -194,6 +201,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q1/rollup keep aggregates represented and the approx-distinct
     # sketch family stays under the full-registry gate.
     "multimodal_mp3_sideinfo",
+    # r8 rotation IN (VERDICT r7 #4): the strongest entries the driver
+    # has never sampled — exact two-sample KS drift, the bit-identical
+    # EWMA ordered fold, gap-based sessionization, leave-one-out
+    # target encoding, exact-moment correlation, the ordered-sequence
+    # funnel (with the r8 empty-stage NULL guard) and the Lee-et-al
+    # ExactSubstr dedup accounting (secondary-bench heavyweight, now
+    # also driver-audited for correctness).
+    "drift_ks_two_sample",
+    "ewma_user_value",
+    "sessionize_gap30_events",
+    "features_target_encode_loo",
+    "stats_corr_exact_moments",
+    "funnel_view_click_purchase",
+    "dedup_substring_fraction",
 )
 
 

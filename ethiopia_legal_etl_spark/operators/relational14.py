@@ -187,9 +187,11 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p
     )
     SELECT stage, n_users,
-           CAST(n_users AS DOUBLE)
-             / LAG(n_users, 1, n_users) OVER (ORDER BY stage)
-             AS conversion_from_prev
+           CASE WHEN stage = 1 THEN 1.0
+                WHEN LAG(n_users, 1) OVER (ORDER BY stage) > 0
+                THEN CAST(n_users AS DOUBLE)
+                     / LAG(n_users, 1) OVER (ORDER BY stage)
+                ELSE NULL END AS conversion_from_prev
     FROM stages
     """,
     doc="ORDERED-SEQUENCE funnel (view -> later click -> later "
@@ -251,17 +253,19 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # bounded: 3-row stage frame
+    # conversion is 1.0 at stage 1 by definition, NULL when the prior
+    # stage is empty (0/0 must NOT read as 100% conversion, and a
+    # blanket coalesce would also have masked the divide-by-zero NULL
+    # divergence vs the oracle — ADVICE r7)
     w = Window.orderBy("stage")
+    prev = F.lag("n_users", 1, None).over(w)
     return stages.select(
         "stage",
         "n_users",
-        (
-            F.col("n_users").cast("double")
-            / F.lag("n_users", 1, None).over(w).cast("double")
-        ).alias("conversion_from_prev"),
-    ).withColumn(
-        "conversion_from_prev",
-        F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
+        F.when(F.col("stage") == 1, F.lit(1.0))
+        .when(prev > 0, F.col("n_users").cast("double") / prev.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("conversion_from_prev"),
     )
 
 

@@ -112,7 +112,7 @@ class LegalFeedDataSource(DataSource):
         return LegalFeedStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "LegalFeedWriter":
-        return LegalFeedWriter(self.options)
+        return LegalFeedWriter(self.options, overwrite)
 
 
 class _PartCommit(WriterCommitMessage):
@@ -135,12 +135,38 @@ class LegalFeedWriter(DataSourceWriter):
     reader that requires it sees either the whole write or none of it
     (task retries leave orphan parts, which the manifest excludes —
     the same recipe as sources/shards.py). abort() records the
-    failure marker instead of half-published data."""
+    failure marker instead of half-published data.
 
-    def __init__(self, options):
+    Write modes (ADVICE r7 — the overwrite flag used to be ignored,
+    which left stale part files from a previous write visible to
+    glob-based readers and broke the 'manifest names exactly the
+    staged parts' invariant on a second write): mode('overwrite')
+    removes every pre-existing part-* file during the driver-side
+    commit — after the new _MANIFEST lands the directory holds
+    exactly the committed parts; mode('append') into a directory that
+    already holds a committed write is rejected up front (appending
+    would orphan the old manifest), while append into a fresh/empty
+    target — the common first write — is allowed."""
+
+    def __init__(self, options, overwrite: bool = False):
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("legalfeed writer requires .option('path', ...)")
+        self.overwrite = overwrite
+        if not overwrite and os.path.isdir(self.path):
+            existing = [
+                f
+                for f in os.listdir(self.path)
+                if f.startswith("part-") or f == "_MANIFEST"
+            ]
+            if existing:
+                raise ValueError(
+                    "legalfeed: append into a non-empty target would mix "
+                    f"old and new part files ({len(existing)} found in "
+                    f"{self.path}); use .mode('overwrite') or a fresh path"
+                )
 
     def write(self, iterator):
         import json
@@ -175,6 +201,11 @@ class LegalFeedWriter(DataSourceWriter):
             "parts": parts,
             "total_rows": sum(p["n_rows"] for p in parts),
         }
+        if self.overwrite:
+            staged = {p["file"] for p in parts}
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f not in staged:
+                    os.remove(os.path.join(self.path, f))
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
             json.dump(manifest, fh)
 

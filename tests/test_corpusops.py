@@ -307,16 +307,17 @@ def test_host_cap_matches_python_model(spark, sf_dir):
 
 
 def test_curation_pipeline_single_plan_shuffle_budget(spark, sf_dir):
-    """The composed pipeline must stay ONE plan with exactly the six
+    """The composed pipeline must stay ONE plan with exactly the seven
     necessary shuffles (host window, block window, doc regroup,
-    (doc,token) agg, doc agg, lang agg) — no accidental extra exchange
-    from the composition."""
+    (doc,token) agg, count-of-counts regroup for the
+    reassociation-free entropy fold, doc agg, lang agg) — no
+    accidental extra exchange from the composition."""
     from ethiopia_legal_etl_spark.operators.corpusops import (
         corpus_curation_pipeline,
     )
 
     plan = formatted_plan(corpus_curation_pipeline(spark, sf_dir))
-    assert count_data_shuffles(plan) <= 6
+    assert count_data_shuffles(plan) <= 7
 
 
 def test_curation_pipeline_is_subset_of_stagewise_run(spark, sf_dir):
@@ -894,3 +895,33 @@ def test_span_corruption_mask_density_and_runs(spark, sf_dir):
         total_tokens += n
         total_masked += sum(mask)
     assert abs(total_masked / total_tokens - 0.15) < 0.02
+
+
+def test_token_entropy_stable_under_shuffle_partition_count(spark, sf_dir):
+    """VERDICT r7 #3 pin: the c*ln(c) term sum is an ordered fold over
+    count-of-counts, so the emitted doubles must be BIT-IDENTICAL no
+    matter how partial aggregation groups the terms — probed by
+    running the same builders under 1, 7 and 200 shuffle partitions.
+    (Before the fold, a plain float SUM made sum_clnc depend on the
+    caller's shuffle-partition count.)"""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for name in ("text_token_entropy", "corpus_curation_pipeline"):
+            per_conf = []
+            for n in ("1", "7", "200"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                rows = sorted(
+                    repr(tuple(r)) for r in qs[name].builder(spark, sf_dir).collect()
+                )
+                per_conf.append(rows)
+            assert per_conf[0] == per_conf[1] == per_conf[2], (
+                f"{name} diverged across shuffle-partition counts"
+            )
+            results[name] = per_conf[0]
+        assert all(len(v) > 0 for v in results.values())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

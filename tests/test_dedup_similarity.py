@@ -575,7 +575,10 @@ def test_cluster_jaccard_partitions_edge_nodes(spark, sf_dir):
     assert set(got) == set(want)
     seen = set()
     for comp, r in got.items():
-        members = list(r["members"])
+        # members is a comma-joined STRING (house rule: DRIVER_WINDOW
+        # outputs are scalar-only — r7 postmortem)
+        assert isinstance(r["members"], str)
+        members = [int(x) for x in r["members"].split(",")]
         assert members == sorted(members)
         assert comp == min(members)
         assert r["n_docs"] == len(members)

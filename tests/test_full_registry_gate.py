@@ -47,6 +47,51 @@ def test_checker_rejects_driver_unsafe_oracle_types():
     assert check_oracle.unsafe_oracle_types(rel) == []
 
 
+def test_checker_rejects_nonscalar_window_output(spark):
+    """r7 postmortem: dedup_cluster_jaccard emitted an array<bigint>
+    column and the DRIVER's pandas canonicalizer crashed
+    (TypeError: unhashable numpy.ndarray) while our replica's
+    cell-stringification passed — the replica was LAXER than the
+    driver. The checker now flags non-scalar top-level columns from
+    the Spark SCHEMA, so a window entry can never again pass locally
+    and err externally."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        "id",
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("mp"),
+        F.struct(F.lit(1).alias("a")).alias("st"),
+    )
+    bad = check_oracle.nonscalar_spark_columns(df.schema)
+    assert [c for c, _ in bad] == ["arr", "mp", "st"]
+    ok = df.select("id", F.array_join(F.col("arr").cast("array<string>"), ",").alias("arr"))
+    assert check_oracle.nonscalar_spark_columns(ok.schema) == []
+
+
+def test_driver_window_entries_emit_scalar_columns_only(spark, sf_dir):
+    """Static sweep of every DRIVER_WINDOW entry's output schema —
+    cheap at sf0.001 and closes the class independently of whether
+    the full oracle run reaches the entry."""
+    from ethiopia_legal_etl_spark.operators.registry import (
+        DRIVER_WINDOW,
+        all_queries,
+    )
+
+    qs = all_queries()
+    offenders = {}
+    for name in DRIVER_WINDOW:
+        bad = check_oracle.nonscalar_spark_columns(
+            qs[name].builder(spark, sf_dir).schema
+        )
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"DRIVER_WINDOW entries emit non-scalar columns (the driver's "
+        f"canonicalizer will crash): {offenders}"
+    )
+
+
 def test_full_registry_matches_oracles(spark, sf_dir):
     from ethiopia_legal_etl_spark.operators.registry import DRIVER_WINDOW, all_queries
 

@@ -290,8 +290,12 @@ SHUFFLE_BUDGET = {
     "dedup_paragraph_exact": 2,
     "corpus_host_cap": 1,
     "chunk_overlap_windows": 0,
-    "text_token_entropy": 2,
-    "corpus_curation_pipeline": 6,
+    # +1 each in r8: the count-of-counts regroup for the
+    # reassociation-free entropy fold (VERDICT r7 #3) — the extra
+    # exchange carries (doc, c, m) tuples, sqrt(n_tokens) rows/doc,
+    # negligible next to the (doc, token) shuffle it follows
+    "text_token_entropy": 3,
+    "corpus_curation_pipeline": 7,
     "corpus_vocab_oov": 3,
     "embedding_random_projection": 0,
     "embedding_int8_quantize": 0,

@@ -143,3 +143,51 @@ def test_legalfeed_custom_writer_roundtrip_with_manifest(spark, sf_dir, tmp_path
     orig = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
     got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
     assert got == orig
+
+
+def test_legalfeed_writer_overwrite_and_append_modes(spark, sf_dir, tmp_path):
+    """ADVICE r7: the writer used to ignore the overwrite flag, so a
+    second write left stale part files that glob readers would mix
+    with the new ones. Now overwrite removes pre-existing parts at
+    commit, and append into a committed target is rejected."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.sources.pydatasource import (
+        LegalFeedDataSource,
+    )
+
+    spark.dataSource.register(LegalFeedDataSource)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "feed_out")
+    first = docs.where(F.col("doc_id") < 60).repartition(4)
+    first.write.format("legalfeed").option("path", out).mode("append").save()
+    old_parts = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert old_parts
+
+    # append into a committed target: rejected up front
+    with pytest.raises(Exception, match="non-empty target"):
+        first.write.format("legalfeed").option("path", out).mode(
+            "append"
+        ).save()
+
+    # overwrite: directory ends up holding EXACTLY the new parts
+    second = docs.where(F.col("doc_id") < 25).repartition(2)
+    second.write.format("legalfeed").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["total_rows"] == 25
+    listed = {p["file"] for p in manifest["parts"]}
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert listed == on_disk
+    assert not (old_parts & on_disk)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/part-*.jsonl"
+    )
+    assert back.count() == 25

@@ -15,7 +15,10 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from ethiopia_legal_etl_spark.operators.registry import all_queries  # noqa: E402
+from ethiopia_legal_etl_spark.operators.registry import (  # noqa: E402
+    DRIVER_WINDOW,
+    all_queries,
+)
 from ethiopia_legal_etl_spark.schemas import TABLE_NAMES  # noqa: E402
 from ethiopia_legal_etl_spark.session import get_spark  # noqa: E402
 
@@ -56,6 +59,25 @@ def unsafe_oracle_types(rel) -> list[tuple[str, str]]:
     ]
 
 
+def nonscalar_spark_columns(schema) -> list[tuple[str, str]]:
+    """(column, type) pairs whose Spark type the DRIVER's canonicalizer
+    cannot handle.  The driver sorts the collected result with pandas
+    ``sort_values`` over object columns, which raises
+    ``TypeError: unhashable type: 'numpy.ndarray'`` on array cells
+    (r7 postmortem: dedup_cluster_jaccard recorded ``err`` on a
+    value-correct result).  Our own normalize_cell() stringifies
+    anything, i.e. the replica is LAXER than the driver — so window
+    entries must be gated on SCHEMA, not on whether the replica's
+    hash happens to match."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -88,6 +110,19 @@ def run(sf_dir: str, only: list[str], spark=None, count_warns: bool = False):
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
+        if name in DRIVER_WINDOW:
+            # driver-canon gate: the external harness pandas-sorts the
+            # collected frame, which crashes on array/map/struct cells
+            # even when the values are correct (r7: dedup_cluster_jaccard)
+            bad_cols = nonscalar_spark_columns(sdf.schema)
+            if bad_cols:
+                print(
+                    f"FAIL {name}: DRIVER_WINDOW entry emits non-scalar "
+                    f"columns {bad_cols} (stringify with array_join/"
+                    f"concat_ws; oracle mirrors with array_to_string)"
+                )
+                failures += 1
+                continue
         if q.oracle is None:
             print(f"rows-only {name}: {len(s_rows)} rows")
             continue
