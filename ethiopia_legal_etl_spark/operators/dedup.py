@@ -575,13 +575,25 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matches >= k, which the fixed-k windows cover positionally: "
     "any duplicated span of >= 8 tokens makes all its windows "
     "duplicated). Plan: windows via transform(sequence)+slice inside "
-    "codegen (no Python), one shuffle to count grams, one join back "
-    "keyed on the gram, one per-doc aggregate. 100 TB: shuffle "
-    "8-byte xxhash64 digests of the windows instead of the strings "
-    "(the dedup_exact_hash pattern; collision rate ~n^2/2^64 "
-    "documented) and salt the top-frequency grams — kept as the "
-    "string form here because the oracle must compute identical "
-    "keys.",
+    "codegen (no Python), then every shuffle carries the 8-byte "
+    "xxhash64 DIGEST of the window, never the 8-token string "
+    "(VERDICT r7 #5; the dedup_exact_hash pattern) — the count "
+    "groupBy and the join back are both keyed on the digest, so at "
+    "100 TB the gram shuffle is ~8 bytes/row + doc_id instead of "
+    "~50-100 bytes of token text. A digest collision would merge two "
+    "distinct grams' counts (never drop a window): P[any collision] "
+    "~ G^2/2^65, ~3e-7 at G = 10^9 distinct grams and still <0.3 at "
+    "the full 10^13-gram/100 TB scale for this 0/1-threshold use "
+    "(c>=2), where a merge only matters if BOTH merged grams were "
+    "singletons. The oracle counts the raw strings — identical "
+    "results absent collision, which the sf gates confirm. Gram-key "
+    "SKEW (a boilerplate sentence repeated across millions of docs "
+    "makes one digest hot): the count groupBy collapses map-side "
+    "(<= one partial row per partition per key), and the join back "
+    "is an SMJ whose hot key is split at runtime by the AQE skew "
+    "join (skewedJoin probed in SCALING.md on a planted-skew "
+    "corpus) — no static salting needed, and the per-doc accounting "
+    "is untouched by the split.",
 )
 def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -591,17 +603,23 @@ def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.size(toks) >= k)
         .select(
             "doc_id",
+            # hash INSIDE the projection that owns the explode: the
+            # string gram exists only within whole-stage codegen of
+            # the scan stage — every exchange downstream carries the
+            # 8-byte digest
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i, k))
+                    ),
                 )
-            ).alias("gram"),
+            ).alias("g"),
         )
     )
-    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     return (
-        grams.join(cnt, "gram")
+        grams.join(cnt, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

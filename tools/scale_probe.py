@@ -1050,6 +1050,117 @@ def textir_probe(spark, scratch: str) -> list[dict]:
 
 
 
+def substr_skew_probe(spark, scratch: str) -> list[dict]:
+    """Planted gram-key skew for the ExactSubstr accounting
+    (dedup_substring_fraction; VERDICT r7 #5): a fixed 16-token
+    boilerplate sentence is embedded in HALF of 200k docs, so each of
+    its 9 8-token windows is a hot key carrying 100k positions. The
+    probe measures the two scale claims in the operator's docstring:
+    (1) digest-keyed shuffles (8-byte xxhash64) vs the naive
+    string-keyed shape, and (2) the AQE skew join splitting the hot
+    SMJ partitions at runtime vs AQE off. The join is hinted to SMJ
+    because at 100 TB the gram-count side is far beyond broadcast."""
+    k = 8
+    n_docs = 200_000
+    boiler = " ".join(f"boil{j}" for j in range(16))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(23)),
+                        lambda j: F.concat(
+                            F.lit("u"), F.col("id"), F.lit("x"), j
+                        ),
+                    ),
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda j: F.concat(F.lit("v"), F.col("id"), F.lit("x"), j),
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    path = f"{scratch}/substr_skew.parquet"
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path)
+
+    def frac(use_digest: bool):
+        toks = F.split(F.col("text"), " ")
+
+        def gram(i):
+            s = F.concat_ws(" ", F.slice(toks, i, k))
+            return F.xxhash64(s) if use_digest else s
+
+        grams = d.where(F.size(toks) >= k).select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), gram)
+            ).alias("g"),
+        )
+        cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        return (
+            grams.join(cnt.hint("merge"), "g")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias(
+                    "n_dup"
+                ),
+            )
+        )
+
+    # correctness spot-check on the planted corpus: every even doc has
+    # exactly the 9 boilerplate windows duplicated, odd docs none
+    got = {r["doc_id"]: r for r in frac(True).where(F.col("doc_id") < 4).collect()}
+    assert got[0]["n_dup"] == k + 1 and got[1]["n_dup"] == 0, got
+
+    out = []
+    for aqe in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        if aqe == "true":
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "4m",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m"
+            )
+        for use_digest in (True, False):
+            run_noop(frac(use_digest))  # warm
+            sec = timed(lambda: run_noop(frac(use_digest)))
+            out.append(
+                {
+                    "exp": "substr_gram_skew",
+                    "keys": "digest8B" if use_digest else "string",
+                    "aqe_skew": aqe,
+                    "sec": sec,
+                }
+            )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1078,6 +1189,8 @@ def main() -> None:
                     help="unigram-LM train/encode scaling to 30x docs, distinct-word growth (~3 min)")
     ap.add_argument("--textir", action="store_true",
                     help="BM25/PMI/backoff-LM/winnowing scaling to 30x docs (~3 min)")
+    ap.add_argument("--substr-skew", action="store_true",
+                    help="planted gram-skew ExactSubstr probe: digest vs string keys, AQE skew on/off (~2 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -1134,6 +1247,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.textir:
             for r in textir_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.substr_skew:
+            for r in substr_skew_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
