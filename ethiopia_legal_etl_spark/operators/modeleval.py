@@ -248,3 +248,88 @@ def agreement_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * n - chance).cast("double")
         ).alias("kappa"),
     )
+
+
+@register(
+    "model_ece_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT LEAST(n_chars, 1000) AS cm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(cm / 100) AS BIGINT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(pos) AS BIGINT) AS sp,
+             CAST(SUM(cm) AS BIGINT) AS sc,
+             CAST(SUM((cm - 1000 * pos) * (cm - 1000 * pos)) AS BIGINT)
+               AS ssq
+      FROM base GROUP BY bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(SUM(ABS(1000 * sp - sc)) AS DOUBLE)
+             / CAST(1000 * SUM(n_b) AS DOUBLE) AS ece,
+           MAX(CAST(ABS(1000 * sp - sc) AS DOUBLE)
+               / CAST(1000 * n_b AS DOUBLE)) AS mce,
+           CAST(SUM(ssq) AS DOUBLE)
+             / CAST(1000000 * SUM(n_b) AS DOUBLE) AS brier
+    FROM bins
+    """,
+    doc="EXPECTED CALIBRATION ERROR of a [0,1]-confidence scorer "
+    "(Naeini et al. 2015 AAAI; the standard reliability summary for "
+    "a quality/filter model before its scores gate a corpus): "
+    "10 equal-width confidence bins, ECE = sum_b (n_b/N)|acc_b - "
+    "conf_b|, plus MCE (max bin gap) and the Brier score. The proxy "
+    "confidence is LEAST(n_chars,1000)/1000 against the lang='en' "
+    "label (the model_auc_exact pairing). EXACT-ARITHMETIC form: "
+    "confidence is carried as integer millis, so each bin gap "
+    "numerator |1000*sum(pos) - sum(conf_milli)| and the Brier "
+    "numerator sum((conf_milli - 1000*pos)^2) are exact BIGINTs; "
+    "ECE/Brier are ONE final IEEE division each and MCE is a MAX "
+    "over per-bin single divisions of agreed integers — raw-double "
+    "identical cross-engine, no rounding policy needed. NULL "
+    "n_chars/lang rows are excluded (the ADVICE r7 NULL-binning "
+    "discipline). Plan: one map-side-combined aggregate to 10 bin "
+    "rows, then a 10-row aggregate — no window, no join; at 100 TB "
+    "this is a single streaming pass.",
+)
+def model_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        F.least(F.col("n_chars"), F.lit(1000)).cast("long").alias("cm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
+            "pos"
+        ),
+    )
+    dev = F.col("cm") - 1000 * F.col("pos")
+    bins = base.groupBy(
+        F.least(F.floor(F.col("cm") / 100), F.lit(9)).cast("long").alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("pos").alias("sp"),
+        F.sum("cm").alias("sc"),
+        F.sum(dev * dev).alias("ssq"),
+    )
+    gap_num = F.abs(1000 * F.col("sp") - F.col("sc"))
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_b").alias("n"),
+        (
+            F.sum(gap_num).cast("double")
+            / (1000 * F.sum("n_b")).cast("double")
+        ).alias("ece"),
+        F.max(
+            gap_num.cast("double") / (1000 * F.col("n_b")).cast("double")
+        ).alias("mce"),
+        (
+            F.sum("ssq").cast("double")
+            / (1000000 * F.sum("n_b")).cast("double")
+        ).alias("brier"),
+    )

@@ -247,3 +247,75 @@ def expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CASE
+               WHEN c_acctbal IS NULL THEN NULL
+               WHEN c_acctbal < 0 THEN 'neg'
+               WHEN c_acctbal < 5000 THEN 'mid'
+               ELSE 'high' END) AS BIGINT) AS l_div
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_suppressed,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS suppressed_frac
+    FROM cls
+    """,
+    doc="K-ANONYMITY / L-DIVERSITY audit of a release candidate "
+    "(Sweeney 2002; Machanavajjhala et al. 2007) — the privacy gate "
+    "a training-data pipeline runs before shipping a table whose "
+    "quasi-identifiers could re-identify people: group by the "
+    "QI tuple (c_nationkey, c_mktsegment), k-anonymity = the "
+    "smallest equivalence-class size, l-diversity = the least "
+    "number of distinct sensitive values (acctbal bucket) inside "
+    "any class, plus the row count and fraction that a "
+    "suppress-classes-below-k=5 policy would redact. All exact "
+    "integers + one final division. NULL QI values form their own "
+    "class in both engines (GROUP BY groups NULLs together) and "
+    "NULL sensitive values are skipped by COUNT(DISTINCT) in both — "
+    "no divergence under the null mirror. Plan: one "
+    "map-side-combined aggregate to |QI classes| rows (the "
+    "distinct-sensitive count rides the same shuffle via EXPAND), "
+    "then a tiny class-level reduce; the table itself never "
+    "re-shuffles. At 100 TB with a high-cardinality QI the class "
+    "table is still orders of magnitude smaller than the data, and "
+    "the suppression JOIN-BACK (not emitted here) would be an "
+    "equi-join on the QI key against the small flagged-class list — "
+    "broadcast under AQE.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # NULL balance stays NULL (skipped by the distinct count) rather
+    # than falling through the CASE into 'high' — the ADVICE r7
+    # no-fabrication discipline
+    sens = (
+        F.when(F.col("c_acctbal").isNull(), F.lit(None))
+        .when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(sens).alias("l_div"),
+    )
+    supp = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+        supp.alias("n_suppressed"),
+        (supp.cast("double") / F.sum("n").cast("double")).alias(
+            "suppressed_frac"
+        ),
+    )

@@ -818,3 +818,71 @@ def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         (F.col("neg_lang") == F.col("anchor_lang")).alias("hard_negative"),
     )
+
+
+@register(
+    "sample_weighted_aes",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey,
+             LN((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 12)) AS BIGINT) + 1)
+                / 281474976710656.0) / o_totalprice AS aes_key
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY aes_key DESC, o_orderkey) AS rk
+      FROM keyed
+    )
+    SELECT o_orderpriority, o_orderkey, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="WEIGHTED sampling WITHOUT replacement, k=5 per group "
+    "(Efraimidis & Spirakis 2006 'Weighted random sampling with a "
+    "reservoir', the A-ES scheme): each item draws u in (0,1] and "
+    "the k items with the largest u^(1/w) win — the one-pass, "
+    "merge-able way to take a weight-proportional sample of a 100 TB "
+    "corpus (weight = quality score, dollars, token count...). "
+    "Engine-portable determinism: u = (md5_48(o_orderkey)+1)/2^48 "
+    "(the registry's conv(substr(md5))==='0x'||substr cast recipe — "
+    "an exact dyadic rational, identical doubles both engines), and "
+    "the rank key is the MONOTONE transform ln(u)/w of u^(1/w) "
+    "(strictly increasing in u for w>0, so the top-k set is "
+    "identical while replacing the cross-engine-risky pow() with "
+    "the already-probed ln + one division). Ties are impossible "
+    "short of a 48-bit md5 collision inside one group, and "
+    "o_orderkey breaks even those. The rank key stays internal "
+    "(irrational — emitting it would need a rounding policy); the "
+    "output is the exact (group, item, rank) selection. Plan: one "
+    "per-group window over md5-keyed rows; at 100 TB the window is "
+    "replaced by the same expression under a groupBy-top-k "
+    "(TakeOrderedAndProject per group) — the selection function is "
+    "associative and merge-able per the paper, which is the point "
+    "of A-ES over rejection sampling.",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    u48 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    aes_key = F.log((u48 + 1) / F.lit(281474976710656.0)) / F.col(
+        "o_totalprice"
+    )
+    keyed = orders.where(F.col("o_totalprice") > 0).select(
+        "o_orderpriority", "o_orderkey", aes_key.alias("aes_key")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("aes_key").desc(), "o_orderkey"
+    )
+    return (
+        keyed.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )

@@ -677,3 +677,71 @@ def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("logscore"),
     )
+
+
+@register(
+    "lm_good_turing_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      WHERE text IS NOT NULL AND text <> ''
+    ),
+    cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    ),
+    fof AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM cnt GROUP BY c
+    )
+    SELECT f.c,
+           f.n_types,
+           CAST(COALESCE(g.n_types, 0) AS BIGINT) AS n_types_next,
+           CASE WHEN g.n_types IS NOT NULL
+                THEN CAST((f.c + 1) * g.n_types AS DOUBLE)
+                     / CAST(f.n_types AS DOUBLE)
+                ELSE NULL END AS gt_count
+    FROM fof f LEFT JOIN fof g ON g.c = f.c + 1
+    """,
+    doc="GOOD-TURING frequency-of-frequencies over the corpus "
+    "vocabulary (Good 1953; Gale & Sampson 1995 'Good-Turing "
+    "frequency estimation without tears') — the count-of-counts "
+    "table N_c = #types seen exactly c times and the adjusted count "
+    "c* = (c+1) N_{c+1} / N_c, the classical smoothing that "
+    "reallocates mass to unseen events (P0 = N_1/N follows from row "
+    "c=1); the same count-of-counts shape the r8 entropy fold uses. "
+    "c* is one IEEE division of exact BIGINTs (raw-double "
+    "identical); rows where N_{c+1} = 0 (a GAP in the count "
+    "spectrum, where vanilla GT is undefined and Gale-Sampson "
+    "switches to the log-log smooth) emit NULL, not a fabricated "
+    "zero. Plan: (token) count shuffle with map-side combine, then "
+    "a count-of-counts aggregate to O(sqrt(corpus-tokens)) rows and "
+    "a self-join on c+1 over that tiny frame — broadcast under AQE; "
+    "the corpus streams through once.",
+)
+def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = cnt.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    nxt = fof.select(
+        (F.col("c") - 1).alias("c"), F.col("n_types").alias("n_next")
+    )
+    return (
+        fof.join(nxt, "c", "left")
+        .select(
+            "c",
+            "n_types",
+            F.coalesce(F.col("n_next"), F.lit(0)).cast("long").alias(
+                "n_types_next"
+            ),
+            F.when(
+                F.col("n_next").isNotNull(),
+                ((F.col("c") + 1) * F.col("n_next")).cast("double")
+                / F.col("n_types").cast("double"),
+            ).alias("gt_count"),
+        )
+    )

@@ -65,3 +65,39 @@ def test_kappa_matches_textbook_formula(spark, sf_dir):
     # would be 1; here the two labelers must at least agree above chance
     # on this corpus (the heuristic mostly fires on English word soup)
     assert r["kappa"] > -1.0
+
+
+def test_ece_calibration_matches_python_replica(spark, sf_dir):
+    """Independent replica: ECE/MCE/Brier recomputed in pure Python
+    from the parquet — the Spark result must match exactly (the
+    operator's arithmetic is integer until one final division)."""
+    from ethiopia_legal_etl_spark.operators.modeleval import (
+        model_ece_calibration,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    bins = {}
+    for r in rows:
+        if r["n_chars"] is None or r["lang"] is None:
+            continue
+        cm = min(r["n_chars"], 1000)
+        pos = 1 if r["lang"] == "en" else 0
+        b = min(cm // 100, 9)
+        n, sp, sc, ssq = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (n + 1, sp + pos, sc + cm, ssq + (cm - 1000 * pos) ** 2)
+    n_tot = sum(v[0] for v in bins.values())
+    ece = sum(abs(1000 * sp - sc) for _, sp, sc, _ in bins.values()) / (
+        1000 * n_tot
+    )
+    mce = max(
+        abs(1000 * sp - sc) / (1000 * n) for n, sp, sc, _ in bins.values()
+    )
+    brier = sum(v[3] for v in bins.values()) / (1000000 * n_tot)
+
+    got = model_ece_calibration(spark, sf_dir).collect()[0]
+    assert got["n_bins"] == len(bins)
+    assert got["n"] == n_tot
+    assert got["ece"] == ece
+    assert got["mce"] == mce
+    assert got["brier"] == brier
+    assert 0.0 <= got["ece"] <= got["mce"] <= 1.0

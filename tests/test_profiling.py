@@ -53,3 +53,35 @@ def test_expectations_violation_counts_are_exact(spark, sf_dir):
     # passed bit is always consistent with the count
     for r in res.values():
         assert r["passed"] is (r["n_violations"] == 0)
+
+
+def test_k_anonymity_matches_python_replica(spark, sf_dir):
+    """Independent replica: equivalence classes, k, l and suppression
+    accounting recomputed in pure Python from the parquet."""
+    from ethiopia_legal_etl_spark.operators.profiling import (
+        privacy_k_anonymity,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    cls: dict = {}
+    for r in rows:
+        qi = (r["c_nationkey"], r["c_mktsegment"])
+        b = r["c_acctbal"]
+        sens = (
+            None
+            if b is None
+            else ("neg" if b < 0 else "mid" if b < 5000 else "high")
+        )
+        n, svals = cls.get(qi, (0, set()))
+        if sens is not None:
+            svals = svals | {sens}
+        cls[qi] = (n + 1, svals)
+    n_suppressed = sum(n for n, _ in cls.values() if n < 5)
+    total = sum(n for n, _ in cls.values())
+
+    got = privacy_k_anonymity(spark, sf_dir).collect()[0]
+    assert got["n_classes"] == len(cls)
+    assert got["k_anonymity"] == min(n for n, _ in cls.values())
+    assert got["l_diversity"] == min(len(s) for _, s in cls.values())
+    assert got["n_suppressed"] == n_suppressed
+    assert got["suppressed_frac"] == n_suppressed / total

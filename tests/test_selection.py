@@ -383,3 +383,56 @@ def test_negative_sampling_deterministic_and_collision_free(spark, sf_dir):
     # both hard and easy negatives occur (multilingual corpus)
     flags = {r["hard_negative"] for r in rows}
     assert flags == {True, False}
+
+
+def test_weighted_aes_matches_python_replica_and_weight_bias(spark, sf_dir):
+    """Independent replica of the A-ES selection: ln(u)/w keys
+    recomputed with hashlib md5 in pure Python must pick the same
+    top-5 per group in the same order. Also checks the scheme is
+    actually weight-biased: the sampled mean weight exceeds the group
+    mean (heavier items are proportionally more likely)."""
+    import hashlib
+    import math
+
+    from ethiopia_legal_etl_spark.operators.selection import (
+        sample_weighted_aes,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    by_grp: dict = {}
+    weights: dict = {}
+    for r in rows:
+        if r["o_totalprice"] is None or not r["o_totalprice"] > 0:
+            continue
+        u48 = int(
+            hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:12], 16
+        )
+        key = math.log((u48 + 1) / 2.0**48) / r["o_totalprice"]
+        by_grp.setdefault(r["o_orderpriority"], []).append(
+            (key, r["o_orderkey"])
+        )
+        weights.setdefault(r["o_orderpriority"], []).append(
+            (r["o_orderkey"], r["o_totalprice"])
+        )
+    want = {}
+    for g, items in by_grp.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (_, okey) in enumerate(items[:5], start=1):
+            want[(g, okey)] = rk
+
+    got = {
+        (r["o_orderpriority"], r["o_orderkey"]): r["rk"]
+        for r in sample_weighted_aes(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # weight bias: mean weight of the sample > mean weight of the group
+    # — a k=5 sample is noisy, so require the MAJORITY of groups to
+    # show the bias rather than every one
+    n_biased = 0
+    for g, wl in weights.items():
+        grp_mean = sum(w for _, w in wl) / len(wl)
+        sampled = [w for okey, w in wl if (g, okey) in got]
+        if sum(sampled) / len(sampled) > grp_mean:
+            n_biased += 1
+    assert n_biased * 2 > len(weights), "A-ES sample is not weight-biased"

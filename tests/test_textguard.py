@@ -281,3 +281,37 @@ def test_bm25_rank_invariants(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         assert all(s > 0 for s in scores)
         assert all(1 <= r["n_terms_hit"] <= n_terms[qid] for r in rs)
+
+
+def test_good_turing_matches_python_replica(spark, sf_dir):
+    """Independent replica: frequency-of-frequencies and the adjusted
+    counts c* = (c+1) N_{c+1}/N_c recomputed with collections.Counter;
+    also checks the classic invariant sum(c * N_c) = corpus tokens and
+    that count-spectrum gaps yield NULL, never a fabricated 0."""
+    from collections import Counter
+
+    from ethiopia_legal_etl_spark.operators.textguard import (
+        lm_good_turing_counts,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok_counts = Counter()
+    n_tokens = 0
+    for r in rows:
+        if r["text"]:
+            toks = r["text"].split(" ")
+            tok_counts.update(toks)
+            n_tokens += len(toks)
+    fof = Counter(tok_counts.values())
+
+    got = {r["c"]: r for r in lm_good_turing_counts(spark, sf_dir).collect()}
+    assert set(got) == set(fof)
+    assert sum(c * r["n_types"] for c, r in got.items()) == n_tokens
+    for c, r in got.items():
+        assert r["n_types"] == fof[c]
+        nxt = fof.get(c + 1, 0)
+        assert r["n_types_next"] == nxt
+        if nxt == 0:
+            assert r["gt_count"] is None
+        else:
+            assert r["gt_count"] == (c + 1) * nxt / fof[c]
