@@ -112,10 +112,18 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "remaining scope has narrowed every round: WAV/BMP (r4), JPEG/PNG/"
     "MJPEG-AVI/G.711/IMA (r5), MPEG-1 audio Layer I+II (r6), and MP3 "
     "Layer III frame syntax + reservoir + scalefactors (r7, "
-    "multimodal_mp3_sideinfo) are all REAL decoders now; what remains "
-    "stubbed is perceptual spectral decode (MP3 Table B.7 Huffman, "
-    "H.264) — see functions/mp3.py for the specific no-ground-truth "
-    "blocker.",
+    "multimodal_mp3_sideinfo) are all REAL decoders now. FINAL scope "
+    "(r8, VERDICT r7 #7): the two remaining decodes — MP3 spectral "
+    "Huffman (ISO 11172-3 Table B.7, ~2000 entries) and H.264 — stay "
+    "stubbed PERMANENTLY as a measured rejection, not a TODO: the "
+    "container has no ground truth (no compliance bitstream, no "
+    "independent decoder), structural self-checks (prefix-freedom, "
+    "Kraft equality) cannot catch a wrong-but-valid transcription, "
+    "and a mirror-encoder round trip is self-consistent with ANY "
+    "prefix-free table — so a from-memory transcription could ship "
+    "silently wrong values, which this registry's value-exact "
+    "discipline exists to prevent. Frames carrying spectral data "
+    "reject with a ValueError naming the table.",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_media_metadata(media_table(spark, sf_dir))
