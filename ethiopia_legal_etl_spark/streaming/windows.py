@@ -634,3 +634,169 @@ def streaming_sessionize_gap(events_stream: DataFrame, gap_minutes: int = 30) ->
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- streaming drift monitor (PSI vs a static reference) ----------
+
+def drift_bin(col: str = "value"):
+    """Fixed-edge decile bin over [0, 500): width-50 bins, top-clamped.
+
+    FIXED edges, not data-derived min/max (drift_psi_decile_bins'
+    binning) — a streaming monitor cannot compute a global min/max
+    before the stream starts, so production drift monitors pin the
+    edges when the reference window is frozen."""
+    return F.least(F.floor(F.col(col) / 50), F.lit(9)).cast("long")
+
+
+def psi_from_bin_counts(cur: DataFrame, ref: DataFrame) -> DataFrame:
+    """Shared PSI finalizer over per-window bin counts.
+
+    cur: (w: struct<start,end>, bin, cur_c) — one row per populated
+    bin per window (the stateful half, batch or streaming);
+    ref: (bin, ref_c, ref_n) — the frozen reference distribution.
+    Emits (day, n_bins, psi) with the ordered-fold float discipline
+    (drift_psi_decile_bins): the <= 10 PSI terms fold in bin order,
+    so the sum is reassociation-free on any partitioning. Bins
+    missing from either side are excluded (standard zero-cell rule).
+
+    cur_n comes from a window over the SAME frame, not a
+    groupBy+self-join: a self-join on a watermark-tagged memory-sink
+    view trips Catalyst's conflicting-reference check
+    ([INTERNAL_ERROR] on `w#N-T...ms`), and the window also saves a
+    join — one w-partitioned exchange feeds both the total and the
+    final per-window fold.
+    """
+    from pyspark.sql import Window
+
+    cur = cur.withColumn(
+        "cur_n", F.sum("cur_c").over(Window.partitionBy("w"))
+    )
+    p_c = F.col("cur_c").cast("double") / F.col("cur_n")
+    p_r = F.col("ref_c").cast("double") / F.col("ref_n")
+    term = (p_c - p_r) * F.log(p_c / p_r)
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bin"), term.alias("term")))
+            ),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cur.join(F.broadcast(ref), "bin")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            (F.round(folded, 6) + 0).alias("psi"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_bins",
+            "psi",
+        )
+    )
+
+
+def reference_bin_distribution(events: DataFrame) -> DataFrame:
+    """Frozen reference: global fixed-edge bin counts + total.
+
+    In production this is computed ONCE from the reference window and
+    broadcast into every microbatch (a static DataFrame in a
+    stream-static join)."""
+    from pyspark.sql import Window
+
+    ref = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(drift_bin().alias("bin"))
+        .agg(F.count(F.lit(1)).alias("ref_c"))
+    )
+    # bounded: <=10-row bin frame (fixed-edge deciles), global window
+    # is over the tiny aggregate, never the data
+    return ref.withColumn(
+        "ref_n", F.sum("ref_c").over(Window.partitionBy())
+    )
+
+
+def streaming_drift_bin_counts(events_stream: DataFrame) -> DataFrame:
+    """Stateful half of the streaming drift monitor: per-day tumbling
+    event-time window x fixed-edge bin counts, watermark-bounded
+    state. The PSI fold itself is stateless per closed window and
+    runs downstream (psi_from_bin_counts over the sink — the
+    gold-table pattern), keeping the streaming query a single
+    windowed aggregation in append mode."""
+    return (
+        as_event_time(events_stream)
+        .where(F.col("value").isNotNull())
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), drift_bin().alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cur_c"))
+    )
+
+
+@register(
+    "stream_drift_psi_twin",
+    oracle="""
+    WITH base AS (
+      SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
+             time_bucket(INTERVAL 1 DAY, ts) AS day
+      FROM events WHERE value IS NOT NULL
+    ),
+    ref AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_c FROM base GROUP BY bin
+    ),
+    reft AS (SELECT CAST(SUM(ref_c) AS BIGINT) AS ref_n FROM ref),
+    cur AS (
+      SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS cur_c
+      FROM base GROUP BY day, bin
+    ),
+    curt AS (
+      SELECT day, CAST(SUM(cur_c) AS BIGINT) AS cur_n
+      FROM cur GROUP BY day
+    ),
+    terms AS (
+      SELECT c.day, c.bin,
+             (CAST(c.cur_c AS DOUBLE) / t.cur_n
+              - CAST(r.ref_c AS DOUBLE) / s.ref_n)
+             * LN((CAST(c.cur_c AS DOUBLE) / t.cur_n)
+                  / (CAST(r.ref_c AS DOUBLE) / s.ref_n)) AS term
+      FROM cur c
+      JOIN curt t ON c.day = t.day
+      JOIN ref r ON c.bin = r.bin
+      CROSS JOIN reft s
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(list_reduce(
+             list_prepend(0.0, list_transform(
+               list_sort(LIST({'bin': bin, 'term': term})),
+               x -> x.term)),
+             (acc, x) -> acc + x), 6) + 0 AS psi
+    FROM terms GROUP BY day
+    """,
+    doc="STREAMING DRIFT MONITOR, batch twin: per-day PSI of each "
+    "tumbling window's value distribution against the frozen "
+    "corpus-wide reference — the production shape for catching "
+    "feature drift in a live event stream (reference frozen at "
+    "deploy, fixed bin edges because a stream can't see a global "
+    "min/max, per-window PSI as each watermark closes a day). "
+    "Composition: the stateful half is ONE windowed aggregation "
+    "(streaming_drift_bin_counts — append-mode, watermark-bounded "
+    "state of |open windows| x 10 bins); the PSI fold is stateless "
+    "per closed window (psi_from_bin_counts, shared verbatim between "
+    "this batch twin and the true-stream test) with the "
+    "drift_psi_decile_bins ordered-fold float discipline. The "
+    "reference is a broadcast 10-row static frame — a stream-static "
+    "join at 100 TB. True-stream equivalence is pinned by "
+    "tests/test_streaming.py (availableNow drain == this twin).",
+)
+def stream_drift_psi_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ref = reference_bin_distribution(ev)
+    cur = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("w"), drift_bin().alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cur_c"))
+    )
+    return psi_from_bin_counts(cur, ref)

@@ -878,3 +878,40 @@ def test_streaming_sessionize_state_survives_restart(
         for r in _batch_sessionize(spark, time_ordered_events).collect()
     }
     assert stream_sessions == batch
+
+
+def test_streaming_drift_psi_matches_batch_twin(spark, sf_dir, events_stream_dir):
+    """The true stream's windowed bin counts (append mode, watermark-
+    closed windows), finalized by the SAME psi_from_bin_counts the
+    batch twin uses against the SAME frozen reference, must equal the
+    oracle-checked stream_drift_psi_twin exactly — per-day PSI
+    included, because the fold is reassociation-free."""
+    from ethiopia_legal_etl_spark.streaming.windows import (
+        reference_bin_distribution,
+        psi_from_bin_counts,
+        stream_drift_psi_twin,
+        streaming_drift_bin_counts,
+    )
+
+    stream = read_stream(spark, events_stream_dir)
+    counts = streaming_drift_bin_counts(stream)
+    sunk = run_to_memory(spark, counts, "t_drift_bins", "append")
+    ref = reference_bin_distribution(spark.read.parquet(events_stream_dir))
+    got = {
+        r["day"]: (r["n_bins"], r["psi"])
+        for r in psi_from_bin_counts(sunk, ref).collect()
+    }
+    want = {
+        r["day"]: (r["n_bins"], r["psi"])
+        for r in stream_drift_psi_twin(spark, sf_dir).collect()
+    }
+    # every watermark-closed window's PSI matches the batch twin
+    # bit-for-bit (the fold is reassociation-free); append mode
+    # withholds only the trailing windows still open at the final
+    # watermark (suite-wide pattern for windowed append twins)
+    assert got.items() <= want.items()
+    missing = sorted(set(want) - set(got))
+    max_emitted = max(got) if got else ""
+    assert all(d > max_emitted for d in missing) and len(missing) <= 2
+    assert len(got) >= 28  # a month of daily windows closed
+    assert all(p >= 0 for _, p in want.values())  # PSI is non-negative
