@@ -268,3 +268,142 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(folded, 6) + 0).alias("psi"),
         )
     )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      -- fixed-edge value bins (drift_psi discipline): NULL
+      -- measurements are excluded, not binned
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / 125) AS BIGINT), 3) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, bin
+    ),
+    m AS (
+      SELECT event_type, bin, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY bin) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT bin) AS BIGINT) AS nc
+      FROM cells
+    ),
+    terms AS (
+      -- (O - E)^2 / E == (O*n - r*c)^2 / (r*c*n); the difference
+      -- O*n - r*c is an exact BIGINT (|.| <= n^2), squared in DOUBLE
+      -- because BIGINT d*d overflows at scale
+      SELECT event_type, bin, n,
+             (CAST(o * n - r * c AS DOUBLE)
+              * CAST(o * n - r * c AS DOUBLE))
+             / CAST(r * c * n AS DOUBLE) AS term
+      FROM m
+    ),
+    folded AS (
+      SELECT MAX(n) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(LIST({'event_type': event_type,
+                                 'bin': bin, 'term': term})),
+                 x -> x.term)),
+               (acc, x) -> acc + x) AS chi2_raw
+      FROM terms
+    )
+    SELECT f.n,
+           f.n_cells,
+           (d.nr - 1) * (d.nc - 1) AS dof,
+           ROUND(f.chi2_raw, 6) + 0 AS chi2,
+           ROUND(SQRT(f.chi2_raw
+                      / CAST(f.n * LEAST(d.nr - 1, d.nc - 1) AS DOUBLE)),
+                 6) + 0 AS cramers_v
+    FROM folded f CROSS JOIN dims d
+    """,
+    doc="PEARSON CHI-SQUARE TEST OF INDEPENDENCE (event_type x "
+    "fixed-edge value quartile-bin contingency table) plus Cramer's "
+    "V effect size — the categorical-association check a pipeline "
+    "runs to ask 'is the feature distribution independent of the "
+    "event class, or did a data drop skew one class?'. Exactness: "
+    "each cell's (O-E)^2/E is rewritten (O*n - r*c)^2/(r*c*n) so the "
+    "numerator difference is an exact BIGINT before ONE double "
+    "square and ONE division (d*d stays in DOUBLE because BIGINT "
+    "d^2 overflows at n >= ~55k); the <= |types|x4 cell terms fold "
+    "in (event_type, bin) order, reassociation-free (the PSI "
+    "discipline, drift_psi_decile_bins); Cramer's V adds one "
+    "IEEE-exact SQRT of the raw (pre-round) statistic. Scale: the "
+    "data pass is one map-side-combined groupBy; every window runs "
+    "over the tiny cell frame. Sibling: drift_ks_two_sample "
+    "(continuous two-sample); this is the categorical independence "
+    "test. Chi-square: Pearson 1900; Cramer's V: Cramer 1946.",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 125), F.lit(3))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # bounded: every window below runs over the <= |event_type| x 4
+    # aggregated cell frame (~20 rows), never the raw events
+    m = cells.select(
+        "event_type",
+        "bin",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("bin")).alias("c"),
+        # bounded: global window over the <= |types| x 4 cell frame
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = (d * d) / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    terms = m.select(
+        "event_type", "bin", F.col("n"), term.alias("term")
+    )
+    folded = terms.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type"), F.col("bin"), F.col("term")
+                        )
+                    )
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2_raw"),
+    )
+    dims = cells.agg(
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("bin").alias("nc"),
+    )
+    mindim = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    return folded.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        (F.round(F.col("chi2_raw"), 6) + 0).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw") / (F.col("n") * mindim).cast("double")
+                ),
+                6,
+            )
+            + 0
+        ).alias("cramers_v"),
+    )

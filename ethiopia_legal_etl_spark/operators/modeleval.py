@@ -333,3 +333,193 @@ def model_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (1000000 * F.sum("n_b")).cast("double")
         ).alias("brier"),
     )
+
+
+@register(
+    "retrieval_rank_metrics",
+    oracle="""
+    WITH base AS (
+      -- query = source; system ranking = n_chars DESC (doc_id tiebreak);
+      -- graded relevance from lang (en=2, fr=1, else 0)
+      SELECT source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rnk,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+                        ELSE 0 END DESC, doc_id
+             ) AS irnk,
+             CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, rnk, irnk, rel,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY source ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS tp
+      FROM base
+    ),
+    per_q AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             MIN(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+             CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp10,
+             COALESCE(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(LIST({'k': rnk,
+                                 't': CAST(tp AS DOUBLE) / rnk})
+                           FILTER (rnk <= 10 AND rel > 0)),
+                 x -> x.t)),
+               (acc, x) -> acc + x), 0.0) AS ap_num,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(LIST({'k': rnk,
+                                 't': CAST(CASE rel WHEN 2 THEN 3
+                                           WHEN 1 THEN 1 ELSE 0 END
+                                           AS DOUBLE)
+                                      / LOG2(CAST(rnk + 1 AS DOUBLE))})
+                           FILTER (rnk <= 5)),
+                 x -> x.t)),
+               (acc, x) -> acc + x) AS dcg5,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(LIST({'k': irnk,
+                                 't': CAST(CASE rel WHEN 2 THEN 3
+                                           WHEN 1 THEN 1 ELSE 0 END
+                                           AS DOUBLE)
+                                      / LOG2(CAST(irnk + 1 AS DOUBLE))})
+                           FILTER (irnk <= 5)),
+                 x -> x.t)),
+               (acc, x) -> acc + x) AS idcg5
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_docs, n_rel,
+           CAST(1.0 AS DOUBLE) / first_rel AS rr,
+           CAST(tp10 AS DOUBLE) / 10 AS p_at_10,
+           CAST(tp10 AS DOUBLE) / NULLIF(n_rel, 0) AS recall_at_10,
+           ap_num / NULLIF(LEAST(n_rel, 10), 0) AS ap_at_10,
+           ROUND(dcg5 / NULLIF(idcg5, 0.0), 6) + 0 AS ndcg_at_5
+    FROM per_q
+    """,
+    doc="RETRIEVAL RANKING METRICS per query — MRR, precision@10, "
+    "recall@10, AP@10, nDCG@5 — the eval harness next to the "
+    "retrieval operators (retrieval_bm25_topk / retrieval_mmr_rerank "
+    "produce rankings; this grades one). Query = source, system "
+    "ranking = n_chars DESC, graded relevance from lang (en=2, fr=1). "
+    "Exactness: rr / p@10 / recall@10 are single divisions of exact "
+    "BIGINTs; AP@10 folds its precision-at-hit terms (each one exact "
+    "division tp_k/k) in rank order, reassociation-free; nDCG is cut "
+    "at 5, NOT the usual 10, because the discount LOG2(k+1) is only "
+    "bit-identical between the JVM and libm for k+1 <= 8 (probed: "
+    "log2 of 9, 10, 11 differ in the last ULP between Java's and C's "
+    "libm) — gains 2^rel - 1 are exact integers and each term is one "
+    "IEEE division, folded in rank order; ideal ranking for IDCG is "
+    "rel DESC with the same fold. No-relevant-doc queries emit NULL "
+    "rr/ap/ndcg (NULLIF guards), not fabricated zeros. Scale: one "
+    "row_number window partitioned BY QUERY (millions of partitions "
+    "at corpus scale — the right shape), one grouped fold over "
+    "top-10 structs.",
+)
+def retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rel = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "fr", 1)
+        .otherwise(0)
+    )
+    base = docs.select(
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("rnk"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(rel.desc(), "doc_id")
+        )
+        .alias("irnk"),
+        rel.alias("rel"),
+    )
+    cum = base.withColumn(
+        "tp",
+        F.sum((F.col("rel") > 0).cast("long")).over(
+            Window.partitionBy("source")
+            .orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    gain = (
+        F.when(F.col("rel") == 2, 3)
+        .when(F.col("rel") == 1, 1)
+        .otherwise(0)
+        .cast("double")
+    )
+
+    def fold(k_col, term, cond):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(cond, F.struct(k_col.alias("k"), term.alias("t")))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ap_num = fold(
+        F.col("rnk"),
+        F.col("tp").cast("double") / F.col("rnk"),
+        (F.col("rnk") <= 10) & (F.col("rel") > 0),
+    )
+    dcg5 = fold(
+        F.col("rnk"),
+        gain / F.log2((F.col("rnk") + 1).cast("double")),
+        F.col("rnk") <= 5,
+    )
+    idcg5 = fold(
+        F.col("irnk"),
+        gain / F.log2((F.col("irnk") + 1).cast("double")),
+        F.col("irnk") <= 5,
+    )
+    per_q = cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_rel"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            ((F.col("rnk") <= 10) & (F.col("rel") > 0)).cast("long")
+        ).alias("tp10"),
+        ap_num.alias("ap_num"),
+        dcg5.alias("dcg5"),
+        idcg5.alias("idcg5"),
+    )
+    return per_q.select(
+        "source",
+        "n_docs",
+        "n_rel",
+        (F.lit(1.0) / F.col("first_rel")).alias("rr"),
+        (F.col("tp10").cast("double") / 10).alias("p_at_10"),
+        (
+            F.col("tp10").cast("double") / F.nullif(F.col("n_rel"), F.lit(0))
+        ).alias("recall_at_10"),
+        (
+            F.col("ap_num")
+            / F.nullif(F.least(F.col("n_rel"), F.lit(10)), F.lit(0))
+        ).alias("ap_at_10"),
+        (
+            F.round(
+                F.col("dcg5") / F.nullif(F.col("idcg5"), F.lit(0.0)), 6
+            )
+            + 0
+        ).alias("ndcg_at_5"),
+    )

@@ -745,3 +745,122 @@ def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gt_count"),
         )
     )
+
+
+@register(
+    "lm_kneser_ney_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM (
+        SELECT unnest(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)]))
+          AS z
+        FROM d WHERE LEN(toks) >= 2
+      ) GROUP BY a, b
+    ),
+    disc AS (
+      SELECT CAST(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM bi
+    ),
+    ctx AS (
+      SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+             CAST(COUNT(*) AS BIGINT) AS n1p_a
+      FROM bi GROUP BY a
+    ),
+    cont AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n1m_b
+      FROM bi GROUP BY b
+    )
+    SELECT bi.a, bi.b, bi.c_ab, ctx.c_a, ctx.n1p_a, cont.n1m_b,
+           CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2) AS d,
+           (GREATEST(CAST(bi.c_ab AS DOUBLE)
+                     - CAST(disc.n1 AS DOUBLE)
+                       / (disc.n1 + 2 * disc.n2), 0.0)
+            + CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2)
+              * n1p_a
+              * (CAST(n1m_b AS DOUBLE) / disc.n_types))
+           / CAST(ctx.c_a AS DOUBLE) AS p_kn
+    FROM bi
+    JOIN ctx ON ctx.a = bi.a
+    JOIN cont ON cont.b = bi.b
+    CROSS JOIN disc
+    ORDER BY bi.c_ab DESC, bi.a, bi.b
+    LIMIT 20
+    """,
+    doc="INTERPOLATED KNESER-NEY bigram probabilities (Kneser & Ney "
+    "1995; Chen & Goodman 1999 eq. 4.25): p_kn(b|a) = max(c(ab)-D,0)"
+    "/c(a) + D*N1+(a.)/c(a) * N1+(.b)/|bigram types|, with the "
+    "absolute discount D = n1/(n1+2*n2) estimated from the count-of-"
+    "counts (the leave-one-out estimate). Completes the smoothing "
+    "family next to lm_good_turing_counts (count re-estimation) and "
+    "lm_stupid_backoff (unnormalized backoff scoring): KN's novelty "
+    "is the CONTINUATION count N1+(.b) — how many distinct contexts "
+    "precede b — which is exactly the quantity a distributed engine "
+    "gets for free as a second groupBy over the bigram table. "
+    "Exactness: every count is an exact BIGINT; D and p_kn are "
+    "per-row IEEE expressions written with the identical op tree in "
+    "both engines (no float aggregation anywhere). Top-20 by count "
+    "(a, b tiebreak) via TakeOrderedAndProject, never a global sort. "
+    "Scale: the bigram table is Heaps-bounded; ctx/cont are "
+    "aggregates OF that table, broadcast back here — at 100 TB all "
+    "three joins become shuffle joins on the n-gram key (the Brants "
+    "et al. 2007 sharded-LM shape, same note as lm_stupid_backoff).",
+)
+def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    z = F.explode(
+        F.arrays_zip(
+            F.expr("slice(toks, 1, size(toks) - 1)").alias("a"),
+            F.expr("slice(toks, 2, size(toks) - 1)").alias("b"),
+        )
+    ).alias("z")
+    bi = (
+        d.select(z)
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .cache()  # feeds disc + ctx + cont + the final projection
+    )
+    disc = bi.agg(
+        F.sum((F.col("c_ab") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c_ab") == 2).cast("long")).alias("n2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    ctx = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count(F.lit(1)).alias("n1p_a")
+    )
+    cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1m_b"))
+    # D = n1/(n1+2*n2), repeated inline so the op tree matches the
+    # oracle's exactly (no CTE-level rounding point exists)
+    big_d = F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2"))
+    p_kn = (
+        F.greatest(F.col("c_ab").cast("double") - big_d, F.lit(0.0))
+        + big_d * F.col("n1p_a") * (F.col("n1m_b").cast("double") / F.col("n_types"))
+    ) / F.col("c_a").cast("double")
+    return (
+        bi.join(F.broadcast(ctx), "a")
+        .join(F.broadcast(cont), "b")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "n1p_a",
+            "n1m_b",
+            big_d.alias("d"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.col("c_ab").desc(), "a", "b")
+        .limit(20)
+    )

@@ -82,6 +82,8 @@ BNLJ_ALLOWED = {
     "assoc_rules_brand_pairs",  # 1-row broadcast basket-count total crossJoin
     "embedding_mutual_nn",      # bounded two-cell cross product, target side broadcast
     "contrastive_negative_sample",  # 1-row corpus-count broadcast crossJoin
+    "stats_chi2_independence",  # 1-row (R, C) dims broadcast crossJoin
+    "lm_kneser_ney_bigrams",    # 1-row (n1, n2, types) discount broadcast crossJoin
 }
 
 
