@@ -449,3 +449,75 @@ def heavy_hitters_mg(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .where(F.col("n_events") * k > F.lit(n_total))
     )
+
+
+@register(
+    "fuzzy_vocab_damerau",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS tok
+      FROM documents
+    )
+    SELECT v1.tok AS t1, v2.tok AS t2,
+           levenshtein(v1.tok, v2.tok) AS lev_dist,
+           damerau_levenshtein(v1.tok, v2.tok) AS dl_dist
+    FROM vocab v1 JOIN vocab v2
+      ON v1.tok < v2.tok
+     AND damerau_levenshtein(v1.tok, v2.tok) <= 2
+    """,
+    doc="TRANSPOSITION-AWARE FUZZY VOCABULARY MATCH: all corpus-token "
+    "pairs within TRUE Damerau-Levenshtein distance 2, with the plain "
+    "Levenshtein distance alongside so the transposition wins are "
+    "visible (dl < lev exactly where adjacent swaps are involved — "
+    "the typo class plain edit distance double-counts). The distance "
+    "itself is from scratch: Spark has no damerau_levenshtein "
+    "builtin, so functions/strdist.py folds the full Lowrance-Wagner "
+    "matrix up with nested `aggregate` HOFs — a pure JVM-side SQL "
+    "expression, no UDF, verified against DuckDB's builtin on 400 "
+    "random cases + pinned discriminators (CA/ABC=2 proves it's the "
+    "unrestricted variant, not optimal-string-alignment). Spark side "
+    "prunes with |len diff| <= 2 AND levenshtein <= 4 before the "
+    "expensive DP — sound because dl <= 2 implies both (each edit "
+    "changes length by <= 1, and lev <= 2*dl) — so the builtin cheap "
+    "distance gates the HOF one; the oracle needs no such guard and "
+    "the result sets are identical. Sibling: "
+    "fuzzy_pairs_levenshtein (builtin distance, supplier names). "
+    "Scale: the vocabulary is Heaps-bounded, the all-pairs BNLJ is "
+    "vocab x vocab (never docs x docs); at 100 TB you block the "
+    "vocab by (length, first char) into an equi-join first — the "
+    "guard predicates here are exactly those blocking keys.",
+)
+def fuzzy_vocab_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethiopia_legal_etl_spark.functions.strdist import (
+        damerau_levenshtein,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    v1 = vocab.select(F.col("tok").alias("t1"))
+    v2 = vocab.select(F.col("tok").alias("t2"))
+    dl = damerau_levenshtein("t1", "t2")
+    return (
+        v1.join(
+            F.broadcast(v2),
+            (F.col("t1") < F.col("t2"))
+            # cheap guards (supersets of dl <= 2): prune before the DP
+            & (F.abs(F.length("t1") - F.length("t2")) <= 2)
+            & (F.levenshtein("t1", "t2") <= 4)
+            & (dl <= 2),
+        )
+        .select(
+            "t1",
+            "t2",
+            F.levenshtein("t1", "t2").alias("lev_dist"),
+            dl.alias("dl_dist"),
+        )
+    )
