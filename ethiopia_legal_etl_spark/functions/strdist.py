@@ -126,3 +126,95 @@ def damerau_levenshtein(a, b) -> Column:
         .otherwise(full)
         .cast("int")
     )
+
+
+def jaro_winkler_similarity(a, b) -> Column:
+    """Jaro-Winkler similarity as a pure HOF Column (textbook Winkler:
+    prefix boost l<=4, p=0.1, applied only when jaro > 0.7 — probed
+    to match DuckDB's `jaro_winkler_similarity` on the standard
+    discriminators: MARTHA/MARHTA=.9611, DIXON/DICKSONX=.8133,
+    ab/ba=0 because the window max(2,2)/2-1=0 admits no matches).
+
+    The greedy match step (each t-position used once, s scanned left
+    to right, window |i-j| <= max(|s|,|t|)/2 - 1) folds over s's
+    positions carrying (t-used flags, matched s-chars) as state; the
+    transposition count then compares the matched s-sequence against
+    the matched t-sequence in t order. All counts are exact ints; the
+    final similarity is a short float formula of them — callers that
+    hash cross-engine should ROUND(6) both sides (the formula's op
+    order inside another engine's builtin is not observable).
+    """
+    a, b = _c(a), _c(b)
+    ls, lt = F.length(a), F.length(b)
+    one = F.lit(1)
+    # match window; can be -1 (both len<=1) or 0 (len 2) -> the lo>hi
+    # guard below yields "no candidate positions"
+    w = F.floor(F.greatest(ls, lt) / 2).cast("int") - 1
+
+    def step(state, i):
+        tm = state["tm"]
+        sc = state["sc"]
+        a_i = a.substr(i, one)
+        lo = F.greatest(one, i - w)
+        hi = F.least(lt, i + w)
+        j = F.when(
+            hi >= lo,
+            F.array_min(
+                F.filter(
+                    F.sequence(lo, hi),
+                    lambda p: (F.element_at(tm, p) == 0)
+                    & (b.substr(p, one) == a_i),
+                )
+            ),
+        )
+        return F.when(
+            j.isNotNull(),
+            F.struct(
+                F.transform(
+                    tm,
+                    lambda v, idx: F.when(idx + 1 == j, F.lit(1)).otherwise(v),
+                ).alias("tm"),
+                F.concat(sc, F.array(a_i)).alias("sc"),
+            ),
+        ).otherwise(F.struct(tm.alias("tm"), sc.alias("sc")))
+
+    init = F.struct(
+        F.array_repeat(F.lit(0), lt).alias("tm"),
+        F.array().cast("array<string>").alias("sc"),
+    )
+    matched = F.aggregate(F.sequence(one, ls), init, step)
+    tm, sc = matched["tm"], matched["sc"]
+    m = F.size(sc)
+    tc = F.transform(
+        F.filter(F.sequence(one, lt), lambda p: F.element_at(tm, p) == 1),
+        lambda p: b.substr(p, one),
+    )
+    ndiff = F.aggregate(
+        F.sequence(one, m),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(F.element_at(sc, p) == F.element_at(tc, p), 0).otherwise(1),
+    )
+    tr = (ndiff / 2).cast("int")  # floor: ndiff >= 0
+    md = m.cast("double")
+    jaro = (
+        # empty-side check FIRST: DuckDB returns 0.0 for ''/'', not
+        # the textbook 1.0 (probed), and a == b would otherwise win
+        F.when((ls == 0) | (lt == 0), F.lit(0.0))
+        .when(a == b, F.lit(1.0))
+        .when(m == 0, F.lit(0.0))
+        .otherwise((md / ls + md / lt + (md - tr) / md) / F.lit(3.0))
+    )
+    # common prefix length, capped at 4, consecutive from position 1
+    el = F.aggregate(
+        F.sequence(one, F.least(F.lit(4), ls, lt)),
+        F.lit(0),
+        lambda acc, p: F.when(
+            (acc == p - 1) & (a.substr(p, one) == b.substr(p, one)), p
+        ).otherwise(acc),
+    )
+    boosted = jaro + el * F.lit(0.1) * (F.lit(1.0) - jaro)
+    jw = F.when(jaro > 0.7, boosted).otherwise(jaro)
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        jw
+    )

@@ -632,3 +632,134 @@ def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    h AS (
+      SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+    ),
+    sigs AS (
+      SELECT doc_id,
+             [list_min(list_transform(hs, x -> substr(x, 4*i + 1, 32) || substr(x, 1, 4*i))),
+              list_min(list_transform(hs, x -> substr(x, 4*(i+4) + 1, 32) || substr(x, 1, 4*(i+4))))]
+               AS band_sig,
+             i AS band
+      FROM h, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN d da ON da.doc_id = c.doc_a
+      JOIN d db ON db.doc_id = c.doc_b
+      WHERE CAST(LEN(list_intersect(da.toks, db.toks)) AS DOUBLE)
+            / LEN(list_distinct(list_concat(da.toks, db.toks))) >= 0.5
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 12)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM d
+    ),
+    lab AS (
+      SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b,
+             CASE WHEN sa.split = sb.split
+                  THEN sa.split || '-' || sb.split
+                  ELSE 'eval-train' END AS pair_class
+      FROM ver v
+      JOIN sp sa ON sa.doc_id = v.doc_a
+      JOIN sp sb ON sb.doc_id = v.doc_b
+    ),
+    np AS (
+      SELECT pair_class, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lab GROUP BY pair_class
+    ),
+    sides AS (
+      SELECT pair_class, doc_a AS doc, split_a AS split FROM lab
+      UNION ALL
+      SELECT pair_class, doc_b AS doc, split_b AS split FROM lab
+    ),
+    ne AS (
+      SELECT pair_class, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_eval_docs
+      FROM sides WHERE split = 'eval' GROUP BY pair_class
+    )
+    SELECT np.pair_class, np.n_pairs,
+           COALESCE(ne.n_eval_docs, 0) AS n_eval_docs
+    FROM np LEFT JOIN ne ON ne.pair_class = np.pair_class
+    """,
+    doc="CROSS-SPLIT LEAKAGE AUDIT: the decontamination check an eval "
+    "pipeline runs before trusting a benchmark — near-duplicate "
+    "document pairs (the sibling dedup_ngram_jaccard generator "
+    "verbatim: banded md5-MinHash candidates, exact token-Jaccard "
+    ">= 0.5 verify) classified by whether they stay inside the "
+    "train/eval split or STRADDLE it. The split is the engine-"
+    "portable md5_48 recipe (sample_weighted_aes): u48 % 10 < 8 -> "
+    "train, so both engines assign identical splits with no RNG. "
+    "Output per pair class: pair count + distinct eval docs involved "
+    "— 'eval-train' rows are eval documents whose near-twin is in "
+    "the training set (contaminated: their eval score measures "
+    "memorization). Distinct from contamination_ngram_overlap (doc "
+    "vs an external benchmark SET); this audits an internal split "
+    "against the corpus's own duplicate structure. Scale: candidate "
+    "generation is the banded equi-join (never all-pairs); the split "
+    "label is a row-local hash; the classification adds two "
+    "broadcast-size joins on doc_id against the tiny verified-pair "
+    "set.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    u48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    sp = docs.select(
+        "doc_id",
+        F.when(u48 % 10 < 8, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+    pairs = banded_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    lab = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "pair_class",
+            F.when(
+                F.col("split_a") == F.col("split_b"),
+                F.concat_ws("-", "split_a", "split_b"),
+            ).otherwise(F.lit("eval-train")),
+        )
+    )
+    np_ = lab.groupBy("pair_class").agg(F.count(F.lit(1)).alias("n_pairs"))
+    sides = lab.select(
+        "pair_class", F.col("doc_a").alias("doc"), F.col("split_a").alias("split")
+    ).unionByName(
+        lab.select(
+            "pair_class", F.col("doc_b").alias("doc"), F.col("split_b").alias("split")
+        )
+    )
+    ne = (
+        sides.where(F.col("split") == "eval")
+        .groupBy("pair_class")
+        .agg(F.countDistinct("doc").alias("n_eval_docs"))
+    )
+    return np_.join(ne, "pair_class", "left").select(
+        "pair_class",
+        "n_pairs",
+        F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+    )

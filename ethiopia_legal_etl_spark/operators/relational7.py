@@ -521,3 +521,58 @@ def fuzzy_vocab_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
             dl.alias("dl_dist"),
         )
     )
+
+
+@register(
+    "fuzzy_vocab_jaro_winkler",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS tok
+      FROM documents
+    )
+    SELECT v1.tok AS t1, v2.tok AS t2,
+           ROUND(jaro_winkler_similarity(v1.tok, v2.tok), 6) + 0 AS jw
+    FROM vocab v1 JOIN vocab v2 ON v1.tok < v2.tok
+    WHERE jaro_winkler_similarity(v1.tok, v2.tok) >= 0.7
+    """,
+    doc="JARO-WINKLER FUZZY MATCH over the corpus token vocabulary — "
+    "the third record-linkage distance next to fuzzy_pairs_levenshtein "
+    "(builtin) and fuzzy_vocab_damerau (from-scratch DL; same vocab "
+    "scaffolding, deliberately: each scalar-distance FUNCTION gets "
+    "one oracle-checked carrier): JW is the census-linkage standard "
+    "(Winkler 1990) that rewards shared prefixes, which edit "
+    "distances ignore. The function is from scratch "
+    "(functions/strdist.py): the greedy windowed match folds over "
+    "positions with (used-flags, matched-chars) as HOF state, "
+    "transpositions compare the two matched sequences, prefix boost "
+    "l<=4 / p=0.1 applies only above jaro 0.7 — probed bit-identical "
+    "to DuckDB's builtin on 600+ random cases plus the standard "
+    "discriminators (including the ''/'' = 0.0 and window-0 "
+    "'ab'/'ba' = 0.0 quirks). ROUND(6) on both sides anyway: the "
+    "builtin's internal float op order is an implementation detail. "
+    "Scale: vocab x vocab is Heaps-bounded; on a real corpus the "
+    "same expression runs on blocked candidate pairs exactly like "
+    "the damerau entry.",
+)
+def fuzzy_vocab_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethiopia_legal_etl_spark.functions.strdist import (
+        jaro_winkler_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    v1 = vocab.select(F.col("tok").alias("t1"))
+    v2 = vocab.select(F.col("tok").alias("t2"))
+    jw = jaro_winkler_similarity("t1", "t2")
+    return (
+        v1.join(F.broadcast(v2), (F.col("t1") < F.col("t2")) & (jw >= 0.7))
+        .select("t1", "t2", (F.round(jw, 6) + 0).alias("jw"))
+    )

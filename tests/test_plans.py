@@ -85,6 +85,7 @@ BNLJ_ALLOWED = {
     "stats_chi2_independence",  # 1-row (R, C) dims broadcast crossJoin
     "lm_kneser_ney_bigrams",    # 1-row (n1, n2, types) discount broadcast crossJoin
     "fuzzy_vocab_damerau",      # Heaps-bounded vocab x vocab non-equi pairs (doc'd)
+    "fuzzy_vocab_jaro_winkler",  # Heaps-bounded vocab x vocab non-equi pairs (doc'd)
 }
 
 

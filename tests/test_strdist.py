@@ -119,3 +119,106 @@ def test_dl_le_lev_on_vocab(spark, sf_dir):
     for r in rows:
         assert r["dl_dist"] <= r["lev_dist"] <= 2 * r["dl_dist"]
         assert r["dl_dist"] <= 2
+
+
+# ---------------- Jaro-Winkler ----------------
+
+
+def _jaro_ref(s: str, t: str) -> float:
+    ls, lt = len(s), len(t)
+    if ls == 0 or lt == 0:
+        return 0.0
+    if s == t:
+        return 1.0
+    w = max(ls, lt) // 2 - 1
+    tm = [False] * lt
+    sm = [False] * ls
+    m = 0
+    for i in range(ls):
+        lo, hi = max(0, i - w), min(lt - 1, i + w)
+        for j in range(lo, hi + 1):
+            if not tm[j] and s[i] == t[j]:
+                tm[j] = sm[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    tr = 0
+    j = 0
+    for i in range(ls):
+        if sm[i]:
+            while not tm[j]:
+                j += 1
+            if s[i] != t[j]:
+                tr += 1
+            j += 1
+    tr //= 2
+    return (m / ls + m / lt + (m - tr) / m) / 3
+
+
+def _jw_ref(s: str, t: str) -> float:
+    ja = _jaro_ref(s, t)
+    if ja <= 0.7:
+        return ja
+    el = 0
+    for a_c, b_c in zip(s[:4], t[:4]):
+        if a_c == b_c:
+            el += 1
+        else:
+            break
+    return ja + el * 0.1 * (1 - ja)
+
+
+JW_PINNED = [
+    # double-checked against DuckDB's jaro_winkler_similarity
+    ("MARTHA", "MARHTA", 0.9611111111111111),
+    ("DIXON", "DICKSONX", 0.8133333333333332),
+    ("ab", "ba", 0.0),  # window max(2,2)/2-1 = 0: no matches
+    ("", "", 0.0),  # DuckDB quirk: empty/empty is 0, not textbook 1
+    ("", "abc", 0.0),
+    ("same", "same", 1.0),
+    ("CRATE", "TRACE", 0.7333333333333334),  # >0.7 but prefix 0
+]
+
+
+def _spark_jw(spark, cases):
+    from ethiopia_legal_etl_spark.functions.strdist import (
+        jaro_winkler_similarity,
+    )
+
+    df = spark.createDataFrame(cases, "a string, b string").withColumn(
+        "jw", jaro_winkler_similarity("a", "b")
+    )
+    return {(r["a"], r["b"]): r["jw"] for r in df.collect()}
+
+
+def test_jw_pinned_cases(spark):
+    got = _spark_jw(spark, [(a, b) for a, b, _ in JW_PINNED])
+    for a, b, want in JW_PINNED:
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", max_size=8),
+            st.text(alphabet="abcd", max_size=8),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jw_matches_reference_dense_alphabet(spark, cases):
+    got = _spark_jw(spark, cases)
+    for a, b in cases:
+        want = _jw_ref(a, b) if a != b else (1.0 if a else 0.0)
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_jw_range_and_symmetry(spark):
+    cases = [("algeria", "nigeria"), ("france", "frane"), ("peru", "iran")]
+    both = _spark_jw(spark, cases + [(b, a) for a, b in cases])
+    for a, b in cases:
+        assert both[(a, b)] == both[(b, a)]
+        assert 0.0 <= both[(a, b)] <= 1.0
