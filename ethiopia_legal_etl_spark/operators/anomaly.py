@@ -151,3 +151,95 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev > 0).alias("spike_up"),
         )
     )
+
+
+@register(
+    "forecast_seasonal_naive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(14,2))) AS rev
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    ev AS (
+      SELECT c.event_type,
+             ABS(c.rev - p1.rev) AS ae1,
+             ABS(c.rev - p7.rev) AS ae7,
+             (c.rev - p1.rev) * (c.rev - p1.rev) AS se1
+      FROM daily c
+      JOIN daily p1 ON p1.event_type = c.event_type
+                   AND p1.day = c.day - INTERVAL 1 DAY
+      JOIN daily p7 ON p7.event_type = c.event_type
+                   AND p7.day = c.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae1) AS DOUBLE) / COUNT(*) AS mae,
+           SQRT(CAST(SUM(se1) AS DOUBLE) / COUNT(*)) AS rmse,
+           CAST(SUM(ae1) AS DOUBLE)
+             / NULLIF(CAST(SUM(ae7) AS DOUBLE), 0.0) AS mase
+    FROM ev GROUP BY event_type
+    """,
+    doc="FORECAST-ACCURACY EVALUATION per event_type: the naive-1 "
+    "forecast (yesterday's daily revenue predicts today's) scored "
+    "with MAE, RMSE, and MASE (Hyndman & Koehler 2006 — absolute "
+    "error scaled by the SEASONAL-naive m=7 error, so mase < 1 means "
+    "'beats predicting last week's same weekday'). The eval window "
+    "is days where BOTH the 1-day and 7-day lags exist, via CALENDAR "
+    "self-joins on (event_type, day - 1/7) rather than positional "
+    "LAGs — a missing day must shrink the eval set, not silently "
+    "shift the forecast horizon. Exactness: daily revenue and every "
+    "|e| / e^2 term are exact DECIMALs (order-free sums, no fold "
+    "needed); mae/rmse/mase are single IEEE expressions of the "
+    "exactly-agreed decimal totals; zero seasonal denominator emits "
+    "NULL mase. Completes the time-series family: gapfill (LOCF), "
+    "ewma_user_value (smoothing), monthly_revenue_mom (growth), "
+    "anomaly_rolling_zscore (outliers) — this is the eval harness "
+    "for the forecasts those feed. Scale: one map-side-combined "
+    "groupBy to |types| x |days| rows; the self-joins run on the "
+    "tiny aggregate.",
+)
+def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("rev"))
+    )
+    c = daily.select(
+        "event_type", "day", F.col("rev").alias("rev_c")
+    )
+    p1 = daily.select(
+        "event_type",
+        F.date_add("day", 1).alias("day"),
+        F.col("rev").alias("rev_p1"),
+    )
+    p7 = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("rev").alias("rev_p7"),
+    )
+    e1 = F.col("rev_c") - F.col("rev_p1")
+    evd = (
+        c.join(p1, ["event_type", "day"])
+        .join(p7, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.abs(e1).alias("ae1"),
+            F.abs(F.col("rev_c") - F.col("rev_p7")).alias("ae7"),
+            (e1 * e1).alias("se1"),
+        )
+    )
+    return evd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("ae1").cast("double") / F.count(F.lit(1))).alias("mae"),
+        F.sqrt(F.sum("se1").cast("double") / F.count(F.lit(1))).alias("rmse"),
+        (
+            F.sum("ae1").cast("double")
+            / F.nullif(F.sum("ae7").cast("double"), F.lit(0.0))
+        ).alias("mase"),
+    )

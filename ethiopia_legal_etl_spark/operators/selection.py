@@ -886,3 +886,85 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 5)
     )
+
+
+@register(
+    "sample_quota_apportion",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT event_type, c,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM counts
+    ),
+    base AS (
+      SELECT event_type, c, n,
+             (1000 * c) // n AS base_quota,
+             (1000 * c) % n AS rem
+      FROM tot
+    ),
+    ranked AS (
+      SELECT event_type, c, base_quota, rem,
+             CAST(1000 - SUM(base_quota) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, event_type)
+               AS rem_rank
+      FROM base
+    )
+    SELECT event_type, c AS n_events, base_quota, rem,
+           CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS got_extra,
+           base_quota
+             + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS quota
+    FROM ranked
+    """,
+    doc="LARGEST-REMAINDER (Hamilton) APPORTIONMENT of a fixed sample "
+    "budget: distribute exactly 1000 sample slots across event_types "
+    "proportional to their counts — base quota floor(K*c/n) by pure "
+    "INTEGER division (never a float floor: floor(double(K*c/n)) can "
+    "land on the wrong side when the true quotient is near an "
+    "integer), leftover slots to the largest remainders K*c mod n "
+    "with a deterministic event_type tiebreak, so sum(quota) == K "
+    "EXACTLY (the property float-proportional rounding violates, and "
+    "the reason stratified samplers under-/over-fill their budget). "
+    "Sibling: corpus_unimax_budget CAPS budgets (UniMax); this "
+    "ROUNDS a proportional allocation to integers with zero slack. "
+    "Everything is BIGINT end to end. Scale: one map-side-combined "
+    "groupBy; both windows run over the |event_type|-row aggregate.",
+)
+def sample_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    # bounded: windows below run over the |event_type|-row aggregate
+    tot = counts.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    base = tot.select(
+        "event_type",
+        "c",
+        "n",
+        F.expr("(1000 * c) DIV n").alias("base_quota"),
+        ((1000 * F.col("c")) % F.col("n")).alias("rem"),
+    )
+    # bounded: leftover/rank windows over the same tiny frame
+    ranked = base.select(
+        "event_type",
+        "c",
+        "base_quota",
+        "rem",
+        (1000 - F.sum("base_quota").over(Window.partitionBy())).alias(
+            "leftover"
+        ),
+        F.row_number()
+        # bounded: global rank over the |event_type|-row aggregate
+        .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rem_rank"),
+    )
+    got = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "event_type",
+        F.col("c").alias("n_events"),
+        "base_quota",
+        "rem",
+        got.alias("got_extra"),
+        (F.col("base_quota") + got).alias("quota"),
+    )

@@ -73,3 +73,41 @@ def test_ks_detects_a_genuinely_shifted_distribution(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     (r,) = drift_ks_two_sample(spark, str(tmp_path)).collect()
     assert r["ks_stat"] > 0.7
+
+
+def test_chi2_independence_matches_scipy_free_reference(spark, sf_dir):
+    """Cross-check the folded chi-square against an independent
+    driver-side computation from the raw contingency table."""
+    from ethiopia_legal_etl_spark.operators.drift import (
+        stats_chi2_independence,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = stats_chi2_independence(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = {
+        (r["event_type"], r["b"]): r["c"]
+        for r in ev.groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 125), F.lit(3)).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    rows = sorted({k[0] for k in cells})
+    colsv = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    chi2 = 0.0
+    for rr in rows:
+        for cc in colsv:
+            o = cells.get((rr, cc), 0)
+            if o == 0:
+                continue
+            r_tot = sum(v for k, v in cells.items() if k[0] == rr)
+            c_tot = sum(v for k, v in cells.items() if k[1] == cc)
+            e = r_tot * c_tot / n
+            chi2 += (o - e) ** 2 / e
+    assert abs(got["chi2"] - chi2) < 1e-4
+    assert got["dof"] == (len(rows) - 1) * (len(colsv) - 1)
+    assert got["n"] == n

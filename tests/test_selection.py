@@ -436,3 +436,24 @@ def test_weighted_aes_matches_python_replica_and_weight_bias(spark, sf_dir):
         if sum(sampled) / len(sampled) > grp_mean:
             n_biased += 1
     assert n_biased * 2 > len(weights), "A-ES sample is not weight-biased"
+
+
+def test_quota_apportion_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton apportionment: sum(quota) == K exactly, every quota
+    within 1 of the proportional share, and leftover slots go to the
+    largest remainders (Hamilton's defining properties)."""
+    from ethiopia_legal_etl_spark.operators.selection import (
+        sample_quota_apportion,
+    )
+
+    rows = sample_quota_apportion(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == 1000
+    n = sum(r["n_events"] for r in rows)
+    for r in rows:
+        exact = 1000 * r["n_events"] / n
+        assert r["quota"] in (int(exact), int(exact) + 1)
+    # every extra slot went to a remainder >= every non-extra remainder
+    extra = [r["rem"] for r in rows if r["got_extra"]]
+    none = [r["rem"] for r in rows if not r["got_extra"]]
+    if extra and none:
+        assert min(extra) >= max(none)
