@@ -243,3 +243,162 @@ def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("ae7").cast("double"), F.lit(0.0))
         ).alias("mase"),
     )
+
+
+@register(
+    "retention_kaplan_meier",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(ts) AS t_max FROM events
+    ),
+    subj AS (
+      -- subject = each NON-purchase interaction; "death" = the same
+      -- user\'s next purchase at or after it; no later purchase ->
+      -- right-censored at the corpus horizon
+      SELECT e.event_id,
+             MIN(p.ts) AS np
+      FROM (SELECT * FROM events WHERE event_type != \'purchase\') e
+      LEFT JOIN (SELECT user_id, ts FROM events
+                 WHERE event_type = \'purchase\') p
+        ON p.user_id = e.user_id AND p.ts >= e.ts
+      GROUP BY e.event_id
+    ),
+    durs AS (
+      SELECT date_diff(\'day\', e.ts,
+                       COALESCE(s.np, h.t_max)) AS dur,
+             CASE WHEN s.np IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM events e
+      JOIN subj s ON s.event_id = e.event_id
+      CROSS JOIN horizon h
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM durs),
+    at_t AS (
+      SELECT dur AS t,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM durs GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(tot.n_subj
+                  - COALESCE(SUM(leaving) OVER (
+                      ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS n_risk
+      FROM at_t CROSS JOIN tot
+    ),
+    surv AS (
+      SELECT risk.t AS t, risk.d AS d, risk.n_risk AS n_risk,
+             ROUND(list_reduce(
+               list_prepend(1.0, list_transform(
+                 list_sort(LIST({\'t\': s.t,
+                                 \'f\': CAST(s.n_risk - s.d AS DOUBLE)
+                                      / s.n_risk})
+                           FILTER (s.d > 0 AND s.t <= risk.t)),
+                 x -> x.f)),
+               (acc, x) -> acc * x), 6) + 0 AS survival
+      FROM risk, risk s
+      GROUP BY risk.t, risk.d, risk.n_risk
+    )
+    SELECT t, d, n_risk, survival FROM surv WHERE d > 0
+    """,
+    doc="KAPLAN-MEIER TIME-TO-CONVERSION with right-censoring (Kaplan "
+    "& Meier 1958): subjects are non-purchase interactions, the "
+    "event is the same user\'s next purchase at-or-after them, and "
+    "interactions after the user\'s last purchase are CENSORED at "
+    "the corpus horizon — they leave the risk set without counting "
+    "as a conversion, which is exactly what a naive \'conversion "
+    "within the observation window\' rate gets wrong (it counts the "
+    "truncated tail as failures, biasing conversion down). "
+    "S(t) = prod over death times t_i <= t of (1 - d_i/n_i). "
+    "Exactness: day durations, death counts and risk sets are exact "
+    "BIGINTs (risk set = one prefix-sum window over the per-duration "
+    "aggregate); each KM factor is ONE IEEE division; the product "
+    "folds in DEATH-TIME ORDER on both engines (multiplication is as "
+    "reassociation-sensitive as addition), round(6) once at the end. "
+    "Sibling: retention_cohort_weekly (calendar cohorts, no "
+    "censoring); asof_error_prev_purchase is the backward as-of twin "
+    "of the forward next-purchase lookup here. Scale: the "
+    "next-purchase lookup is a per-user window (one hash shuffle on "
+    "user_id, the natural key); everything after runs on the "
+    "<= |distinct day durations| frame.",
+)
+def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("t_max"))
+    # forward-looking running min over the user\'s own stream: the
+    # next purchase ts at or after each event (purchases themselves
+    # are excluded as subjects below)
+    # RANGE frame, not ROWS: the oracle's predicate is p.ts >= e.ts,
+    # and a rows-frame would exclude a same-microsecond purchase that
+    # happens to sort before the event on the tiebreak column
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    np_ = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w_fwd)
+    durs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("np", np_)
+        .where(F.col("event_type") != "purchase")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("np"), F.col("t_max")), F.col("ts")
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("np").isNotNull(), 1).otherwise(0).alias("died"),
+        )
+    )
+    at_t = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    tot = durs.agg(F.count(F.lit(1)).alias("n_subj"))
+    # bounded: windows over the <= |distinct day durations| frame
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = F.when(
+        F.col("d") > 0,
+        (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"),
+    ).otherwise(F.lit(1.0))
+    km = risk.select("t", "d", "n_risk", factor.alias("f"))
+    # prefix products over the tiny per-duration frame: join each
+    # death time to all factors at <= t, fold in death-time order
+    folded = F.aggregate(
+        F.transform(
+            F.filter(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("t2").alias("t"), F.col("f2").alias("f")
+                        )
+                    )
+                ),
+                lambda x: x["f"] != 1.0,
+            ),
+            lambda x: x["f"],
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    pairs = km.select(F.col("t").alias("t_out"), "d", "n_risk").join(
+        km.select(F.col("t").alias("t2"), F.col("f").alias("f2")),
+        F.col("t2") <= F.col("t_out"),
+    )
+    return (
+        pairs.groupBy("t_out", "d", "n_risk")
+        .agg((F.round(folded, 6) + 0).alias("survival"))
+        .where(F.col("d") > 0)
+        .select(F.col("t_out").alias("t"), "d", "n_risk", "survival")
+    )

@@ -102,3 +102,28 @@ def test_anomaly_overflow_bound_enforced(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         anomaly_rolling_zscore(spark, str(tmp_path)).collect()
     assert "overflow" in str(exc.value) or "exceeds" in str(exc.value)
+
+
+def test_kaplan_meier_survival_properties(spark, sf_dir):
+    """KM invariants: survival is non-increasing in t, within (0, 1],
+    equals the running product of (1 - d/n_risk) computed driver-side,
+    and risk sets strictly decrease."""
+    from ethiopia_legal_etl_spark.operators.anomaly import (
+        retention_kaplan_meier,
+    )
+
+    rows = sorted(
+        retention_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["t"]
+    )
+    assert rows
+    prev_s, prev_n = 1.0, None
+    run = 1.0
+    for r in rows:
+        # S reaches exactly 0 when the final risk set all convert
+        assert 0 <= r["survival"] <= prev_s
+        assert r["d"] >= 1 and r["n_risk"] >= r["d"]
+        if prev_n is not None:
+            assert r["n_risk"] < prev_n
+        run *= (r["n_risk"] - r["d"]) / r["n_risk"]
+        assert abs(r["survival"] - run) < 5e-6  # round(6) at the end
+        prev_s, prev_n = r["survival"], r["n_risk"]

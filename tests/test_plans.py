@@ -86,6 +86,7 @@ BNLJ_ALLOWED = {
     "lm_kneser_ney_bigrams",    # 1-row (n1, n2, types) discount broadcast crossJoin
     "fuzzy_vocab_damerau",      # Heaps-bounded vocab x vocab non-equi pairs (doc'd)
     "fuzzy_vocab_jaro_winkler",  # Heaps-bounded vocab x vocab non-equi pairs (doc'd)
+    "retention_kaplan_meier",   # prefix-product pairs over the tiny duration frame
 }
 
 
