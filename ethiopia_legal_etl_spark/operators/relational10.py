@@ -441,3 +441,78 @@ def df_groupingsets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
     )
+
+
+@register(
+    "median_ci_order_stats",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranks AS (
+      SELECT event_type, value, rk, n,
+             CAST(FLOOR((n - 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2)
+               AS BIGINT) AS k_lo
+      FROM v
+    )
+    SELECT event_type,
+           MAX(n) AS n,
+           MAX(k_lo) AS k_lo,
+           MAX(n) + 1 - MAX(k_lo) AS k_hi,
+           MAX(CASE WHEN rk = k_lo THEN value END) AS ci_lo,
+           MAX(CASE WHEN rk = n + 1 - k_lo THEN value END) AS ci_hi,
+           MEDIAN(value) AS med
+    FROM ranks GROUP BY event_type
+    """,
+    doc="DISTRIBUTION-FREE 95% CONFIDENCE INTERVAL FOR THE MEDIAN via "
+    "order statistics (the binomial/sign-test interval, normal "
+    "approximation k = floor((n - z*sqrt(n))/2), z = 1.959964; "
+    "Conover, Practical Nonparametric Statistics): the CI endpoints "
+    "are the k-th and (n+1-k)-th ORDER STATISTICS per event_type — "
+    "no distributional assumption, no bootstrap RNG, and therefore "
+    "exactly reproducible cross-engine: the rank k is one "
+    "deterministic IEEE expression of the exact BIGINT n (sqrt is "
+    "correctly-rounded everywhere), the endpoints are exact selected "
+    "values, and the point estimate reuses the engines' agreeing "
+    "interpolated MEDIAN on DOUBLE (median_bool_flags parity note). "
+    "Completes the inference family: stats_chi2_independence "
+    "(association), drift_ks_two_sample (distribution equality), "
+    "retention_kaplan_meier (survival) — this is interval estimation. "
+    "Scale: one partitioned rank window per group (the grouped-rank "
+    "shape); nothing global.",
+)
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k_lo = F.floor(
+        (F.col("n") - 1.959964 * F.sqrt(F.col("n").cast("double"))) / 2
+    ).cast("long")
+    ranks = v.withColumn("k_lo", k_lo)
+    return ranks.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k_lo").alias("k_lo"),
+        (F.max("n") + 1 - F.max("k_lo")).alias("k_hi"),
+        F.max(F.when(F.col("rk") == F.col("k_lo"), F.col("value"))).alias(
+            "ci_lo"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.col("n") + 1 - F.col("k_lo"), F.col("value"))
+        ).alias("ci_hi"),
+        F.median("value").alias("med"),
+    )

@@ -652,3 +652,96 @@ def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+@register(
+    "snapshot_diff_reconcile",
+    oracle="""
+    WITH old_snap AS (
+      SELECT event_id, event_type, value
+      FROM events WHERE event_id % 7 != 0
+    ),
+    new_snap AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+               AS value
+      FROM events WHERE event_id % 5 != 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+             CASE
+               WHEN o.event_id IS NULL THEN 'added'
+               WHEN n.event_id IS NULL THEN 'removed'
+               WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                AND o.value IS NOT DISTINCT FROM n.value
+                 THEN 'unchanged'
+               ELSE 'changed'
+             END AS status,
+             CASE WHEN o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+                   AND o.value IS DISTINCT FROM n.value
+                  THEN 1 ELSE 0 END AS value_changed,
+             CASE WHEN o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+                   AND o.event_type IS DISTINCT FROM n.event_type
+                  THEN 1 ELSE 0 END AS type_changed
+      FROM old_snap o FULL OUTER JOIN new_snap n
+        ON o.event_id = n.event_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_changed) AS BIGINT) AS n_value_changed,
+           CAST(SUM(type_changed) AS BIGINT) AS n_type_changed
+    FROM diff GROUP BY status
+    """,
+    doc="SNAPSHOT DIFF / TABLE RECONCILIATION: classify every key "
+    "across two table versions as added / removed / changed / "
+    "unchanged with per-column change counts — the audit a lakehouse "
+    "pipeline runs after a backfill ('what did this job actually "
+    "touch?') and the inverse of scd2_merge_emulation (which APPLIES "
+    "changes; this DETECTS them). The two snapshots are derived "
+    "deterministically from events (old drops event_id % 7 == 0, new "
+    "drops % 5 == 0 and doubles value on % 3 == 0) so adds, removes "
+    "and in-place changes all genuinely occur. Column comparison is "
+    "NULL-SAFE (IS [NOT] DISTINCT FROM / <=>): a NULL -> value "
+    "transition counts as a change, NULL == NULL does not — the "
+    "semantics a naive = comparison silently gets wrong on nullable "
+    "columns. Scale: ONE full-outer shuffle join on the key (the "
+    "minimal possible plan for a diff), then a map-side-combined "
+    "4-row aggregate; at 100 TB both sides are bucketed/sorted on "
+    "the key and the join is zero-exchange.",
+)
+def snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old_snap = ev.where(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").alias("o_id"),
+        F.col("event_type").alias("o_type"),
+        F.col("value").alias("o_value"),
+    )
+    new_snap = ev.where(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").alias("n_id"),
+        F.col("event_type").alias("n_type"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("n_value"),
+    )
+    j = old_snap.join(
+        new_snap, F.col("o_id") == F.col("n_id"), "full_outer"
+    )
+    same_type = F.col("o_type").eqNullSafe(F.col("n_type"))
+    same_value = F.col("o_value").eqNullSafe(F.col("n_value"))
+    both = F.col("o_id").isNotNull() & F.col("n_id").isNotNull()
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(same_type & same_value, "unchanged")
+        .otherwise("changed")
+    )
+    diff = j.select(
+        status.alias("status"),
+        F.when(both & ~same_value, 1).otherwise(0).alias("value_changed"),
+        F.when(both & ~same_type, 1).otherwise(0).alias("type_changed"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_changed").alias("n_value_changed"),
+        F.sum("type_changed").alias("n_type_changed"),
+    )
