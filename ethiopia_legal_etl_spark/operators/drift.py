@@ -407,3 +407,119 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "changepoint_cusum_events",
+    oracle="""
+    WITH q AS (
+      -- one-time cent quantization (anomaly_rolling_zscore policy):
+      -- a single deterministic IEEE multiply+floor per row, then
+      -- everything downstream is exact BIGINT
+      SELECT event_type, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, ts,
+             CAST(SUM(v) OVER (
+               PARTITION BY event_type ORDER BY ts, v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS s_k,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, v
+             ) AS BIGINT) AS k,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM q
+    ),
+    d AS (
+      -- CUSUM deviation cleared of denominators: the max of
+      -- |S_k - (k/n)*S_n| over k has the same argmax as
+      -- |n*S_k - k*S_n| (exact BIGINT)
+      SELECT event_type, ts, k, n,
+             ABS(n * s_k - k * s_n) AS dev_num
+      FROM c
+    ),
+    best AS (
+      SELECT event_type, ts, k, n, dev_num,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY dev_num DESC, k
+             ) AS rk
+      FROM d
+    )
+    SELECT event_type, n,
+           k AS argmax_k,
+           STRFTIME(CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP),
+                    '%Y-%m-%d') AS change_day,
+           dev_num,
+           CAST(dev_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS cusum_stat
+    FROM best WHERE rk = 1
+    """,
+    doc="CUSUM CHANGE-POINT DETECTION per event_type (Page 1954 / the "
+    "ECP-family offline statistic): the k maximizing |S_k - (k/n)S_n| "
+    "over the time-ordered cent-quantized values — where the "
+    "cumulative sum deviates most from the no-change diagonal — "
+    "located EXACTLY by clearing denominators: argmax of "
+    "|n*S_k - k*S_n| over BIGINTs (the float form's near-tie argmax "
+    "can flip cross-engine; the integer form cannot; magnitudes "
+    "n*S_k <= n^2*max_v ~ 1e14 at sf0.1, within int64). The reported "
+    "statistic normalizes by n^2 in ONE IEEE division at the end. "
+    "Deterministic tiebreaks: (ts, v) within the ordered scan, "
+    "smallest k among equal deviations. Completes the drift family: "
+    "KS (two-sample), PSI (binned populations), chi-square "
+    "(association) — CUSUM answers WHEN the shift happened. Scale: "
+    "one hash shuffle on event_type + per-type ordered windows (the "
+    "grouped-rank shape); the argmax is a 1-row-per-type "
+    "TakeOrdered-style window over the same partitioning.",
+)
+def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "v")
+    w_all = Window.partitionBy("event_type")
+    c = q.select(
+        "event_type",
+        "ts",
+        F.sum("v")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s_k"),
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("v").over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    d = c.select(
+        "event_type",
+        "ts",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")).alias(
+            "dev_num"
+        ),
+    )
+    best = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("dev_num").desc(), "k"
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        "n",
+        F.col("k").alias("argmax_k"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "change_day"
+        ),
+        "dev_num",
+        (
+            F.col("dev_num").cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("cusum_stat"),
+    )
