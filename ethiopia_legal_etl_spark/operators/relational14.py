@@ -29,7 +29,7 @@ state is O(events-per-user) per key — the applyInPandasWithState
 streaming twin shape, same as anomaly_rolling_zscore.
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
@@ -434,4 +434,232 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_part").alias("n_orders"),
             F.sum("price_part").cast("double").alias("total_price"),
         )
+    )
+
+
+@register(
+    "experiment_cuped_adjust",
+    oracle="""
+    WITH q AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN pre THEN c ELSE 0 END)
+               AS DECIMAL(38,0)) AS x,
+             CAST(SUM(CASE WHEN NOT pre THEN c ELSE 0 END)
+               AS DECIMAL(38,0)) AS y
+      FROM q GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+             SUM(y * y) AS syy
+      FROM u
+    ),
+    g AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             SUM(x) AS gx, SUM(y) AS gy
+      FROM u GROUP BY variant
+    )
+    SELECT g.variant,
+           g.n_users,
+           CAST(g.gy AS DOUBLE) / g.n_users / 100 AS mean_y,
+           (CAST(g.gy AS DOUBLE) / g.n_users
+            - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+               / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+              * (CAST(g.gx AS DOUBLE) / g.n_users
+                 - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+           / 100 AS mean_y_cuped,
+           CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+             / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) AS theta,
+           (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+            * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE))
+           / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+              * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)) AS rho2
+    FROM g CROSS JOIN pooled p
+    """,
+    doc="CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al. WSDM "
+    "2013 — the industry-standard A/B variance-reduction): per "
+    "variant (user_id parity), the post-period mean revenue and its "
+    "CUPED adjustment mean(y) - theta*(mean_g(x) - mean(x)), where x "
+    "is each user's PRE-period (Jan 1-15) revenue and theta = "
+    "cov(x,y)/var(x) pooled over all users. The naive formulation "
+    "computes y_adj per user and float-averages it — an "
+    "accumulation-order-dependent sum; here the estimator is reduced "
+    "ALGEBRAICALLY to group means, so every input is an exact "
+    "DECIMAL(38,0) moment of cents (stats_corr_exact_moments "
+    "discipline) and the whole readout is fixed IEEE expressions "
+    "over exactly-agreed operands — raw-double identical, no "
+    "rounding policy. rho2 (= the variance-reduction factor 1-rho2's "
+    "complement) rides along from the same moments. Scale: one "
+    "groupBy(user) + two tiny aggregates; the pooled 1-row frame "
+    "broadcasts.",
+)
+def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "pre"
+        ),
+    )
+    u = q.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pre"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum(F.when(~F.col("pre"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("gx"),
+        F.sum("y").cast("decimal(38,0)").alias("gy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_num = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y = (n * F.col("syy") - sy * sy).cast("double")
+    theta = cov_num / var_x
+    mean_y = F.col("gy").cast("double") / F.col("n_users")
+    mean_x_g = F.col("gx").cast("double") / F.col("n_users")
+    mean_x_all = sx.cast("double") / n.cast("double")
+    return g.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        "n_users",
+        (mean_y / 100).alias("mean_y"),
+        (
+            (mean_y - theta * (mean_x_g - mean_x_all)) / 100
+        ).alias("mean_y_cuped"),
+        theta.alias("theta"),
+        ((cov_num * cov_num) / (var_x * var_y)).alias("rho2"),
+    )
+
+
+@register(
+    "attribution_linear_credit",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000 AS v_mc
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    t AS (
+      SELECT p.pid, p.v_mc, c.event_type AS channel,
+             c.ts AS c_ts, c.event_id AS c_id
+      FROM p
+      LEFT JOIN (SELECT * FROM events
+                 WHERE event_type IN ('view', 'click')
+                   AND ts IS NOT NULL) c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    ),
+    r AS (
+      SELECT pid, v_mc, channel,
+             CAST(COUNT(channel) OVER (PARTITION BY pid) AS BIGINT) AS k,
+             ROW_NUMBER() OVER (
+               PARTITION BY pid ORDER BY c_ts DESC, c_id DESC
+             ) AS rk
+      FROM t
+    ),
+    credits AS (
+      SELECT COALESCE(channel, 'unattributed') AS channel,
+             CASE
+               WHEN channel IS NULL THEN v_mc
+               ELSE v_mc // k + CASE WHEN rk = 1 THEN v_mc % k ELSE 0 END
+             END AS credit_mc
+      FROM r
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(credit_mc) AS BIGINT) AS credit_mc,
+           CAST(SUM(credit_mc) AS DOUBLE) / 100000 AS credit_usd
+    FROM credits GROUP BY channel
+    """,
+    doc="LINEAR MULTI-TOUCH ATTRIBUTION with EXACT INTEGER credit "
+    "conservation: each purchase's value is split across the user's "
+    "view/click touches in the preceding 30 minutes — v_millicents "
+    "DIV k per touch, REMAINDER to the most recent touch (the "
+    "Hamilton-apportionment trick from sample_quota_apportion) — so "
+    "sum(credit) == sum(purchase value) EXACTLY, the invariant "
+    "float-fraction attribution (v/k summed per channel) violates "
+    "through both rounding drift and accumulation order. Zero-touch "
+    "purchases flow whole into an 'unattributed' bucket instead of "
+    "vanishing (a LEFT interval join, the "
+    "stream_stream_interval_join shape at 30 min). Everything is "
+    "BIGINT until one display division. Scale: one user-keyed "
+    "interval join + one per-purchase window (purchases are the "
+    "natural partition key); channel aggregate is map-side-combined. "
+    "Conservation is property-tested.",
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.floor(F.col("value") * 100 + 0.5).cast("long") * 1000).alias(
+            "v_mc"
+        ),
+    )
+    c = ev.where(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("event_type").alias("channel"),
+    )
+    t = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    w_pid = Window.partitionBy("pid")
+    r = t.select(
+        "pid",
+        "v_mc",
+        "channel",
+        F.count("channel").over(w_pid).alias("k"),
+        F.row_number()
+        .over(w_pid.orderBy(F.col("c_ts").desc(), F.col("c_id").desc()))
+        .alias("rk"),
+    )
+    credit = F.when(F.col("channel").isNull(), F.col("v_mc")).otherwise(
+        F.expr("v_mc DIV k")
+        + F.when(F.col("rk") == 1, F.col("v_mc") % F.col("k")).otherwise(0)
+    )
+    credits = r.select(
+        F.coalesce("channel", F.lit("unattributed")).alias("channel"),
+        credit.alias("credit_mc"),
+    )
+    return credits.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_mc").alias("credit_mc"),
+        (F.sum("credit_mc").cast("double") / 100000).alias("credit_usd"),
     )

@@ -163,3 +163,49 @@ def test_corr_exact_moments_matches_python(spark, sf_dir):
         assert got[flag][0] == n
         assert got[flag][1] == corr, flag  # exact-moments => bit equal
         assert -1.0 <= corr <= 1.0
+
+
+def test_attribution_conserves_total_purchase_value(spark, sf_dir):
+    """Exact credit conservation: sum of all channel credits equals the
+    total purchase value in millicents, to the last integer."""
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        attribution_linear_credit,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    rows = attribution_linear_credit(spark, sf_dir).collect()
+    credited = sum(r["credit_mc"] for r in rows)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.floor(F.col("value") * 100 + 0.5).cast("long") * 1000).alias(
+                "mc"
+            )
+        )
+        .agg(F.sum("mc"))
+        .collect()[0][0]
+    )
+    assert credited == total
+    assert {r["channel"] for r in rows} <= {"view", "click", "unattributed"}
+
+
+def test_cuped_reduces_to_plain_mean_when_theta_applied_to_pooled(spark, sf_dir):
+    """CUPED sanity: the user-count-weighted average of the adjusted
+    means equals the weighted average of the raw means (the adjustment
+    is mean-preserving because sum_g n_g*(mean_g(x) - mean(x)) = 0),
+    and rho2 is in [0, 1]."""
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        experiment_cuped_adjust,
+    )
+
+    rows = experiment_cuped_adjust(spark, sf_dir).collect()
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["mean_y"] * r["n_users"] for r in rows) / n
+    adj = sum(r["mean_y_cuped"] * r["n_users"] for r in rows) / n
+    assert abs(raw - adj) < 1e-9
+    for r in rows:
+        assert 0.0 <= r["rho2"] <= 1.0
+        assert r["theta"] == rows[0]["theta"]  # pooled, same every row
