@@ -1281,3 +1281,80 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_spans > 0, n_masked.cast("double") / n_spans
         ).otherwise(F.lit(0.0)).alias("mean_span_len"),
     )
+
+
+@register(
+    "batch_padding_waste",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(LEN(list_filter(string_split(text, ' '), x -> x != ''))
+               AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 8
+               AS batch_id
+      FROM toks
+    ),
+    batches AS (
+      SELECT batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tok) AS BIGINT) AS max_len,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+      FROM ordered GROUP BY batch_id
+    )
+    SELECT batch_id, n_docs, max_len, tok_sum,
+           n_docs * max_len - tok_sum AS pad_tokens,
+           CAST(n_docs * max_len - tok_sum AS DOUBLE)
+             / NULLIF(n_docs * max_len, 0) AS pad_frac
+    FROM batches
+    """,
+    doc="LENGTH-BUCKETED BATCH PADDING-WASTE accounting: documents "
+    "sorted by token length, grouped into batches of 8, and each "
+    "batch's padding overhead measured as n*max_len - sum(len) — the "
+    "throughput metric that justifies length bucketing over random "
+    "batching in a training data loader (random batches pad every "
+    "sequence to the batch max; sorting makes neighbors similar "
+    "lengths). All integers; the fraction is one IEEE division. "
+    "Sibling: pack_token_sequences ELIMINATES padding by "
+    "concat-and-chunk; this MEASURES what padding costs when "
+    "sequence boundaries must be respected. "
+    "# global-sort: the length sort is the operator's semantics — "
+    "length-bucketed batching IS a global sort by length; at 100 TB "
+    "it is the range-partitioned sort-shuffle every distributed "
+    "batch sampler performs (and in practice runs per-shard).",
+)
+def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    # global-sort: length-bucketed batching is BY DEFINITION a global
+    # length sort (range-partitioned shuffle at scale, per-shard in
+    # practice)
+    rn = F.row_number().over(Window.orderBy("n_tok", "doc_id"))
+    ordered = toks.select(
+        "n_tok", ((rn - 1).cast("long") / 8).cast("long").alias("batch_id")
+    )
+    batches = ordered.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_len"),
+        F.sum("n_tok").alias("tok_sum"),
+    )
+    pad = F.col("n_docs") * F.col("max_len") - F.col("tok_sum")
+    return batches.select(
+        "batch_id",
+        "n_docs",
+        "max_len",
+        "tok_sum",
+        pad.alias("pad_tokens"),
+        (
+            pad.cast("double")
+            / F.nullif(F.col("n_docs") * F.col("max_len"), F.lit(0))
+        ).alias("pad_frac"),
+    )

@@ -928,3 +928,182 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("score", 6).alias("mmr_score"),
     )
+
+
+@register(
+    "embedding_silhouette_labels",
+    oracle="""
+    WITH q AS (
+      -- integer-lattice quantization (1e-6 grid): float->double cast
+      -- is exact, one deterministic multiply+floor per coordinate;
+      -- every moment downstream is an exact BIGINT
+      SELECT vec_id, label,
+             list_transform(embedding,
+               e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+               AS x,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(embedding,
+                 e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                      * CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS xx
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    dimsums AS (
+      -- parallel unnests zip positionally in DuckDB (no WITH
+      -- ORDINALITY in this build)
+      SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s
+      FROM (
+        SELECT label,
+               unnest(range(1, LEN(x) + 1)) AS dim,
+               unnest(x) AS val
+        FROM q
+      ) GROUP BY label, dim
+    ),
+    mom AS (
+      SELECT d.label,
+             list(d.s ORDER BY d.dim) AS sv,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM q WHERE q.label = d.label)
+               AS n_c,
+             (SELECT CAST(SUM(xx) AS BIGINT) FROM q WHERE q.label = d.label)
+               AS ss_c
+      FROM dimsums d GROUP BY d.label
+    ),
+    pt AS (
+      SELECT q.vec_id, q.label AS own, m.label AS other, m.n_c,
+             -- n_c*|x|^2 - 2*x.S_c + SS_c : exact BIGINT numerator of
+             -- the mean squared distance to cluster m
+             CAST(m.n_c * q.xx
+                  - 2 * list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(list_zip(q.x, m.sv),
+                          z -> z[1] * z[2])),
+                      (a, b) -> a + b)
+                  + m.ss_c AS BIGINT) AS num
+      FROM q CROSS JOIN mom m
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             MAX(CASE WHEN own = other AND n_c > 1
+                      THEN CAST(num AS DOUBLE) / (n_c - 1) END) AS a,
+             MIN(CASE WHEN own != other
+                      THEN CAST(num AS DOUBLE) / n_c END) AS b
+      FROM pt GROUP BY vec_id, own
+    ),
+    s AS (
+      SELECT own AS label,
+             CAST(ROUND(
+               CASE WHEN a IS NULL OR b IS NULL OR GREATEST(a, b) = 0
+                    THEN 0.0
+                    ELSE (b - a) / GREATEST(a, b) END, 6)
+               AS DECIMAL(18,6)) AS sil
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(sil) AS DOUBLE) / COUNT(*) AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+    doc="EXACT SILHOUETTE SCORE per label over the embedding table "
+    "(Rousseeuw 1987, squared-euclidean variant) — the clustering-"
+    "quality eval next to the IVF/k-means operators: s(i) = "
+    "(b-a)/max(a,b) with a = mean squared distance to own-label "
+    "points, b = min over other labels of the mean squared distance. "
+    "The mean-squared-distance trick makes it EXACT where pairwise "
+    "float sums are accumulation-order-dependent: embeddings are "
+    "quantized once to a 1e-6 integer lattice, then mean_sqdist(x,C) "
+    "= (n|x|^2 - 2x.S_C + SS_C)/n needs only the per-label moment "
+    "vectors S_C and scalars SS_C — integer sums, order-free, no "
+    "O(n^2) pairwise pass (magnitude audit: <= 8e15 at sf0.1, within "
+    "int64). a and b are single IEEE divisions of agreed BIGINTs, so "
+    "b's argmin cannot flip cross-engine; per-point s rounds to "
+    "DECIMAL(18,6) for an order-free exact mean (lm_stupid_backoff "
+    "policy). Scale: moments are one explode+groupBy (64 x |labels| "
+    "rows); the point x label-moment join broadcasts |labels| rows — "
+    "silhouette at 100 TB without materializing a single pair. "
+    "Singleton clusters emit s = 0 (the standard convention).",
+)
+def embedding_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    qx = F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * 1000000).cast("long"),
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        qx.alias("x"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda e: F.floor(e.cast("double") * 1000000).cast("long")
+                * F.floor(e.cast("double") * 1000000).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("xx"),
+    )
+    dimsums = (
+        q.select("label", F.posexplode("x").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"))
+    )
+    sv = F.transform(
+        F.sort_array(F.collect_list(F.struct("dim", "s"))), lambda z: z["s"]
+    )
+    per_label = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("xx").alias("ss_c")
+    )
+    mom = (
+        dimsums.groupBy("label")
+        .agg(sv.alias("sv"))
+        .join(per_label, "label")
+        .select(
+            F.col("label").alias("other"), "sv", "n_c", "ss_c"
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("x", "sv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    pt = q.crossJoin(F.broadcast(mom)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "other",
+        "n_c",
+        (F.col("n_c") * F.col("xx") - 2 * dot + F.col("ss_c")).alias("num"),
+    )
+    ab = pt.groupBy("vec_id", "own").agg(
+        F.max(
+            F.when(
+                (F.col("own") == F.col("other")) & (F.col("n_c") > 1),
+                F.col("num").cast("double") / (F.col("n_c") - 1),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(
+                F.col("own") != F.col("other"),
+                F.col("num").cast("double") / F.col("n_c"),
+            )
+        ).alias("b"),
+    )
+    sil = F.round(
+        F.when(
+            F.col("a").isNull()
+            | F.col("b").isNull()
+            | (F.greatest("a", "b") == 0),
+            F.lit(0.0),
+        ).otherwise(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    s = ab.select(F.col("own").alias("label"), sil.alias("sil"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum("sil").cast("double") / F.count(F.lit(1))).alias(
+            "mean_silhouette"
+        ),
+    )

@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "fuzzy_vocab_jaro_winkler",  # Heaps-bounded vocab x vocab non-equi pairs (doc'd)
     "retention_kaplan_meier",   # prefix-product pairs over the tiny duration frame
     "experiment_cuped_adjust",  # 1-row pooled-moments broadcast crossJoin
+    "embedding_silhouette_labels",  # |labels|-row moment frame broadcast crossJoin
 }
 
 
