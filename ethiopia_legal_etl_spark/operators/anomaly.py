@@ -471,3 +471,77 @@ def trend_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.median("slope").alias("ts_slope"),
     )
+
+
+@register(
+    "twap_event_type",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c,
+             LEAD(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS nxt
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, v_c,
+             CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS w_us
+      FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(w_us AS DECIMAL(38,0))
+                    * CAST(v_c AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS DOUBLE) / 100
+             AS twap
+    FROM w GROUP BY event_type
+    """,
+    doc="TIME-WEIGHTED AVERAGE VALUE per event_type (the TWAP / "
+    "telemetry-gauge aggregation): each observation holds until the "
+    "next one, so its weight is the microsecond gap to the successor "
+    "— the correct average for irregularly-sampled gauges, where the "
+    "plain mean over-weights bursts (a burst of 100 readings in one "
+    "second should not dominate an hour of steady state). Exactness: "
+    "cents x microsecond-gap products are exact DECIMAL(38,0) terms "
+    "(<= 1.3e14/row, order-free sums), the TWAP is two IEEE "
+    "divisions of agreed totals; both engines compute epoch "
+    "microseconds from the same µs-precision timestamps and order by "
+    "(ts, event_id) so tied timestamps weight identically. The final "
+    "open-ended observation has no successor and carries zero weight "
+    "(excluded on both sides). Scale: one hash shuffle on event_type "
+    "+ a per-type LEAD window (the grouped-rank shape), then a "
+    "map-side-combined aggregate. Sibling: ewma_user_value "
+    "(exponential decay by COUNT), this weights by WALL TIME.",
+)
+def twap_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_c"),
+        F.lead("ts")
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    w = o.where(F.col("nxt").isNotNull()).select(
+        "event_type",
+        "v_c",
+        # ts loads as TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        # NTZ->LTZ cast is exact and unix_micros matches epoch_us
+        (
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("w_us"),
+    )
+    wd = F.col("w_us").cast("decimal(38,0)")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(wd).cast("long").alias("span_us"),
+        (
+            F.sum(wd * F.col("v_c").cast("decimal(38,0)")).cast("double")
+            / F.sum(wd).cast("double")
+            / 100
+        ).alias("twap"),
+    )

@@ -663,3 +663,97 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_mc").alias("credit_mc"),
         (F.sum("credit_mc").cast("double") / 100000).alias("credit_usd"),
     )
+
+
+@register(
+    "experiment_proportion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS x
+      FROM u WHERE variant IS NOT NULL GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN x END) AS x1
+      FROM g
+    )
+    SELECT n0, x0, n1, x1,
+           CAST(x0 AS DOUBLE) / n0 AS p0,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / NULLIF(
+                 SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (CAST(1 AS DOUBLE) / n0
+                         + CAST(1 AS DOUBLE) / n1)), 0.0)
+             AS z_stat
+    FROM wide
+    """,
+    doc="TWO-PROPORTION Z-TEST between experiment variants (user_id "
+    "parity): converted = user made >= 14 purchases (every user here "
+    "purchases at least once, which would saturate p_pool = 1 and "
+    "zero the denominator — guarded with NULLIF anyway); z = "
+    "(p1 - p0) / sqrt(p_pool (1 - p_pool)(1/n0 + 1/n1)) — the "
+    "standard A/B significance readout next to "
+    "experiment_cuped_adjust (which reduces the VARIANCE; this "
+    "tests the DIFFERENCE). Counts are exact BIGINTs from one "
+    "groupBy(user) + a 2-row pivot; the statistic is one fixed IEEE "
+    "expression over agreed integers — raw-double identical. "
+    "NULL-variant users (null-mirror user_ids) are excluded "
+    "explicitly on both engines. Scale: one user shuffle, then "
+    "2-row frames.",
+)
+def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    g = (
+        u.where(F.col("variant").isNotNull())
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x"))
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.nullif(
+        F.sqrt(
+            pp
+            * (1 - pp)
+            * (
+                F.lit(1).cast("double") / F.col("n0")
+                + F.lit(1).cast("double") / F.col("n1")
+            )
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0", "x0", "n1", "x1", p0.alias("p0"), p1.alias("p1"), z.alias("z_stat")
+    )
