@@ -757,3 +757,138 @@ def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "n0", "x0", "n1", "x1", p0.alias("p0"), p1.alias("p1"), z.alias("z_stat")
     )
+
+
+@register(
+    "experiment_welch_effect",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               AS DECIMAL(38,0)) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(y) AS sy, SUM(y * y) AS syy
+      FROM u WHERE variant IS NOT NULL GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN sy END) AS sy0,
+        MAX(CASE WHEN variant = 0 THEN syy END) AS syy0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN sy END) AS sy1,
+        MAX(CASE WHEN variant = 1 THEN syy END) AS syy1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100
+             AS mean_diff,
+           (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / SQRT(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE)
+                    / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
+                    / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+             AS welch_t,
+           (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / SQRT((CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)
+                   + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE))
+                  / CAST(n0 + n1 - 2 AS DOUBLE))
+             AS cohens_d,
+           (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+           * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+           / (CAST(n0 + n1 AS DOUBLE) / 2)
+           + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+             * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+             / (CAST(n0 + n1 AS DOUBLE) / 2) AS srm_chi2
+    FROM wide
+    """,
+    doc="WELCH T-STATISTIC + COHEN'S D + SAMPLE-RATIO-MISMATCH check "
+    "for the continuous experiment metric (per-user total revenue, "
+    "variant = user parity) — the readout panel next to "
+    "experiment_proportion_ztest (binary metric) and "
+    "experiment_cuped_adjust (variance reduction): Welch 1947's "
+    "unequal-variance t, Cohen 1988's standardized effect size, and "
+    "the 50/50 chi-square SRM guardrail (Fabijan et al. 2019 — a "
+    "skewed assignment invalidates the test before any p-value is "
+    "read). Every moment is an exact DECIMAL(38,0) sum of cents; "
+    "variances use the n*Syy - Sy^2 clearing "
+    "(stats_corr_exact_moments discipline); all three statistics are "
+    "fixed IEEE expressions over the six agreed totals — raw-double "
+    "identical. One user shuffle, then a 2-row pivot.",
+)
+def experiment_welch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("y")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    g = (
+        u.where(F.col("variant").isNotNull())
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("variant") == 0, F.col("syy"))).alias("syy0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("variant") == 1, F.col("syy"))).alias("syy1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    m0 = F.col("sy0").cast("double") / n0d
+    m1 = F.col("sy1").cast("double") / n1d
+    v0 = (F.col("n0") * F.col("syy0") - F.col("sy0") * F.col("sy0")).cast(
+        "double"
+    ) / (F.col("n0") * (F.col("n0") - 1)).cast("double")
+    v1 = (F.col("n1") * F.col("syy1") - F.col("sy1") * F.col("sy1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    diff = m1 - m0
+    welch = diff / F.sqrt(v0 / n0d + v1 / n1d)
+    pooled_num = (
+        (F.col("n0") * F.col("syy0") - F.col("sy0") * F.col("sy0")).cast(
+            "double"
+        )
+        / n0d
+        + (F.col("n1") * F.col("syy1") - F.col("sy1") * F.col("sy1")).cast(
+            "double"
+        )
+        / n1d
+    )
+    cohens = diff / F.sqrt(
+        pooled_num / (F.col("n0") + F.col("n1") - 2).cast("double")
+    )
+    half = (F.col("n0") + F.col("n1")).cast("double") / 2
+    srm = (n0d - half) * (n0d - half) / half + (n1d - half) * (
+        n1d - half
+    ) / half
+    return wide.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (diff / 100).alias("mean_diff"),
+        welch.alias("welch_t"),
+        cohens.alias("cohens_d"),
+        srm.alias("srm_chi2"),
+    )
