@@ -523,3 +523,92 @@ def retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("ndcg_at_5"),
     )
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events WHERE ts IS NOT NULL
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    pred AS (
+      -- top-1 predictor per state, deterministic tiebreak on the
+      -- successor name
+      SELECT cur, nxt AS pred_next
+      FROM (
+        SELECT cur, nxt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cur ORDER BY c DESC, nxt
+               ) AS rk
+        FROM trans
+      ) WHERE rk = 1
+    )
+    SELECT s.cur,
+           p.pred_next,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN s.nxt = p.pred_next THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN s.nxt = p.pred_next THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS top1_accuracy
+    FROM seq s JOIN pred p ON p.cur = s.cur
+    WHERE s.nxt IS NOT NULL
+    GROUP BY s.cur, p.pred_next
+    """,
+    doc="TOP-1 MARKOV NEXT-EVENT PREDICTOR ACCURACY: train the "
+    "first-order transition model (event_transition_matrix's counts) "
+    "and EVALUATE it in the same pass — per current state, the "
+    "argmax successor (count tiebreak -> successor name, "
+    "deterministic) and its in-sample top-1 accuracy. This is the "
+    "sequence-model twin of model_confusion_threshold: the registry "
+    "had the transition MODEL but no predictive-quality readout; "
+    "accuracy is the quantity that says whether next-event "
+    "prediction is better than the majority-class baseline. Counts "
+    "exact BIGINT, accuracy one IEEE division. Scale: one user-hash "
+    "shuffle for the LEAD window, one tiny transition aggregate "
+    "broadcast back onto the transition stream.",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.where(F.col("ts").isNotNull()).select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pred = (
+        trans.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("pred_next"))
+    )
+    return (
+        seq.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "pred_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("pred_next"), 1).otherwise(0)
+            ).alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("nxt") == F.col("pred_next"), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("top1_accuracy"),
+        )
+    )
