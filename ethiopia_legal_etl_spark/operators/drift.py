@@ -523,3 +523,69 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("cusum_stat"),
     )
+
+
+@register(
+    "proportion_wilson_ci",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           CAST(x AS DOUBLE) / n AS p_hat,
+           (CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+            - 1.959964 * SQRT((CAST(x AS DOUBLE) / n
+                               * (1 - CAST(x AS DOUBLE) / n)
+                               + 1.959964 * 1.959964 / (4.0 * n * n)) / n))
+           / (1 + 1.959964 * 1.959964 / n) AS wilson_lo,
+           (CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+            + 1.959964 * SQRT((CAST(x AS DOUBLE) / n
+                               * (1 - CAST(x AS DOUBLE) / n)
+                               + 1.959964 * 1.959964 / (4.0 * n * n)) / n))
+           / (1 + 1.959964 * 1.959964 / n) AS wilson_hi
+    FROM g
+    """,
+    doc="WILSON SCORE 95% CONFIDENCE INTERVAL for a proportion per "
+    "event_type (Wilson 1927; the interval Brown-Cai-DasGupta 2001 "
+    "recommends over the Wald interval, whose coverage collapses "
+    "near 0/1 and small n): here the share of high-value events "
+    "(value >= 250). Counts are exact BIGINTs from one "
+    "map-side-combined groupBy; lo/hi are fixed IEEE expressions "
+    "over the agreed (n, x) pair — written with the IDENTICAL op "
+    "tree in both engines, so the doubles hash raw. Completes "
+    "interval estimation alongside median_ci_order_stats "
+    "(distribution-free median CI): that one selects order "
+    "statistics, this one inverts the score test. Scale: one "
+    "aggregate, |event_type| output rows, nothing else.",
+)
+def proportion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") >= 250, 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    z = F.lit(1.959964)
+    n = F.col("n")
+    p = F.col("x").cast("double") / n
+    center = p + z * z / (2 * n)
+    halfw = z * F.sqrt((p * (1 - p) + z * z / (4.0 * n * n)) / n)
+    denom = 1 + z * z / n
+    return g.select(
+        "event_type",
+        "n",
+        "x",
+        p.alias("p_hat"),
+        ((center - halfw) / denom).alias("wilson_lo"),
+        ((center + halfw) / denom).alias("wilson_hi"),
+    )
