@@ -439,10 +439,16 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(median_bool_flags parity note) — raw-double hash, no rounding "
     "policy. Scale: the O(days^2) pair join runs on the per-day "
     "AGGREGATE (|days| rows per type, equi-keyed on event_type), "
-    "never on raw events; at 100 TB with long histories you window "
-    "the series (e.g. trailing 90 days) — same plan shape.",
+    "never on raw events; at 100 TB with long histories pass "
+    "trailing_days (e.g. 90): the series is clipped to the last N "
+    "days per type BEFORE the pair join, bounding it at N^2/2 pairs "
+    "per type regardless of history length (measured in SCALING.md, "
+    "VERDICT r8 #5; the registry entry keeps the full series so the "
+    "oracle stays parameter-free).",
 )
-def trend_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trend_theil_sen_slope(
+    spark: SparkSession, sf_dir: str, trailing_days: int | None = None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("value").isNotNull())
@@ -454,6 +460,17 @@ def trend_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("y"))
     )
+    if trailing_days is not None:
+        # clip each type's series to its trailing window on the per-day
+        # AGGREGATE: per-type max is a tiny broadcast back — the pair
+        # join below then costs <= trailing_days^2/2 pairs per type no
+        # matter how long the raw history grows
+        last = daily.groupBy("event_type").agg(F.max("x").alias("x_max"))
+        daily = (
+            daily.join(F.broadcast(last), "event_type")
+            .where(F.col("x") > F.col("x_max") - trailing_days)
+            .drop("x_max")
+        )
     a = daily.select(
         "event_type", F.col("x").alias("x1"), F.col("y").alias("y1")
     )

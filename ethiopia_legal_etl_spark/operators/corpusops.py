@@ -1312,19 +1312,21 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM batches
     """,
     doc="LENGTH-BUCKETED BATCH PADDING-WASTE accounting: documents "
-    "sorted by token length, grouped into batches of 8, and each "
-    "batch's padding overhead measured as n*max_len - sum(len) — the "
-    "throughput metric that justifies length bucketing over random "
-    "batching in a training data loader (random batches pad every "
-    "sequence to the batch max; sorting makes neighbors similar "
-    "lengths). All integers; the fraction is one IEEE division. "
+    "ranked by (token length, doc_id), grouped into batches of 8, and "
+    "each batch's padding overhead measured as n*max_len - sum(len) — "
+    "the throughput metric that justifies length bucketing over "
+    "random batching in a training data loader. All integers; the "
+    "fraction is one IEEE division. Scale shape (VERDICT r8 #2, the "
+    "pack_token_sequences prefix-offset pattern): the global rank is "
+    "DECOMPOSED as prefix(count of shorter docs) + rank within the "
+    "doc's own length. The prefix runs over the per-length COUNT "
+    "table (one row per distinct n_tok — bounded by max doc length, "
+    "not corpus size), the within-length rank is a WindowExec "
+    "PARTITIONED by n_tok, and the offsets broadcast back — so no "
+    "corpus-grain row ever crosses a single-partition window. "
     "Sibling: pack_token_sequences ELIMINATES padding by "
     "concat-and-chunk; this MEASURES what padding costs when "
-    "sequence boundaries must be respected. "
-    "# global-sort: the length sort is the operator's semantics — "
-    "length-bucketed batching IS a global sort by length; at 100 TB "
-    "it is the range-partitioned sort-shuffle every distributed "
-    "batch sampler performs (and in practice runs per-shard).",
+    "sequence boundaries must be respected.",
 )
 def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1334,12 +1336,22 @@ def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_tok"),
     )
-    # global-sort: length-bucketed batching is BY DEFINITION a global
-    # length sort (range-partitioned shuffle at scale, per-shard in
-    # practice)
-    rn = F.row_number().over(Window.orderBy("n_tok", "doc_id"))
-    ordered = toks.select(
-        "n_tok", ((rn - 1).cast("long") / 8).cast("long").alias("batch_id")
+    # per-length counts: one row per DISTINCT token length
+    cnts = toks.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded: ordered prefix over the per-length count table only
+    # (|distinct n_tok| <= max document length — thousands of rows at
+    # any corpus size, never corpus-grain)
+    wpre = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "n_tok", F.coalesce(F.sum("cnt").over(wpre), F.lit(0)).alias("n_before")
+    )
+    # within-length rank is PARTITIONED by n_tok (distributed); the
+    # global rank is reassembled map-side from the broadcast offsets
+    win = Window.partitionBy("n_tok").orderBy("doc_id")
+    ranked = toks.select("doc_id", "n_tok", F.row_number().over(win).alias("r"))
+    gr = F.col("n_before") + F.col("r")  # == row_number over (n_tok, doc_id)
+    ordered = ranked.join(F.broadcast(offs), "n_tok").select(
+        "n_tok", ((gr - 1).cast("long") / 8).cast("long").alias("batch_id")
     )
     batches = ordered.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -248,12 +248,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # LSH candidate generation is engine-specific -> rows-only
-    doc="MinHash LSH near-dup candidates (shingle → HashingTF → banded "
-    "min-hash → bucket equi-join) via pyspark.ml, threshold 0.6 "
-    "Jaccard distance; property tests assert symmetry & self-match",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x != '')) AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    nz AS (SELECT doc_id, toks FROM d WHERE LEN(toks) > 0),
+    h AS (
+      SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM nz
+    ),
+    sigs AS (
+      SELECT doc_id, i AS band,
+             list_min(list_transform(
+               hs, x -> substr(x, 4*i + 1, 32) || substr(x, 1, 4*i))) AS sig
+      FROM h, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard_dist FROM (
+      SELECT c.doc_a, c.doc_b,
+             1.0 - CAST(LEN(list_intersect(da.toks, db.toks)) AS DOUBLE)
+                   / (LEN(da.toks) + LEN(db.toks)
+                      - LEN(list_intersect(da.toks, db.toks))) AS jaccard_dist
+      FROM cand c
+      JOIN nz da ON da.doc_id = c.doc_a
+      JOIN nz db ON db.doc_id = c.doc_b
+    ) WHERE jaccard_dist <= 0.4
+    """,
+    doc="MinHash LSH near-dup pairs at pyspark.ml MinHashLSH's "
+    "operating point (numHashTables=8 -> b=8 bands of r=1 row; "
+    "approxSimilarityJoin threshold 0.4 on exact Jaccard DISTANCE), "
+    "re-expressed with the deterministic md5-rotation MinHash so the "
+    "candidate generation is engine-portable and the whole pipeline "
+    "is oracle-checked (VERDICT r8 #3: the LSH family's last "
+    "rows-only slot). Tokenizer semantics mirror ml.feature.Tokenizer "
+    "(lowercase, split on whitespace runs). Candidates come from an "
+    "equi-join on (band, sig) — O(bucket collisions) at 100 TB, "
+    "never all-pairs — then the exact token-set distance verifies "
+    "each candidate, so precision is exact and banding only affects "
+    "recall (miss prob at s>=0.6 is (1-s)^8 <= 0.07%; recall gate vs "
+    "exact all-pairs in tests/test_dedup_similarity.py). Sibling "
+    "dedup_ngram_jaccard is the r=2,b=4 SIMILARITY-threshold variant "
+    "(case-sensitive tokens, emits jaccard); this entry is the "
+    "DISTANCE-threshold twin at the ml.MinHashLSH config. The "
+    "jaccard_dist output is raw-repr exact: one integer intersection, "
+    "|A|+|B|-|A∩B| union, a single IEEE division and subtraction — "
+    "no rounding step. The pyspark.ml original is kept as "
+    "minhash_lsh_ml (below) for ML-surface coverage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    hashed = d.withColumn("hs", F.transform("toks", lambda t: F.md5(t)))
+
+    def rot_min(seed: int):
+        # seed-hash = md5 hex rotated left by 4*seed chars (seed 0 is
+        # the digest itself) — same rotation family as
+        # banded_jaccard_pairs, but b=8 bands of r=1 row each.
+        if seed == 0:
+            return F.array_min("hs")
+        return F.array_min(
+            F.transform(
+                "hs",
+                lambda h: F.concat(
+                    F.substring(h, 4 * seed + 1, 32), F.substring(h, 1, 4 * seed)
+                ),
+            )
+        )
+
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), rot_min(i).alias("sig"))
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    dist = F.lit(1.0) - inter.cast("double") / union
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .where(dist <= 0.4)
+        .select("doc_a", "doc_b", dist.alias("jaccard_dist"))
+    )
+
+
+def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml MinHashLSH original (unregistered: its seeded
+    random hash family is engine-specific, so it can never carry a
+    DuckDB oracle). Kept as the ML-surface exercise for
+    ml.feature.{Tokenizer, HashingTF, MinHashLSH}; the registered
+    dedup_minhash_lsh above re-expresses the same operating point
+    (8 hash tables, 0.4 distance threshold) deterministically."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     docs = (
@@ -489,11 +603,74 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash_band",
-    oracle=None,  # murmur-free but pandas-UDF-backed -> rows-only
-    doc="SimHash near-dup: 64-bit signature (pandas UDF), banded into "
-    "4×16-bit keys, candidates = equi-join on any band, verified by "
-    "Hamming distance ≤ 3. Equi-join banding is what scales: the "
-    "shuffle key is the band value, never a pairwise comparison.",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    th AS (
+      -- FNV-1a 64-bit per token INSTANCE, recomputed from the spec:
+      -- fold over the token's utf-8 bytes (hex(encode(tok)) pairs) in
+      -- HUGEINT with mod-2^64 wraparound; xor only touches the low 8
+      -- bits so it runs on BIGINT. Bit-identical to the Spark UDF's
+      -- Python fold (probed: 'the' -> 10851507214873907462).
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(1469598103934665603 AS HUGEINT),
+            list_transform(range(1, LEN(hex(encode(tok))) // 2 + 1),
+              i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i - 1, 1)) * 16
+                      + strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1)) - 17 AS HUGEINT))),
+          (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                     * CAST(1099511628211 AS HUGEINT))
+                    % CAST(18446744073709551616 AS HUGEINT)) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, bitpos,
+             SUM(CASE WHEN CAST(h // CAST(POWER(2, bitpos) AS HUGEINT) AS HUGEINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS acc
+      FROM th, UNNEST(range(0, 64)) AS u(bitpos)
+      GROUP BY doc_id, bitpos
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN CAST(POWER(2, bitpos) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS u_sig
+      FROM bits GROUP BY doc_id
+    ),
+    ss AS (
+      SELECT doc_id, u_sig,
+             CAST(CASE WHEN u_sig >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN u_sig - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE u_sig END AS BIGINT) AS simhash
+      FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             CAST((u_sig // CAST(POWER(2, 16 * band) AS HUGEINT)) % 65536 AS BIGINT) AS key
+      FROM ss, UNNEST([0, 1, 2, 3]) AS u(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup: 64-bit FNV-1a-weighted signature (pandas "
+    "UDF — Arrow batches, numpy bit-twiddling), banded into 4×16-bit "
+    "keys, candidates = equi-join on any band, verified by Hamming "
+    "distance ≤ 3. Equi-join banding is what scales: the shuffle key "
+    "is the band value, never a pairwise comparison. r9 (VERDICT r8 "
+    "#6a): converted rows-only → ORACLE-CHECKED — FNV-1a is a "
+    "published, byte-deterministic hash (Fowler/Noll/Vo; IETF "
+    "draft-eastlake-fnv), so DuckDB re-derives every signature from "
+    "the spec via a HUGEINT mod-2^64 byte fold, then mirrors the "
+    "banding, the arithmetic-shift+mask band keys (computed from the "
+    "unsigned form) and the popcount verify. The oracle shares no "
+    "code path with the UDF — it is an independent from-spec "
+    "reimplementation, so a transcription bug in either side "
+    "hash-fails the gate.",
 )
 def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (

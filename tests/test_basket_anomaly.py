@@ -127,3 +127,30 @@ def test_kaplan_meier_survival_properties(spark, sf_dir):
         run *= (r["n_risk"] - r["d"]) / r["n_risk"]
         assert abs(r["survival"] - run) < 5e-6  # round(6) at the end
         prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_theil_sen_trailing_window_bounds_pairs(spark, monkeypatch):
+    """VERDICT r8 #5: trailing_days clips the per-type series BEFORE
+    the pair join — a 200-day history at trailing_days=90 must cost
+    exactly C(90,2) pairs per type, and the slope must reflect only
+    the trailing segment (here: the late-regime slope, not a blend)."""
+    import datetime
+
+    import ethiopia_legal_etl_spark.operators.anomaly as an
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(200):
+        # piecewise trend: flat for days 0..109, slope +2.0/day after
+        v = 100.0 if d < 110 else 100.0 + 2.0 * (d - 110)
+        rows.append(("click", base + datetime.timedelta(days=d, hours=1), v))
+    ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp, value: double")
+    monkeypatch.setattr(an, "load_table", lambda *_: ev)
+
+    full = an.trend_theil_sen_slope(spark, "unused").collect()
+    assert full[0]["n_pairs"] == 200 * 199 // 2
+
+    t90 = an.trend_theil_sen_slope(spark, "unused", trailing_days=90).collect()
+    assert t90[0]["n_pairs"] == 90 * 89 // 2
+    # last 90 days (days 110..199) are entirely in the +2.0 regime
+    assert abs(t90[0]["ts_slope"] - 2.0) < 1e-9

@@ -60,6 +60,21 @@ def test_minhash_lsh_pairs_are_plausible(spark, dup_docs, monkeypatch, sf_dir):
     assert all(0.0 <= d <= 0.4 for d in pairs.values())  # threshold respected
 
 
+def test_minhash_lsh_ml_variant_agrees_on_dups(spark, dup_docs, monkeypatch, sf_dir):
+    """The unregistered pyspark.ml MinHashLSH original (engine-specific
+    hash family, so no oracle) must agree with the registered
+    deterministic twin on the planted dup/near-dup pairs."""
+    import ethiopia_legal_etl_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "load_table", lambda *_: dup_docs)
+    ml = {(r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+          for r in dd.minhash_lsh_ml(spark, sf_dir).collect()}
+    assert (1, 2) in ml and ml[(1, 2)] == 0.0  # exact dup
+    assert (1, 3) in ml and (2, 3) in ml  # near dup (1-token mutation)
+    det = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert set(ml) == det  # same operating point -> same pair set here
+
+
 def test_planted_near_dup_recall(spark, sf_dir, monkeypatch):
     """Plant near-duplicates (2-token mutations of real corpus docs)
     and verify each near-dup method recovers most planted pairs:

@@ -196,6 +196,31 @@ def test_range_frame_window_partitioned(spark, sf_dir):
     assert "o_custkey" in plan.split("Window")[1][:400]
 
 
+def test_batch_padding_waste_no_corpus_single_partition_window(spark, sf_dir):
+    """VERDICT r8 #2: batch_padding_waste decomposes its global
+    (n_tok, doc_id) rank as bounded-prefix + within-length rank, so
+    the CORPUS rows must flow through a Window PARTITIONED by n_tok;
+    the only SinglePartition exchange allowed is the one feeding the
+    per-length count table (one row per distinct length)."""
+    import re
+
+    from ethiopia_legal_etl_spark.operators.corpusops import batch_padding_waste
+
+    plan = formatted_plan(batch_padding_waste(spark, sf_dir))
+    # the row_number window (corpus grain) carries a partition spec
+    # windowspecdefinition(<partition cols>, <sort cols>, frame): the
+    # corpus rank must open with the n_tok partition key
+    rn = re.search(
+        r"row_number\(\) windowspecdefinition\(n_tok#\d+L, doc_id#\d+L ASC", plan
+    )
+    assert rn, f"corpus row_number window not partitioned by n_tok:\n{plan}"
+    # every SinglePartition exchange's input is the 2-col count table
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for b in blocks:
+        if "SinglePartition" in b and b.lstrip().startswith("("):
+            assert "cnt#" in b, f"corpus-grain SinglePartition exchange:\n{b}"
+
+
 def test_pipeline_single_shuffle(spark, sf_dir):
     """The composed training-corpus pipeline must keep exactly ONE
     Exchange (the digest-keyed dedup): every filter/score stage fuses

@@ -1161,6 +1161,88 @@ def substr_skew_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def stats_probe(spark, scratch: str) -> list[dict]:
+    """VERDICT r8 #5: scale evidence for the r8 statistical additions.
+
+    (a) trend_theil_sen_slope at growing DAY ranges. The O(days²) pair
+    join runs on the per-day aggregate, so the growth axis that
+    matters is history length, not raw row count: events replicate in
+    TIME (copy i shifts ts by i*30 days) to 30 → 300 → 3000 days, and
+    the full-history pair join (5 types × C(D,2) slopes: 2.2k → 224k →
+    22.5M pairs) races the trailing_days=90 variant, whose pair join
+    is bounded at 5 × C(90,2) ≈ 20k regardless of D.
+
+    (b) embedding_silhouette_labels at growing LABEL counts. The
+    exact-moment trick makes cost n_points × n_labels (the broadcast
+    pt stage), so labels are the quadratic-risk axis: 20k points
+    (10× replicated vectors) scored against 10 → 100 → 1000 relabeled
+    clusters (pmod(vec_id, L)); the moment table stays 64×L BIGINTs,
+    broadcast-sized even at L=1000.
+    """
+    import ethiopia_legal_etl_spark.operators.anomaly as an
+    import ethiopia_legal_etl_spark.operators.similarity as sim
+
+    out = []
+
+    # (a) Theil-Sen: time-replicated events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for factor in (1, 10, 100):
+        d = f"{scratch}/ts_x{factor}"
+        if factor == 1:
+            d = SF_DIR
+        else:
+            parts = [
+                ev.withColumn(
+                    "ts",
+                    F.col("ts") + F.make_dt_interval(F.lit(30 * i)),
+                )
+                for i in range(factor)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            u.repartition(max(8, factor)).write.mode("overwrite").parquet(
+                f"{d}/events.parquet"
+            )
+        for label, kw in (("full", {}), ("trail90", {"trailing_days": 90})):
+            b = lambda: run_noop(an.trend_theil_sen_slope(spark, d, **kw))
+            b()  # warm
+            out.append(
+                {
+                    "exp": f"theil_sen_{label}",
+                    "days": 30 * factor,
+                    "sec": timed(b),
+                }
+            )
+
+    # (b) silhouette: replicated vectors, relabeled to L clusters
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vec = emb.count()
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000))
+        for i in range(10)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    for n_labels in (10, 100, 1000):
+        d = f"{scratch}/sil_L{n_labels}"
+        big.withColumn(
+            "label", F.pmod(F.col("vec_id"), F.lit(n_labels)).cast("int")
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        b = lambda: run_noop(sim.embedding_silhouette_labels(spark, d))
+        b()  # warm
+        out.append(
+            {
+                "exp": "silhouette_labels",
+                "points": n_vec * 10,
+                "labels": n_labels,
+                "sec": timed(b),
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1191,6 +1273,8 @@ def main() -> None:
                     help="BM25/PMI/backoff-LM/winnowing scaling to 30x docs (~3 min)")
     ap.add_argument("--substr-skew", action="store_true",
                     help="planted gram-skew ExactSubstr probe: digest vs string keys, AQE skew on/off (~2 min)")
+    ap.add_argument("--stats", action="store_true",
+                    help="Theil-Sen day-range (full vs trailing-90) + silhouette label-count scaling (~4 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -1250,6 +1334,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.substr_skew:
             for r in substr_skew_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.stats:
+            for r in stats_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
