@@ -392,6 +392,64 @@ def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The shared DuckDB re-derivation of the SimHash pipeline (used by the
+# dedup_simhash_band oracle and, extended with a recursive-CTE closure,
+# by dedup_cluster_components' oracle): FNV-1a 64-bit per token
+# INSTANCE, recomputed from the published spec (Fowler/Noll/Vo, IETF
+# draft-eastlake-fnv) — fold over the token's utf-8 bytes
+# (hex(encode(tok)) pairs) in HUGEINT with mod-2^64 wraparound; xor
+# only touches the low 8 bits so it runs on BIGINT. Bit-identical to
+# the Spark UDF's Python fold (probed: 'the' -> 10851507214873907462).
+# Then the per-bit ±1 majority vote, the unsigned→signed wrap, and the
+# 4×16-bit band keys computed from the unsigned form (mirroring
+# Spark's arithmetic shiftright + 0xFFFF mask).
+_SIMHASH_SQL_CTE = r"""
+    d AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    th AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(1469598103934665603 AS HUGEINT),
+            list_transform(range(1, LEN(hex(encode(tok))) // 2 + 1),
+              i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i - 1, 1)) * 16
+                      + strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1)) - 17 AS HUGEINT))),
+          (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                     * CAST(1099511628211 AS HUGEINT))
+                    % CAST(18446744073709551616 AS HUGEINT)) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, bitpos,
+             SUM(CASE WHEN CAST(h // CAST(POWER(2, bitpos) AS HUGEINT) AS HUGEINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS acc
+      FROM th, UNNEST(range(0, 64)) AS u(bitpos)
+      GROUP BY doc_id, bitpos
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN CAST(POWER(2, bitpos) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS u_sig
+      FROM bits GROUP BY doc_id
+    ),
+    ss AS (
+      SELECT doc_id, u_sig,
+             CAST(CASE WHEN u_sig >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN u_sig - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE u_sig END AS BIGINT) AS simhash
+      FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             CAST((u_sig // CAST(POWER(2, 16 * band) AS HUGEINT)) % 65536 AS BIGINT) AS key
+      FROM ss, UNNEST([0, 1, 2, 3]) AS u(band)
+    )
+"""
+
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Iterative min-label propagation: resolve near-dup PAIRS into
     duplicate CLUSTERS (transitive closure). Returns (node, component)
@@ -446,13 +504,44 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 @register(
     "dedup_cluster_components",
-    oracle=None,  # iterative algorithm -> rows-only; transitive-closure
-    # correctness asserted by property tests on known fixtures
+    oracle="WITH RECURSIVE "
+    + _SIMHASH_SQL_CTE
+    + r"""
+    ,
+    edges AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
     doc="near-dup cluster resolution: SimHash candidate pairs → "
     "connected components (iterative min-label propagation) → one "
     "keeper per cluster. The iterative-algorithm class: per-round "
     "join+agg, lineage truncated via localCheckpoint, O(diameter) "
-    "rounds.",
+    "rounds. r9 (VERDICT r8 #6a): rows-only → ORACLE-CHECKED — with "
+    "the SimHash signatures now re-derivable from the FNV-1a spec in "
+    "DuckDB (dedup_simhash_band's oracle), the whole chain gains an "
+    "independent fixpoint check: the oracle rebuilds the edge set "
+    "from the spec and closes it with a recursive-CTE transitive "
+    "closure (the dedup_cluster_jaccard pattern), so the iterative "
+    "min-label propagation is value-checked end-to-end against a "
+    "different algorithm.",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_simhash_band(spark, sf_dir).select(
@@ -603,54 +692,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash_band",
-    oracle=r"""
-    WITH d AS (
-      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
-      FROM documents WHERE doc_id < 300
-    ),
-    tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-    th AS (
-      -- FNV-1a 64-bit per token INSTANCE, recomputed from the spec:
-      -- fold over the token's utf-8 bytes (hex(encode(tok)) pairs) in
-      -- HUGEINT with mod-2^64 wraparound; xor only touches the low 8
-      -- bits so it runs on BIGINT. Bit-identical to the Spark UDF's
-      -- Python fold (probed: 'the' -> 10851507214873907462).
-      SELECT doc_id,
-        list_reduce(
-          list_prepend(CAST(1469598103934665603 AS HUGEINT),
-            list_transform(range(1, LEN(hex(encode(tok))) // 2 + 1),
-              i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i - 1, 1)) * 16
-                      + strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1)) - 17 AS HUGEINT))),
-          (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
-                     * CAST(1099511628211 AS HUGEINT))
-                    % CAST(18446744073709551616 AS HUGEINT)) AS h
-      FROM tok
-    ),
-    bits AS (
-      SELECT doc_id, bitpos,
-             SUM(CASE WHEN CAST(h // CAST(POWER(2, bitpos) AS HUGEINT) AS HUGEINT) % 2 = 1
-                      THEN 1 ELSE -1 END) AS acc
-      FROM th, UNNEST(range(0, 64)) AS u(bitpos)
-      GROUP BY doc_id, bitpos
-    ),
-    sig AS (
-      SELECT doc_id,
-             SUM(CASE WHEN acc > 0 THEN CAST(POWER(2, bitpos) AS HUGEINT)
-                      ELSE CAST(0 AS HUGEINT) END) AS u_sig
-      FROM bits GROUP BY doc_id
-    ),
-    ss AS (
-      SELECT doc_id, u_sig,
-             CAST(CASE WHEN u_sig >= CAST(9223372036854775808 AS HUGEINT)
-                       THEN u_sig - CAST(18446744073709551616 AS HUGEINT)
-                       ELSE u_sig END AS BIGINT) AS simhash
-      FROM sig
-    ),
-    bands AS (
-      SELECT doc_id, simhash, band,
-             CAST((u_sig // CAST(POWER(2, 16 * band) AS HUGEINT)) % 65536 AS BIGINT) AS key
-      FROM ss, UNNEST([0, 1, 2, 3]) AS u(band)
-    )
+    oracle="WITH "
+    + _SIMHASH_SQL_CTE
+    + r"""
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM bands a JOIN bands b

@@ -137,10 +137,52 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_fake_embed",
-    oracle=None,  # pandas-UDF featurizer -> rows-only
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    counts AS (
+      -- byte value % 8 = low-nibble % 8, and byte i's low nibble is
+      -- hex char 2*i (1-based): the 8-bucket histogram falls out of
+      -- the hex string without materializing byte arrays
+      SELECT doc_id, media_type,
+             LEN(hx) // 2 AS total,
+             list_transform(range(0, 8),
+               k -> LEN(list_filter(range(1, LEN(hx) // 2 + 1),
+                    i -> (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) % 8 = k)))
+               AS hist
+      FROM m
+    ),
+    l2 AS (
+      SELECT media_type,
+             CASE WHEN total = 0 THEN 0.0
+                  ELSE SQRT(list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(hist, c -> CAST(c AS DOUBLE) / CAST(total AS DOUBLE))),
+                         (a, x) -> a + x * x))
+             END AS l2
+      FROM counts
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(l2), 4) AS avg_emb_norm
+    FROM l2 GROUP BY media_type
+    """,
     doc="vectorized pandas-UDF feature extractor: binary payload → "
     "8-dim fake embedding (deterministic; stands in for a real "
-    "image/audio encoder), then norm stats per media type",
+    "image/audio encoder), then norm stats per media type. r9 "
+    "(VERDICT r8 #6a): rows-only → ORACLE-CHECKED — the 'fake' "
+    "featurizer was deterministic by design (8-bucket byte histogram, "
+    "normalized), so DuckDB recomputes every embedding from the "
+    "payload bytes (low-nibble bucketing over hex(encode(text))), "
+    "mirrors the UDF's exact left-to-right a+x*x fold and sqrt, and "
+    "checks the per-type norm stats; round(avg,4) is the standing "
+    "cross-row float policy.",
 )
 def multimodal_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
