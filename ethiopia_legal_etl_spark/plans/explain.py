@@ -61,3 +61,32 @@ def count_data_shuffles(plan: str) -> int:
         if nid not in exclude:
             seen[nid] = kind
     return sum(1 for kind in seen.values() if kind == "Exchange")
+
+
+def _initial_plan_node_ids(plan: str) -> set[str]:
+    exclude: set[str] = set()
+    for seg in plan.split("== Initial Plan ==")[1:]:
+        tree = seg.split("\n\n", 1)[0]
+        exclude.update(re.findall(r"\((\d+)\)", tree))
+    return exclude
+
+
+def count_single_partition_exchanges(plan: str) -> int:
+    """Structural count of `Exchange SinglePartition` nodes — the
+    one-reducer funnels a 100 TB plan cannot afford on corpus-grain
+    data. A global window (Window.orderBy with no partition key)
+    plans exactly this; so does a final single-partition sort-merge.
+    Detection is on the detail blocks ('(N) Exchange' whose Arguments
+    carry SinglePartition), with the same executed-AQE Initial-Plan
+    exclusion as count_data_shuffles, so the number is a stable
+    plan property, not a substring count. The per-entry budget gate
+    (tests/test_plans.py) pins every nonzero count to a justified
+    BOUNDED input (post-aggregate tables, 1-row totals) — replacing
+    the comment-grep convention with plan-level enforcement."""
+    exclude = _initial_plan_node_ids(plan)
+    count = 0
+    for m in re.finditer(r"^\((\d+)\) Exchange\b\n((?:.+\n)*?)\n", plan + "\n", re.M):
+        nid, body = m.group(1), m.group(2)
+        if nid not in exclude and "SinglePartition" in body:
+            count += 1
+    return count

@@ -92,6 +92,75 @@ BNLJ_ALLOWED = {
 }
 
 
+# r9 (plan-level successor to the '# bounded:' comment convention —
+# VERDICT r8's "single-partition-window blind spot"): every Exchange
+# SinglePartition in a registered plan is a one-reducer funnel, so
+# each one is audited and pinned here. Every pinned count below is a
+# BOUNDED input by construction — one of:
+#   (a) a 1-row global total / scalar subquery (global sum, AUC rank
+#       total, pooled moments, corpus N for idf, threshold scan);
+#   (b) an ordered prefix/frame over a POST-AGGREGATE table whose row
+#       count is data-bounded (distinct months/days/durations/lengths,
+#       quantile buckets, per-column profile stats, vocab tables,
+#       shard tables, Lorenz/ABC curves over entity aggregates);
+#   (c) a bounded diagnostic readout (expectations_check's per-rule
+#       1-row asserts, profile_table_stats' per-column stats).
+# A NEW entry that plans a SinglePartition exchange fails the sweep
+# until its bounded-input story is reviewed and pinned here.
+SP_BUDGET = {
+    # (a) 1-row totals / scalar subqueries
+    "scalar_subquery_above_avg": 1,
+    "sql_q6_forecast_revenue": 1,
+    "q11_important_parts": 1,
+    "q14_promo_share": 1,
+    "q15_top_supplier": 1,
+    "q17_small_quantity_loss": 1,
+    "q19_disjunctive_revenue": 1,
+    "q22_idle_balances": 1,
+    "sketch_hll_daily_users": 1,
+    "model_auc_exact": 1,
+    "experiment_welch_effect": 1,
+    "experiment_cuped_adjust": 1,
+    "experiment_proportion_ztest": 1,
+    "stats_benford_digits": 1,
+    "stats_chi2_independence": 2,
+    "agreement_cohen_kappa": 1,
+    "assoc_rules_brand_pairs": 1,
+    "text_unigram_logprob": 1,
+    "text_tfidf_top_terms": 1,
+    "dsir_importance_select": 1,
+    "corpus_dsir_pipeline": 1,
+    "frontier_bloom_seen": 1,
+    "contrastive_negative_sample": 1,
+    "cooccurrence_pmi_bigrams": 2,
+    "retrieval_bm25_topk": 2,
+    "lm_stupid_backoff": 1,
+    "lm_kneser_ney_bigrams": 1,
+    # (b) bounded post-aggregate ordered frames
+    "gini_revenue_concentration": 1,   # Lorenz prefix over customer agg
+    "abc_classification_parts": 2,     # cumulative share over part agg
+    "monthly_revenue_mom": 1,          # |months| rows
+    "window_ntile_percent_rank": 1,    # customer-aggregate frame
+    "timeseries_gapfill_locf": 1,      # day-spine sequence
+    "batch_padding_waste": 1,          # per-length count table prefix
+    "retention_kaplan_meier": 8,       # distinct-duration frames (prefix
+    #   products + risk sets over |durations| rows, built stepwise)
+    "funnel_view_click_purchase": 3,   # per-stage bounded totals
+    "sample_quota_apportion": 1,       # |strata| rows
+    "shard_export_balance": 1,         # |shards| rows
+    "corpus_mixture_weights": 1,       # |sources| rows
+    "corpus_unimax_budget": 1,         # |langs| rows
+    "corpus_perplexity_buckets": 1,    # |buckets| rows
+    "model_confusion_threshold": 1,    # |thresholds| rows
+    "model_ece_calibration": 1,        # |bins| rows
+    "privacy_k_anonymity": 1,          # |quasi-identifier classes| rows
+    "stream_drift_psi_twin": 1,        # |bins| reference frame
+    # (c) bounded diagnostics
+    "profile_table_stats": 5,          # per-column 1-row stats
+    "expectations_check": 7,           # per-rule 1-row asserts
+}
+
+
 def test_all_plans_free_of_cartesians_and_slow_udfs(spark, sf_dir):
     """Global invariant sweep over every registered query:
     - no CartesianProduct, ever
@@ -100,8 +169,13 @@ def test_all_plans_free_of_cartesians_and_slow_udfs(spark, sf_dir):
     - no row-at-a-time Python UDFs (BatchEvalPython) — Python stages
       must be Arrow-vectorized (ArrowEvalPython / MapInPandas /
       FlatMapGroupsInPandas)
+    - no Exchange SinglePartition beyond the audited SP_BUDGET pins
+      (each a bounded post-aggregate/1-row input, never corpus-grain)
     """
     from ethiopia_legal_etl_spark.operators.registry import all_queries
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_single_partition_exchanges,
+    )
 
     offenders: list[str] = []
     for name, q in sorted(all_queries().items()):
@@ -114,6 +188,12 @@ def test_all_plans_free_of_cartesians_and_slow_udfs(spark, sf_dir):
             offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             offenders.append(f"{name}: row-at-a-time Python UDF")
+        spc = count_single_partition_exchanges(plan)
+        if spc > SP_BUDGET.get(name, 0):
+            offenders.append(
+                f"{name}: {spc} SinglePartition exchanges > "
+                f"budget {SP_BUDGET.get(name, 0)}"
+            )
     assert not offenders, offenders
 
 
@@ -376,6 +456,41 @@ SHUFFLE_BUDGET = {
     "sketch_kmv_cooccurrence": 5,  # mem distinct, sketch window, merge agg, pair window reuse, exact gate
     "aqp_sampled_revenue": 2,  # sampled agg + exact-evidence agg (3-row join)
 }
+
+
+def test_count_single_partition_exchanges_convention(spark, sf_dir):
+    """Pin the structural detection behind the global-window budget:
+    a Window.orderBy with no partition key plans Exchange
+    SinglePartition (counted), a partitioned window plans a hash
+    exchange (not counted), and a global orderBy plans
+    rangepartitioning (not counted — range shuffles scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_single_partition_exchanges,
+        formatted_plan,
+    )
+    from ethiopia_legal_etl_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    glob = nation.select(
+        "n_name", F.row_number().over(Window.orderBy("n_name")).alias("r")
+    )
+    assert count_single_partition_exchanges(formatted_plan(glob)) == 1
+
+    part = nation.select(
+        "n_name",
+        F.row_number()
+        .over(Window.partitionBy("n_regionkey").orderBy("n_name"))
+        .alias("r"),
+    )
+    assert count_single_partition_exchanges(formatted_plan(part)) == 0
+
+    rng = nation.orderBy("n_name")
+    plan = formatted_plan(rng)
+    assert "rangepartitioning" in plan
+    assert count_single_partition_exchanges(plan) == 0
 
 
 def test_count_data_shuffles_structural_convention(spark, sf_dir):
