@@ -403,22 +403,31 @@ def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Then the per-bit ±1 majority vote, the unsigned→signed wrap, and the
 # 4×16-bit band keys computed from the unsigned form (mirroring
 # Spark's arithmetic shiftright + 0xFFFF mask).
-_SIMHASH_SQL_CTE = r"""
+def fnv1a64_sql(expr: str) -> str:
+    """DuckDB SQL computing FNV-1a 64-bit of a VARCHAR expression's
+    utf-8 bytes, as an unsigned value carried in HUGEINT: fold over
+    the hex(encode(x)) byte pairs with mod-2^64 wraparound; the xor
+    only touches the low 8 bits so it runs on BIGINT. Bit-identical
+    to the simhash UDF's Python fold (unit-fuzzed incl. non-ASCII in
+    tests/test_property_differential.py)."""
+    return f"""list_reduce(
+          list_prepend(CAST(1469598103934665603 AS HUGEINT),
+            list_transform(range(1, LEN(hex(encode({expr}))) // 2 + 1),
+              i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode({expr})), 2*i - 1, 1)) * 16
+                      + strpos('0123456789ABCDEF', substr(hex(encode({expr})), 2*i, 1)) - 17 AS HUGEINT))),
+          (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                     * CAST(1099511628211 AS HUGEINT))
+                    % CAST(18446744073709551616 AS HUGEINT))"""
+
+
+_SIMHASH_SQL_CTE = rf"""
     d AS (
       SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
       FROM documents WHERE doc_id < 300
     ),
     tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
     th AS (
-      SELECT doc_id,
-        list_reduce(
-          list_prepend(CAST(1469598103934665603 AS HUGEINT),
-            list_transform(range(1, LEN(hex(encode(tok))) // 2 + 1),
-              i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i - 1, 1)) * 16
-                      + strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1)) - 17 AS HUGEINT))),
-          (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
-                     * CAST(1099511628211 AS HUGEINT))
-                    % CAST(18446744073709551616 AS HUGEINT)) AS h
+      SELECT doc_id, {fnv1a64_sql('tok')} AS h
       FROM tok
     ),
     bits AS (

@@ -84,3 +84,48 @@ def test_base_name_matches_python_reference(spark, urls):
     ]
     want = [ref_base_name(u) for u in urls]
     assert got == want
+
+
+# Python reference for FNV-1a 64 (the simhash UDF's token hash,
+# operators/dedup.py) — re-stated here independently
+def _fnv1a64(s: str) -> int:
+    h = 1469598103934665603
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 1099511628211) & ((1 << 64) - 1)
+    return h
+
+
+@given(
+    st.lists(
+        st.text(
+            # any codepoint except surrogates (not utf-8 encodable)
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_fnv1a_sql_fold_matches_python_reference(tokens):
+    """The dedup_simhash_band / dedup_cluster_components oracles rest
+    on fnv1a64_sql reproducing the UDF's FNV-1a EXACTLY — including
+    multi-byte utf-8, where a codepoint-based (rather than byte-based)
+    SQL transcription would silently diverge. Fuzz the SQL fold vs an
+    independent Python byte fold over arbitrary unicode."""
+    import duckdb
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.operators.dedup import fnv1a64_sql
+
+    con = duckdb.connect()
+    toks_df = pd.DataFrame({"tok": tokens})  # noqa: F841 (registered)
+    con.register("toks", toks_df)
+    got = [
+        int(r[0])
+        for r in con.sql(
+            f"SELECT {fnv1a64_sql('tok')} AS h FROM toks"
+        ).fetchall()
+    ]
+    want = [_fnv1a64(t) for t in tokens]
+    assert got == want
