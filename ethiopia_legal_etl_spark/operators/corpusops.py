@@ -1336,8 +1336,17 @@ def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_tok"),
     )
-    # per-length counts: one row per DISTINCT token length
-    cnts = toks.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # within-length rank is PARTITIONED by n_tok (distributed); the
+    # global rank is reassembled map-side from the broadcast offsets
+    win = Window.partitionBy("n_tok").orderBy("doc_id")
+    ranked = toks.select("doc_id", "n_tok", F.row_number().over(win).alias("r"))
+    # per-length counts: one row per DISTINCT token length. Catalyst
+    # prunes the window from this branch and re-plans it as its own
+    # scan + partial-agg; the exchange it adds carries map-side
+    # per-length COUNTS (<= |distinct n_tok| rows per task), so the
+    # only corpus-sized shuffle in the whole plan stays the n_tok
+    # window exchange
+    cnts = ranked.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
     # bounded: ordered prefix over the per-length count table only
     # (|distinct n_tok| <= max document length — thousands of rows at
     # any corpus size, never corpus-grain)
@@ -1345,10 +1354,6 @@ def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = cnts.select(
         "n_tok", F.coalesce(F.sum("cnt").over(wpre), F.lit(0)).alias("n_before")
     )
-    # within-length rank is PARTITIONED by n_tok (distributed); the
-    # global rank is reassembled map-side from the broadcast offsets
-    win = Window.partitionBy("n_tok").orderBy("doc_id")
-    ranked = toks.select("doc_id", "n_tok", F.row_number().over(win).alias("r"))
     gr = F.col("n_before") + F.col("r")  # == row_number over (n_tok, doc_id)
     ordered = ranked.join(F.broadcast(offs), "n_tok").select(
         "n_tok", ((gr - 1).cast("long") / 8).cast("long").alias("batch_id")

@@ -455,6 +455,15 @@ SHUFFLE_BUDGET = {
     "event_pattern_funnels": 1,  # single (user, day) aggregate
     "sketch_kmv_cooccurrence": 5,  # mem distinct, sketch window, merge agg, pair window reuse, exact gate
     "aqp_sampled_revenue": 2,  # sampled agg + exact-evidence agg (3-row join)
+    # r9 changed/converted entries (VERDICT r8 #2/#3/#6a)
+    "batch_padding_waste": 4,  # 1 corpus n_tok window + 3 bounded
+    #   (map-side per-length counts, SinglePartition prefix, batch agg)
+    "dedup_minhash_lsh": 1,  # banded candidate equi-join
+    "dedup_simhash_band": 1,  # band-key candidate equi-join
+    "dedup_cluster_components": 1,  # final cluster agg; rounds checkpointed
+    "similarity_ivf_by_label": 3,  # centroid agg x2 reassembly + probe agg
+    "multimodal_fake_embed": 1,  # per-media-type norm agg
+    "trend_theil_sen_slope": 3,  # daily agg, per-type pair join, median agg
 }
 
 
