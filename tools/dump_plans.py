@@ -112,6 +112,20 @@ SHOWCASE = [
     "graph_kcore_hosts",
     "drift_ks_two_sample",
     "drift_psi_decile_bins",
+    # r9: restructured / rows-only→oracle conversions + rotated-in stats
+    "batch_padding_waste",
+    "dedup_minhash_lsh",
+    "dedup_simhash_band",
+    "dedup_cluster_components",
+    "similarity_ivf_by_label",
+    "multimodal_fake_embed",
+    "trend_theil_sen_slope",
+    "fuzzy_vocab_jaro_winkler",
+    "retrieval_rank_metrics",
+    "retention_kaplan_meier",
+    "stats_chi2_independence",
+    "experiment_welch_effect",
+    "attribution_linear_credit",
 ]
 
 JOIN_NODES = (
@@ -144,11 +158,21 @@ def summarize(plan: str) -> list[str]:
     # single source of the counting convention: plans/explain.py
     from ethiopia_legal_etl_spark.plans.explain import count_data_shuffles
 
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_single_partition_exchanges,
+    )
+
     n_bcast = plan.count("BroadcastExchange") // 2
     n_shuf = count_data_shuffles(plan)
     out.append(f"- data shuffles (hash/range Exchange): {n_shuf}")
     if n_bcast:
         out.append(f"- broadcast exchanges (dim distribution, no shuffle): {n_bcast}")
+    n_sp = count_single_partition_exchanges(plan)
+    if n_sp:
+        out.append(
+            f"- single-partition exchanges: {n_sp} (bounded input, pinned "
+            "in tests/test_plans.py::SP_BUDGET)"
+        )
     return out
 
 
