@@ -253,6 +253,10 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "robust_trimmed_mean",
     oracle="""
     WITH v AS (
+      -- null totalprices are not subjects of a trimmed MEAN, and
+      -- leaving them in diverges the trim positions (Spark sorts
+      -- NULLS FIRST, DuckDB NULLS LAST — r9 full null-mirror sweep):
+      -- excluded explicitly on BOTH sides
       SELECT o_orderpriority,
              CAST(o_totalprice AS DECIMAL(14,2)) AS x,
              CAST(ROW_NUMBER() OVER (
@@ -260,7 +264,7 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
              CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
                AS n
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority,
            CAST(MAX(n) AS BIGINT) AS n,
@@ -281,7 +285,12 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(partitionable), one aggregate.",
 )
 def robust_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # null totalprices excluded on both sides: they are not subjects
+    # of the mean, and Spark (NULLS FIRST) vs DuckDB (NULLS LAST)
+    # would otherwise disagree on which rows the trim drops
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
     )

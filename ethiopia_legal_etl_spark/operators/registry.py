@@ -243,6 +243,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_chi2_independence",
     "experiment_welch_effect",
     "attribution_linear_credit",
+    # r10 rotation candidates (never driver-sampled, oracle-checked):
+    # the remaining 20 of the r8 batch (lm_kneser_ney_bigrams,
+    # split_leakage_audit, changepoint_cusum_events,
+    # experiment_cuped_adjust, twap_event_type, median_ci_order_stats,
+    # markov_next_event_accuracy, proportion_wilson_ci,
+    # trend_theil_sen_slope, embedding_silhouette_labels,
+    # stream_drift_psi_twin, forecast_seasonal_naive_eval,
+    # sample_quota_apportion, snapshot_diff_reconcile,
+    # experiment_proportion_ztest, batch_padding_waste, ...) plus the
+    # five r9 rows-only→oracle conversions (dedup_minhash_lsh,
+    # dedup_simhash_band, dedup_cluster_components,
+    # similarity_ivf_by_label, multimodal_fake_embed).
 )
 
 

@@ -147,7 +147,10 @@ def mode_any_value_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
              AVG(POW(CAST(l.l_quantity AS DOUBLE) - m.mu, 2)) AS m2,
              AVG(POW(CAST(l.l_quantity AS DOUBLE) - m.mu, 3)) AS m3,
              AVG(POW(CAST(l.l_quantity AS DOUBLE) - m.mu, 4)) AS m4
-      FROM lineitem l JOIN m ON l.l_returnflag = m.flag
+      -- null-SAFE join: a NULL returnflag is a GROUP (Spark's groupBy
+      -- keeps it); an equi-join here would silently drop it (caught
+      -- by the r9 full null-mirror sweep)
+      FROM lineitem l JOIN m ON l.l_returnflag IS NOT DISTINCT FROM m.flag
       GROUP BY 1
     )
     SELECT flag,

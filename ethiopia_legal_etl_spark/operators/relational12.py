@@ -204,9 +204,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_pattern_funnels",
     oracle="""
     WITH g AS (
+      -- COALESCE: a group whose event_types are ALL NULL must yield
+      -- seq = '' like Spark's array_join (which skips null letters),
+      -- not STRING_AGG's NULL (r9 full null-mirror sweep); both
+      -- engines skip individual null letters identically
       SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
-             STRING_AGG(left(event_type, 1), '' ORDER BY ts, event_id)
-               AS seq,
+             COALESCE(
+               STRING_AGG(left(event_type, 1), '' ORDER BY ts, event_id),
+               '') AS seq,
              COUNT(*) AS n_events
       FROM events GROUP BY 1, 2
     )

@@ -122,9 +122,13 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_hof_event_profile",
     oracle="""
     WITH per AS (
+      -- null map keys are illegal in Spark (map_ops_user_stats
+      -- precedent): null event types excluded on BOTH sides (caught
+      -- by the r9 full null-mirror sweep)
       SELECT user_id, event_type, COUNT(*) AS cnt,
              SUM(CAST(value AS DECIMAL(14,2))) AS sumv
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     ), tot AS (
       SELECT user_id, event_type, cnt, sumv,
              SUM(cnt) OVER (PARTITION BY user_id) AS total
@@ -149,7 +153,9 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_hof_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(
+    # null map keys are illegal in Spark ([NULL_MAP_KEY]) — null event
+    # types excluded on both sides, the map_ops_user_stats precedent
+    per = ev.where(F.col("event_type").isNotNull()).groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("value").cast("decimal(14,2)")).alias("sumv"),
     )
