@@ -1287,10 +1287,14 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch_padding_waste",
     oracle="""
     WITH toks AS (
+      -- docs with NULL text are not batchable subjects: excluded on
+      -- BOTH sides (Spark's inner offset-join would drop them while
+      -- an unfiltered oracle ranks them NULLS LAST -- r9 text-null
+      -- mirror)
       SELECT doc_id,
              CAST(LEN(list_filter(string_split(text, ' '), x -> x != ''))
                AS BIGINT) AS n_tok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ordered AS (
       SELECT doc_id, n_tok,
@@ -1329,7 +1333,12 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence boundaries must be respected.",
 )
 def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # null-text docs are not batchable subjects — excluded explicitly
+    # on both sides (they'd otherwise fall out implicitly via the
+    # offset equi-join while the oracle ranked them NULLS LAST)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     toks = docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(

@@ -71,7 +71,17 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            # a NULL payload (failed fetch/extraction — routine at
+            # corpus scale) decodes to all-null metadata, never crashes
+            # the executor
+            metas = [
+                dict.fromkeys(
+                    ("byte_len", "width", "height", "n_frames", "sample_rate")
+                )
+                if p is None
+                else decode_stub(bytes(p))
+                for p in pdf["payload"]
+            ]
             out = pd.DataFrame(metas)
             out.insert(0, "media_type", pdf["media_type"].values)
             out.insert(0, "doc_id", pdf["doc_id"].values)
@@ -194,6 +204,11 @@ def multimodal_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = []
         for p in payloads:
+            if p is None:
+                # NULL payload -> NULL embedding (the aggregate's avg
+                # skips it — mirrored by the oracle's NULL l2)
+                out.append(None)
+                continue
             b = np.frombuffer(bytes(p), dtype=np.uint8)
             if len(b) == 0:
                 out.append([0.0] * 8)

@@ -453,8 +453,10 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_udf_year_extract",
     oracle="""
+    -- COALESCE mirrors the UDF's (t or '') null handling: a null
+    -- text yields year = '', not NULL (r9 text-null mirror)
     SELECT doc_id,
-           REGEXP_EXTRACT(SUBSTRING(text, 1, 1000),
+           REGEXP_EXTRACT(SUBSTRING(COALESCE(text, ''), 1, 1000),
                           '\\b(19[5-9]\\d|20\\d{2})\\b', 1) AS year
     FROM documents WHERE doc_id < 200
     """,

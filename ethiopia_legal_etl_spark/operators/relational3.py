@@ -372,7 +372,10 @@ def interval_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, UNNEST(hits) AS token FROM d WHERE LEN(hits) > 0
     UNION ALL
-    SELECT doc_id, NULL AS token FROM d WHERE LEN(hits) = 0
+    -- explode_outer also emits a null row for a NULL array (null
+    -- text), not just an empty one (r9 text-null mirror)
+    SELECT doc_id, NULL AS token FROM d
+    WHERE LEN(hits) = 0 OR hits IS NULL
     """,
     doc="explode_outer + higher-order filter: docs without the token "
     "survive as a null row (LEFT JOIN LATERAL semantics)",

@@ -460,13 +460,16 @@ _MOJIBAKE_SUFFIX = " café Ωmega 中文"
 @register(
     "text_mojibake_repair",
     oracle="""
+    -- NULL text is a no-op passthrough (nothing to corrupt or
+    -- repair): corruption set = every 3rd doc WITH text (r9
+    -- text-null mirror)
     SELECT doc_id,
-           doc_id % 3 = 0 AS was_corrupted,
-           doc_id % 3 = 0 AS detected,
+           doc_id % 3 = 0 AND text IS NOT NULL AS was_corrupted,
+           doc_id % 3 = 0 AND text IS NOT NULL AS detected,
            TRUE AS exact_after_repair,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
-             AS n_passes,
-           CAST(CASE WHEN doc_id % 3 = 0
+           CAST(CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS n_passes,
+           CAST(CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
                 THEN strlen(text || ' café Ωmega 中文')
                      - LENGTH(text || ' café Ωmega 中文')
                 ELSE 0 END AS BIGINT) AS len_delta
@@ -503,6 +506,11 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # no text -> nothing to corrupt or repair; the
+                    # stage passes the row through instead of crashing
+                    rows.append((int(doc_id), False, False, True, 0, 0))
+                    continue
                 corrupted = doc_id % 3 == 0
                 original = text + _MOJIBAKE_SUFFIX if corrupted else text
                 incoming = (

@@ -355,13 +355,17 @@ def dedup_keep_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint_rolling",
     oracle=f"""
+    -- CASE mirrors Spark exactly: aggregate() over a NULL token
+    -- array is NULL, while LIST_PREPEND(0, NULL) would fold to 0
+    -- (r9 text-null mirror)
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            LIST_REDUCE(
              LIST_PREPEND(CAST(0 AS BIGINT),
                LIST_TRANSFORM(string_split(text, ' '),
                  t -> CAST(ASCII(t) + LENGTH(t) AS BIGINT))),
              (a, b) -> (a * 31 + b) % {FP_MOD}
-           ) AS fingerprint
+           ) END AS fingerprint
     FROM documents
     """,
     doc="document fingerprint: rolling polynomial hash over tokens "

@@ -208,7 +208,9 @@ def warc_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id,
              '<html><head><style>.a{color:red}</style></head><body>'
              || '<script>var x=' || t.i || ';</script><h1>Page ' || t.i
-             || '</h1><p>' || d.text || ' &amp; more</p></body></html>'
+             -- COALESCE mirrors the builder: NULL text renders as an
+             -- empty page body (r9 text-null mirror)
+             || '</h1><p>' || COALESCE(d.text, '') || ' &amp; more</p></body></html>'
                AS html
       FROM documents d
       JOIN (SELECT unnest(range(5)) AS i) t ON t.i < 2 + d.doc_id % 3
@@ -284,6 +286,11 @@ def warc_to_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for d, text in zip(pdf["doc_id"], pdf["text"]):
+                # a NULL text (failed extraction) renders as an EMPTY
+                # page body — an f-string would otherwise embed the
+                # literal "None" (r9 text-null mirror)
+                if not isinstance(text, str):
+                    text = ""
                 recs = [
                     {
                         "type": "response",

@@ -30,3 +30,48 @@ def test_every_query_survives_empty_tables(spark, empty_dir):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(e).__name__}")
     assert not failures, failures
+
+
+def test_null_text_payload_rows_survive(spark, sf_dir, tmp_path_factory, monkeypatch):
+    """r9 text-null mirror class: a document row with NULL text (failed
+    fetch/extraction — routine at corpus scale) must pass through the
+    Python-stage operators without crashing an executor, with pinned
+    no-op semantics. (The cross-engine VALUE checks live in the null
+    mirror gate — tools/nulls_mirror.py now nullifies text; this pins
+    the no-crash contract in CI.)"""
+    import pyspark.sql.functions as F
+
+    import ethiopia_legal_etl_spark.operators.multimodal as mm
+    import ethiopia_legal_etl_spark.operators.textguard as tg
+    import ethiopia_legal_etl_spark.operators.webarchive as wa
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    )  # every even doc keeps text, every odd doc gets NULL
+    for mod in (mm, tg, wa):
+        monkeypatch.setattr(mod, "load_table", lambda *_, **__: docs)
+
+    # decode stub: NULL payload -> all-null metadata row, not a crash
+    meta = mm.extract_media_metadata(mm.media_table(spark, sf_dir)).collect()
+    assert len(meta) == 6
+    assert all(r["byte_len"] is None for r in meta if r["doc_id"] % 2 == 1)
+
+    # fake embed: NULL payload -> NULL embedding, avg skips it
+    assert mm.multimodal_fake_embed(spark, sf_dir).count() > 0
+
+    # mojibake: NULL text -> untouched no-op row
+    rows = {r["doc_id"]: r for r in tg.text_mojibake_repair(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for d, r in rows.items():
+        if d % 2 == 1:
+            assert (r["was_corrupted"], r["n_passes"], r["len_delta"]) == (False, 0, 0)
+
+    # WARC builder: NULL text -> empty page body, never the str "None"
+    out = {r["doc_id"]: r for r in wa.warc_to_text_pipeline(spark, sf_dir).collect()}
+    assert len(out) == 6
+    for d, r in out.items():
+        if d % 2 == 1:
+            # each record strips to "Page {i} & more" (13 chars for
+            # single-digit i); an f-string "None" body would add 5
+            assert r["total_len"] == 13 * r["n_records"], (d, r)

@@ -41,7 +41,15 @@ NULLABLE = {
     "orders": ["o_orderpriority", "o_totalprice"],
     "customer": ["c_acctbal", "c_mktsegment"],
     "supplier": ["s_name"],
-    "documents": ["lang", "source"],
+    # text joined the nullable set in r9 (failed extraction is routine
+    # at corpus scale); the first text-null sweep caught 8 divergences:
+    # 3 UDF crashes on None payloads (decode stub, fake embed,
+    # mojibake), an f-string rendering the literal "None" (WARC
+    # builder), implicit-vs-NULLS-LAST batch membership
+    # (batch_padding_waste), aggregate(NULL) vs LIST_PREPEND folds
+    # (fingerprint), explode_outer's null row, and regexp over NULL
+    # (year extract) — all made explicit on both sides.
+    "documents": ["lang", "source", "text"],
     "events": ["event_type", "value", "props"],
 }
 
