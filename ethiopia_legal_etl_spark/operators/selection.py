@@ -317,7 +317,10 @@ def train_pq_codebooks(spark: SparkSession, emb: DataFrame):
     from pyspark.ml.functions import array_to_vector
 
     books = []
-    feats = emb.select(as_double(F.col("embedding")).alias("e"))
+    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
+    feats = emb.where(F.col("embedding").isNotNull()).select(
+        as_double(F.col("embedding")).alias("e")
+    )
     for m in range(_PQ_M):
         sub = feats.select(
             array_to_vector(

@@ -228,10 +228,21 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    # localCheckpoint is a REORDER BARRIER, not an optimization: the
+    # approx join appends size(UDF)>0 / isnotnull(UDF) conjuncts whose
+    # common subexpression codegen evaluates EAGERLY, so a NULL array
+    # NPEs the ScalaUDF even behind the isnotnull filter above.
+    # Materializing the filtered projection keeps every later UDF
+    # evaluation on null-free rows. (In the materialization job itself
+    # the UDF appears once — no hoisted duplicate — so the scan filter
+    # protects it.)
     feats = emb.select(
         "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
-    )
+    ).localCheckpoint()
     if feats.isEmpty():  # .fit requires rows; empty scan -> empty result
         return spark.createDataFrame(
             [], "q_id bigint, vec_id bigint, l2_dist double"
@@ -266,7 +277,10 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     feats = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).withColumn("features", array_to_vector(F.col("e")))
@@ -576,7 +590,10 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     d = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
     if d.isEmpty():
         return spark.createDataFrame(
@@ -613,7 +630,12 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(dist, {target})").alias("r")
     ).first()  # bounded: exact percentile of the sample pairs, 1 row
     radius = float(row["r"]) if row["r"] is not None else 3.0
-    feats = d.select("vec_id", array_to_vector("e").alias("features"))
+    # localCheckpoint barrier: see similarity_lsh_buckets — the approx
+    # join's hoisted ScalaUDF conjuncts NPE on NULL arrays despite the
+    # upstream filter
+    feats = d.select(
+        "vec_id", array_to_vector("e").alias("features")
+    ).localCheckpoint()
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

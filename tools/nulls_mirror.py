@@ -51,6 +51,14 @@ NULLABLE = {
     # (year extract) — all made explicit on both sides.
     "documents": ["lang", "source", "text"],
     "events": ["event_type", "value", "props"],
+    # embedding/label joined in r9 (failed encoder rows): the sweep
+    # caught 4 pyspark.ml entries NPE-ing in array_to_vector — the
+    # approx-join machinery duplicates the ScalaUDF into size>0 /
+    # isnotnull conjuncts and codegen's common-subexpression
+    # elimination evaluates it EAGERLY, so an upstream isnotnull
+    # filter cannot short-circuit it; fixed with a localCheckpoint
+    # reorder barrier after the filtered projection.
+    "embeddings": ["embedding", "label"],
 }
 
 
