@@ -37,10 +37,16 @@ TABLES = [
 # nullable non-key columns only: join keys and identity columns stay
 # intact so query topology is preserved
 NULLABLE = {
-    "lineitem": ["l_returnflag", "l_linestatus", "l_tax", "l_discount"],
+    # l_quantity/l_extendedprice and the part attributes joined in r9
+    # (the MEASURES dimension): the sweep passed 282/282 with ZERO
+    # fixes — the registry's decimal-exact sum / explicit-count float
+    # policy was already null-consistent cross-engine.
+    "lineitem": ["l_returnflag", "l_linestatus", "l_tax", "l_discount",
+                 "l_quantity", "l_extendedprice"],
     "orders": ["o_orderpriority", "o_totalprice"],
     "customer": ["c_acctbal", "c_mktsegment"],
     "supplier": ["s_name"],
+    "part": ["p_brand", "p_type", "p_size", "p_container", "p_retailprice"],
     # text joined the nullable set in r9 (failed extraction is routine
     # at corpus scale); the first text-null sweep caught 8 divergences:
     # 3 UDF crashes on None payloads (decode stub, fake embed,
