@@ -75,3 +75,54 @@ def test_null_text_payload_rows_survive(spark, sf_dir, tmp_path_factory, monkeyp
             # each record strips to "Page {i} & more" (13 chars for
             # single-digit i); an f-string "None" body would add 5
             assert r["total_len"] == 13 * r["n_records"], (d, r)
+
+
+@pytest.fixture(scope="module")
+def null_mirror_dir(sf_dir, tmp_path_factory):
+    """The standing null-injected mirror, built in-process by the tool
+    (tools/nulls_mirror.py — ~10% deterministic NULLs across 20
+    nullable columns in 8 tables)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "nulls_mirror",
+        Path(__file__).resolve().parent.parent / "tools" / "nulls_mirror.py",
+    )
+    nm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nm)
+    dst = tmp_path_factory.mktemp("null_mirror")
+    nm.build(str(dst), src=sf_dir)
+    return str(dst)
+
+
+def test_null_mirror_sentinels_stay_green(spark, null_mirror_dir):
+    """CI pin for the r9 null-mirror classes (the FULL mirror gate is
+    a ~8-min tool run; this keeps the 16 fixed entries' divergence
+    classes from silently regressing on every pytest run): one
+    sentinel per fixed class — null GROUP dropped by an equi-join
+    oracle, NULL_MAP_KEY, all-null STRING_AGG vs array_join, NULLS
+    FIRST/LAST trim flip, None-payload UDF crashes, f-string 'None',
+    implicit batch membership, aggregate(NULL) fold, explode_outer's
+    null row, regexp over NULL, and the ml array_to_vector
+    subexpression-elimination NPE."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_ci",
+        Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py",
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+    sentinels = [
+        "stats_skew_kurtosis", "map_hof_event_profile",
+        "event_pattern_funnels", "robust_trimmed_mean",
+        "batch_padding_waste", "doc_fingerprint_rolling",
+        "explode_outer_rare_tokens", "sql_udf_year_extract",
+        "multimodal_fake_embed", "text_mojibake_repair",
+        "warc_to_text_pipeline", "similarity_lsh_buckets",
+        "similarity_ivf_by_label",
+    ]
+    failures, _ = co.run(null_mirror_dir, sentinels, spark=spark, count_warns=True)
+    assert failures == 0
