@@ -468,7 +468,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     - each round is one join + aggregate (set of shuffles, fully
       distributed; no driver-side graph)
     - `localCheckpoint` truncates lineage every round so plan depth
-      stays O(1) instead of O(iterations)
+      stays O(1) instead of O(iterations). Cluster posture (SCALING.md
+      r10): checkpointed blocks are executor-local and lineage-free —
+      at 1000 executors, reliable `checkpoint()` of the (small,
+      edge-list-sized) frontier every few rounds survives executor loss
     - converges in O(diameter) rounds; near-dup clusters are shallow
       (diameter ~ a few), so max_iter=20 is generous
     """

@@ -84,10 +84,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # keeps five in-window reps and the year regex stays audited via
     # sql_udf_year_extract; see the full r9 note before the window's
     # final block.
+    # r10 rotation (VERDICT r9 #1, raised throughput: 12 out / 12 in).
+    # OUT: doc_empty_filter_rejects (green r1-r9; §2.A keeps four
+    # in-window reps and the empty-filter semantics stay under the
+    # full-registry gate), rollup_lineitem_flags, map_ops_user_stats,
+    # embedding_near_dup_cosine, multimodal_video_frame_sample,
+    # corpus_curation_pipeline, dedup_paragraph_exact,
+    # corpus_vocab_oov (classes keep q1/scalar_json_events/
+    # similarity_ivf_by_label(in)/4 multimodal reps/
+    # corpus_quality_curation+warc pipelines/3+3 dedup reps/
+    # text_quality_model_score), model_auc_exact, aqp_sampled_revenue,
+    # host_rank_fixed_point, stream_stream_interval_join (classes keep
+    # retrieval_rank_metrics+stats_chi2/heavy_hitters_mg/
+    # graph_triangle_count(in)/stream_session_window+stream_dedup_twin).
+    # All rotated-out names stay oracle-gated by
+    # tests/test_full_registry_gate.py on every pytest run.
     "doc_record_projection",
     "incremental_skip_docs",
     "log_tail_events",
-    "doc_empty_filter_rejects",
     "html_link_extraction",
     # relational: agg / join / window / set / scalar classes
     # r5 rotation (VERDICT r4 #5): q3_shipping_priority,
@@ -126,12 +140,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "interval_join_error_purchase",
     "window_range_7day_frame",
-    "rollup_lineitem_flags",
     # r9: scalar_string_part rotates out (green r1-r8; scalar class
     # keeps scalar_json_events in-window, string fns are exercised by
     # the strdist pair rotating in).
     "scalar_json_events",
-    "map_ops_user_stats",
     # dedup / similarity / text / multimodal / pipeline
     # r9: dedup_exact_hash rotates out (green r1-r8; the dedup class
     # keeps ngram_jaccard, paragraph_exact, cluster_jaccard and
@@ -151,8 +163,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full container-parse -> frame-sample -> JPEG-decode chain. The
     # rotated-out names stay oracle-gated by the full-registry CI gate.
     "multimodal_decode_audio_compressed",
-    "embedding_near_dup_cosine",
-    "multimodal_video_frame_sample",
     # r5 (final): pipeline_training_corpus (driver-checked green since
     # r1) swapped for the round's flagship composition so the harness
     # audits it directly; the composed-pipeline family keeps
@@ -165,12 +175,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "arrow_token_count",
     # r5 rotation IN: never driver-checked before (replica-pass only
     # until now) — keeps the externally-audited sample moving
-    "corpus_curation_pipeline",
-    "dedup_paragraph_exact",
     # r9: text_unicode_nfc rotates out (green r5-r8; text class keeps
     # text_quality_model_score + corpus_vocab_oov, and the NFC plan
     # shape stays pinned by test_plans.py::test_nfc_single_arrow_eval).
-    "corpus_vocab_oov",
     "stream_dedup_twin",
     "text_quality_model_score",
     # r6 rotation (VERDICT r5 #5): semi_customers_with_orders,
@@ -201,11 +208,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # oracle-checked Misra-Gries sketch, and the stream-stream
     # interval join batch twin.
     "dedup_cluster_jaccard",
-    "host_rank_fixed_point",
-    "model_auc_exact",
-    "aqp_sampled_revenue",
     "heavy_hitters_mg",
-    "stream_stream_interval_join",
     # r7 flagship: MP3 (Layer III) frame-syntax + scalefactor decode
     # with a formula-recomputing oracle (functions/mp3.py; VERDICT r6
     # #5). agg_distinct_customers (driver-green r1-r6) rotates out —
@@ -243,18 +246,33 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_chi2_independence",
     "experiment_welch_effect",
     "attribution_linear_credit",
-    # r10 rotation candidates (never driver-sampled, oracle-checked):
-    # the remaining 20 of the r8 batch (lm_kneser_ney_bigrams,
-    # split_leakage_audit, changepoint_cusum_events,
+    # r10 rotation IN (VERDICT r9 #1: raise throughput to 12): the
+    # five r9 rows-only→oracle conversions lead (their new oracles
+    # deserve the external signal), then seven strong never-sampled
+    # class representatives. winnowing_fingerprints' fp columns were
+    # stringified for the driver canonicalizer (scalar-cells-only) and
+    # similarity_ivf_by_label's ranks canonicalized at 6dp (ADVICE
+    # r9) before entering the window; both re-verified at sf0.01.
+    "dedup_minhash_lsh",
+    "dedup_simhash_band",
+    "dedup_cluster_components",
+    "similarity_ivf_by_label",
+    "multimodal_fake_embed",
+    "retrieval_bm25_topk",
+    "winnowing_fingerprints",
+    "graph_triangle_count",
+    "lm_kneser_ney_bigrams",
+    "text_pii_scrub",
+    "scd2_merge_emulation",
+    "changepoint_cusum_events",
+    # r11 rotation candidates (never driver-sampled, oracle-checked):
+    # the rest of the r8 batch (split_leakage_audit,
     # experiment_cuped_adjust, twap_event_type, median_ci_order_stats,
     # markov_next_event_accuracy, proportion_wilson_ci,
     # trend_theil_sen_slope, embedding_silhouette_labels,
     # stream_drift_psi_twin, forecast_seasonal_naive_eval,
     # sample_quota_apportion, snapshot_diff_reconcile,
-    # experiment_proportion_ztest, batch_padding_waste, ...) plus the
-    # five r9 rows-only→oracle conversions (dedup_minhash_lsh,
-    # dedup_simhash_band, dedup_cluster_components,
-    # similarity_ivf_by_label, multimodal_fake_embed).
+    # experiment_proportion_ztest, batch_padding_waste, ...).
 )
 
 

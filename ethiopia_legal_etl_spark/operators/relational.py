@@ -758,15 +758,26 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_json_events",
     oracle="""
+    -- json_valid guard: DuckDB's json_extract RAISES on malformed
+    -- JSON where Spark's get_json_object returns NULL; a truncated
+    -- instrumentation payload must degrade to NULL on both sides
+    -- (null-mirror corruption axis, r10)
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-             / COUNT(json_extract_string(props, '$.k'))                  AS avg_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))       AS max_k,
-           COUNT(*)                                                      AS cnt
-    FROM events
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+           MAX(k)                            AS max_k,
+           COUNT(*)                          AS cnt
+    FROM e
     GROUP BY event_type
     """,
-    doc="JSON extraction over events.props (get_json_object)",
+    doc="JSON extraction over events.props (get_json_object); malformed "
+    "payloads extract as NULL on both engines",
 )
 def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

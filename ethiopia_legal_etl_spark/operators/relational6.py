@@ -53,11 +53,17 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_event_props",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k_val,
-           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+    -- json_valid guard: DuckDB json_extract RAISES on malformed JSON;
+    -- Spark's try_parse_json yields a NULL variant (r10 corruption axis)
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INT)
+             END AS k_val
+      FROM events
+    )
+    SELECT event_id, k_val, k_val % 10 AS k_bucket
+    FROM e WHERE k_val >= 50
     """,
     doc="Spark 4 VARIANT type: parse_json once, variant_get typed "
     "paths — the open-schema column pattern for event/telemetry "
@@ -68,7 +74,10 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json, not parse_json: a truncated/partial telemetry
+    # payload must become a NULL variant, not a MALFORMED_RECORD error
+    # that kills the job at corpus scale (r10 corruption axis)
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     return (
         ev.select("event_id", k.alias("k_val"))

@@ -240,6 +240,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation on null-free rows. (In the materialization job itself
     # the UDF appears once — no hoisted duplicate — so the scan filter
     # protects it.)
+    # Cluster posture (SCALING.md r10): localCheckpoint blocks are
+    # executor-local and lineage-free — at 1000 executors write the
+    # filtered projection to parquet instead, or use the pure-SQL
+    # LSH/IVF twins (the declared 100-TB path, no UDF to reorder).
     feats = emb.select(
         "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
     ).localCheckpoint()
@@ -354,7 +358,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed AS (
       SELECT q_id, q_emb, c_label
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY c_cos DESC, c_label) AS prn
+                        ORDER BY ROUND(c_cos, 6) DESC, c_label) AS prn
             FROM qc)
       WHERE prn <= 2
     ),
@@ -367,7 +371,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos_sim, rn
     FROM (SELECT q_id, vec_id, cos_raw,
                  ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY cos_raw DESC, vec_id) AS rn
+                   ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS rn
           FROM cand)
     WHERE rn <= 10
     """,
@@ -409,7 +413,12 @@ def similarity_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cent))
         .select("q_id", "q_emb", "c_label", cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), "c_label")
+    # r10 (ADVICE): rank on ROUND(cos, 6) on BOTH sides — Spark's
+    # dot/(sqrt(na)*sqrt(nb)) vs DuckDB's LIST_COSINE_SIMILARITY can
+    # differ in the last ULP, and an unrounded rank would let a
+    # near-tie at the nprobe / rank-10 boundary flip between engines.
+    # 6dp matches the centroid canonicalization policy above.
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("c_cos", 6)), "c_label")
     probed = qc.withColumn("rn", F.row_number().over(w)).where("rn <= 2").select(
         "q_id", "q_emb", "c_label"
     )
@@ -420,7 +429,7 @@ def similarity_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "q_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw")
     )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "vec_id")
+    w2 = Window.partitionBy("q_id").orderBy(F.desc(F.round("cos_raw", 6)), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w2))
         .where("rn <= 10")
@@ -632,7 +641,8 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius = float(row["r"]) if row["r"] is not None else 3.0
     # localCheckpoint barrier: see similarity_lsh_buckets — the approx
     # join's hoisted ScalaUDF conjuncts NPE on NULL arrays despite the
-    # upstream filter
+    # upstream filter. Cluster posture (SCALING.md r10): parquet-persist
+    # the projection at 1000 executors, or take the pure-SQL twins.
     feats = d.select(
         "vec_id", array_to_vector("e").alias("features")
     ).localCheckpoint()

@@ -683,8 +683,10 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m AS BIGINT) AS n_grams,
            CAST(LEN(fps) AS BIGINT) AS n_fps,
            ROUND(CAST(LEN(fps) AS DOUBLE) / m, 4) AS density,
-           list_transform(fps, s -> s // 281474976710656) AS fp_pos,
-           list_transform(fps, s -> s % 281474976710656) AS fp_hash
+           array_to_string(list_transform(fps, s -> s // 281474976710656),
+                           ',') AS fp_pos,
+           array_to_string(list_transform(fps, s -> s % 281474976710656),
+                           ',') AS fp_hash
     FROM sel
     """,
     doc="winnowing document fingerprints (Schleimer, Wilkerson, Aiken "
@@ -741,11 +743,19 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fps"),
     )
+    # fp_pos/fp_hash as comma-joined STRINGS, not arrays: the driver's
+    # canonicalizer (pandas sort_values) crashes on array-typed cells
+    # (unhashable ndarray), so driver-window entries must be scalar-
+    # only (r10 rotation prep; same fix as dedup_cluster_jaccard r7).
     return sel.select(
         "doc_id",
         F.col("m").cast("long").alias("n_grams"),
         F.size("fps").cast("long").alias("n_fps"),
         F.round(F.size("fps").cast("double") / F.col("m"), 4).alias("density"),
-        F.expr(f"transform(fps, s -> s div {PACK}L)").alias("fp_pos"),
-        F.expr(f"transform(fps, s -> s % {PACK}L)").alias("fp_hash"),
+        F.expr(
+            f"array_join(transform(fps, s -> CAST(s div {PACK}L AS STRING)), ',')"
+        ).alias("fp_pos"),
+        F.expr(
+            f"array_join(transform(fps, s -> CAST(s % {PACK}L AS STRING)), ',')"
+        ).alias("fp_hash"),
     )

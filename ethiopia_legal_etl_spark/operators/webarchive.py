@@ -1048,7 +1048,10 @@ def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: each round references `survivors` twice and
     # `sym` once — without truncation the lineage tree doubles per
     # round (2^rounds plan copies; measured 24 s at sf0.1 vs 2 s
-    # truncated). Same discipline as dedup_cluster_jaccard.
+    # truncated). Same discipline as dedup_cluster_jaccard. Cluster
+    # posture (SCALING.md r10): reliable checkpoint() of the frontier
+    # every few rounds at 1000 executors (localCheckpoint blocks die
+    # with their executor).
     sym = sym.localCheckpoint()
     survivors = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
     for _ in range(_KCORE_ROUNDS):

@@ -84,9 +84,32 @@ def count_single_partition_exchanges(plan: str) -> int:
     BOUNDED input (post-aggregate tables, 1-row totals) — replacing
     the comment-grep convention with plan-level enforcement."""
     exclude = _initial_plan_node_ids(plan)
-    count = 0
-    for m in re.finditer(r"^\((\d+)\) Exchange\b\n((?:.+\n)*?)\n", plan + "\n", re.M):
-        nid, body = m.group(1), m.group(2)
-        if nid not in exclude and "SinglePartition" in body:
+    # Block end is anchored on the NEXT node header (or end-of-string),
+    # not on a blank line: a detail block that terminates the plan
+    # string without a trailing blank line must still be inspected
+    # (the old blank-line regex silently skipped it — an under-count
+    # that let the SP_BUDGET gate pass instead of flag).
+    blocks: dict[str, tuple[str, str]] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) (Exchange|ReusedExchange)\b(.*?)(?=^\(\d+\) |\Z)",
+        plan,
+        re.M | re.S,
+    ):
+        blocks[m.group(1)] = (m.group(2), m.group(3))
+    sp_ids = {
+        nid
+        for nid, (kind, body) in blocks.items()
+        if kind == "Exchange" and "SinglePartition" in body
+    }
+    count = sum(1 for nid in sp_ids if nid not in exclude)
+    # A ReusedExchange whose target is a SinglePartition exchange is a
+    # second consumer of the same one-reducer funnel — resolve the
+    # `Reuses operator id` reference and count it too (ReusedExchange
+    # detail blocks never print the partitioning themselves).
+    for nid, (kind, body) in blocks.items():
+        if kind != "ReusedExchange" or nid in exclude:
+            continue
+        ref = re.search(r"Reuses operator id: (\d+)", body)
+        if ref and ref.group(1) in sp_ids:
             count += 1
     return count

@@ -72,7 +72,19 @@ def test_minhash_lsh_ml_variant_agrees_on_dups(spark, dup_docs, monkeypatch, sf_
     assert (1, 2) in ml and ml[(1, 2)] == 0.0  # exact dup
     assert (1, 3) in ml and (2, 3) in ml  # near dup (1-token mutation)
     det = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()}
-    assert set(ml) == det  # same operating point -> same pair set here
+    # r10 (ADVICE): don't assert exact pair-set equality — banding
+    # recall is <1 (miss prob (1-s)^bands per pair) and the ml hash
+    # family is seed/version-derivation dependent, so set(ml) == det
+    # could break on a fixture or Spark upgrade with both sides
+    # correct. Assert the planted pairs in BOTH plus mutual recall
+    # bounds at the shared operating point instead.
+    assert {(1, 2), (1, 3), (2, 3)} <= det
+    true_pairs = {(1, 2), (1, 3), (2, 3)}
+    assert len(ml.keys() & true_pairs) == len(true_pairs)
+    # both pair sets live in the same thresholded space; at this tiny
+    # fixture they should overlap heavily even if not identically
+    overlap = len(set(ml) & det)
+    assert overlap >= max(1, int(0.8 * min(len(ml), len(det))))
 
 
 def test_planted_near_dup_recall(spark, sf_dir, monkeypatch):

@@ -123,6 +123,10 @@ def test_null_mirror_sentinels_stay_green(spark, null_mirror_dir):
         "multimodal_fake_embed", "text_mojibake_repair",
         "warc_to_text_pipeline", "similarity_lsh_buckets",
         "similarity_ivf_by_label",
+        # r10 corruption axis (malformed JSON in events.props): Spark
+        # get_json_object / try_parse_json yield NULL where DuckDB
+        # json_extract raises — oracles carry a json_valid guard
+        "scalar_json_events", "variant_event_props",
     ]
     failures, _ = co.run(null_mirror_dir, sentinels, spark=spark, count_warns=True)
     assert failures == 0

@@ -502,6 +502,51 @@ def test_count_single_partition_exchanges_convention(spark, sf_dir):
     assert count_single_partition_exchanges(plan) == 0
 
 
+def test_count_single_partition_regex_edge_cases():
+    """Pin the two under-count modes ADVICE r9 named in the SP gate
+    (both would let a one-reducer funnel pass silently): (a) a detail
+    block that terminates the plan string with NO trailing blank
+    line; (b) a ReusedExchange whose target is a SinglePartition
+    exchange (its own detail block never prints the partitioning)."""
+    from ethiopia_legal_etl_spark.plans.explain import (
+        count_single_partition_exchanges,
+    )
+
+    # (a) SP Exchange block at end-of-string, no trailing blank line
+    plan_a = (
+        "(1) Scan parquet\n"
+        "Output [1]: [x#1]\n"
+        "\n"
+        "(2) Exchange\n"
+        "Input [1]: [x#1]\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]"
+    )
+    assert count_single_partition_exchanges(plan_a) == 1
+
+    # (b) ReusedExchange pointing at an SP exchange counts as a second
+    # consumer of the same funnel
+    plan_b = (
+        "(2) Exchange\n"
+        "Input [1]: [x#1]\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]\n"
+        "\n"
+        "(5) ReusedExchange [Reuses operator id: 2]\n"
+        "Output [1]: [x#1]\n"
+    )
+    assert count_single_partition_exchanges(plan_b) == 2
+
+    # a ReusedExchange over a HASH exchange stays uncounted
+    plan_c = (
+        "(2) Exchange\n"
+        "Input [1]: [x#1]\n"
+        "Arguments: hashpartitioning(x#1, 32), ENSURE_REQUIREMENTS\n"
+        "\n"
+        "(5) ReusedExchange [Reuses operator id: 2]\n"
+        "Output [1]: [x#1]\n"
+    )
+    assert count_single_partition_exchanges(plan_c) == 0
+
+
 def test_count_data_shuffles_structural_convention(spark, sf_dir):
     """Pin the formatted-plan assumptions behind count_data_shuffles:
     node headers '(N) Exchange' are counted once per node id, so the

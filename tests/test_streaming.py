@@ -380,7 +380,8 @@ def test_streaming_transform_with_state(spark, events_stream_dir):
     worker and the JVM; this container ships pyspark without the
     protobuf wheel, so the test skips where protobuf is absent (the
     operator itself is plain Spark 4 API and runs on any standard
-    cluster image)."""
+    cluster image). Retried r7, r8, r9, r10 — still absent; installs
+    prohibited in this environment."""
     pytest.importorskip("google.protobuf")
     from ethiopia_legal_etl_spark.streaming.windows import streaming_user_state_tws
 

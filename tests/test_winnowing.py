@@ -50,7 +50,11 @@ def test_winnowing_matches_python_model_whole_corpus(spark, sf_dir):
         r = got[d]
         assert r["n_grams"] == m
         assert r["n_fps"] == len(fps)
-        assert list(zip(r["fp_pos"], r["fp_hash"])) == fps
+        # fp_pos/fp_hash are comma-joined strings since r10 (driver
+        # canonicalizer needs scalar cells)
+        pos = [int(x) for x in r["fp_pos"].split(",")]
+        hsh = [int(x) for x in r["fp_hash"].split(",")]
+        assert list(zip(pos, hsh)) == fps
 
 
 def test_winnowing_coverage_guarantee(spark, tmp_path):
@@ -68,7 +72,7 @@ def test_winnowing_coverage_guarantee(spark, tmp_path):
         "overwrite"
     ).parquet(f"{d}/documents.parquet")
     fp = {
-        r["doc_id"]: set(r["fp_hash"])
+        r["doc_id"]: set(r["fp_hash"].split(","))
         for r in winnowing_fingerprints(spark, d).collect()
     }
     assert fp[1] & fp[2], "shared 6-token run must share a fingerprint"

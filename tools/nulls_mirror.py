@@ -67,6 +67,18 @@ NULLABLE = {
     "embeddings": ["embedding", "label"],
 }
 
+# r10 corruption axis (VERDICT r9 #4): MALFORMED values, not just
+# NULLs — a partial instrumentation payload (truncated JSON) is as
+# routine as a failed fetch, and the engines genuinely diverge on it:
+# Spark get_json_object/try_parse_json yield NULL where DuckDB's
+# json_extract RAISES (oracles need an explicit json_valid guard).
+# Rows with hash%10==1 (disjoint from the NULL bucket %10==0) get the
+# value truncated at half length — guaranteed-invalid JSON for object
+# payloads since the closing brace is lost.
+CORRUPT_JSON = {
+    "events": ["props"],
+}
+
 
 def build(dst: str, src: str = SRC) -> None:
     con = duckdb.connect()
@@ -78,15 +90,23 @@ def build(dst: str, src: str = SRC) -> None:
             ).fetchall()
         ]
         first = cols[0]
-        sel = [
-            (
-                f"CASE WHEN abs(hash({first} :: VARCHAR || '{c}')) % 10 = 0 "
-                f"THEN NULL ELSE {c} END AS {c}"
-                if c in NULLABLE.get(t, [])
-                else c
+
+        def xform(c: str) -> str:
+            if c not in NULLABLE.get(t, []):
+                return c
+            bucket = f"abs(hash({first} :: VARCHAR || '{c}')) % 10"
+            corrupt = (
+                f"WHEN {bucket} = 1 THEN substr({c}, 1, "
+                f"GREATEST(1, CAST(LEN({c}) // 2 AS INT))) "
+                if c in CORRUPT_JSON.get(t, [])
+                else ""
             )
-            for c in cols
-        ]
+            return (
+                f"CASE WHEN {bucket} = 0 THEN NULL {corrupt}"
+                f"ELSE {c} END AS {c}"
+            )
+
+        sel = [xform(c) for c in cols]
         con.execute(
             f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet') "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
