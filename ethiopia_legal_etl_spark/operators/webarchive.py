@@ -607,9 +607,14 @@ def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical graph; the real-HTML edge extraction path is "
     "html_link_extraction.",
 )
-def host_rank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+def host_rank_fixed_point(
+    spark: SparkSession, sf_dir: str, n_hosts: int = 50
+) -> DataFrame:
+    # n_hosts: probe-only knob (tools/scale_probe.py --graph) that
+    # widens the synthetic host space; the registered entry and its
+    # oracle always use the default 50.
     docs = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 50).alias("src"),
+        (F.col("doc_id") % n_hosts).alias("src"),
         F.explode(
             F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
         ).alias("i"),
@@ -617,7 +622,7 @@ def host_rank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     links = docs.select(
         "src",
-        ((F.col("src") * 7 + F.col("i") * 13 + 1) % 50).alias("dst"),
+        ((F.col("src") * 7 + F.col("i") * 13 + 1) % n_hosts).alias("dst"),
     ).distinct()
     deg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     hosts = links.select(F.col("src").alias("host")).distinct()
@@ -1011,7 +1016,11 @@ _KCORE_ROUNDS = 6  # fixpoint on this graph at round 4: the pendant
     "co-partitioned reuse); at 100 TB rounds are O(diameter-ish) and "
     "each is a bounded join, the standard distributed peeling shape.",
 )
-def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore_hosts(
+    spark: SparkSession, sf_dir: str, n_hosts: int = 50
+) -> DataFrame:
+    # n_hosts: probe-only knob (tools/scale_probe.py --graph); the
+    # registered entry and its unrolled SQL oracle always use 50.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     quad = (
         docs.select(
@@ -1021,10 +1030,10 @@ def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i"),
         )
         .select(
-            (F.col("doc_id") % 50).alias("src"),
+            (F.col("doc_id") % n_hosts).alias("src"),
             (
-                ((F.col("doc_id") % 50) * (F.col("doc_id") % 50)
-                 + F.col("i") * 13 + 1) % 50
+                ((F.col("doc_id") % n_hosts) * (F.col("doc_id") % n_hosts)
+                 + F.col("i") * 13 + 1) % n_hosts
             ).alias("dst"),
         )
         .distinct()

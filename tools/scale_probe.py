@@ -1243,6 +1243,68 @@ def stats_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def graph_probe(spark, scratch: str) -> list[dict]:
+    """VERDICT r9 #5: scale evidence for the two fixed-point graph
+    entries. Both derive their host graph from doc_id formulas, so the
+    honest growth knob is the probe-only `n_hosts` parameter: hosts
+    AND edges scale together (edges ~3·n_hosts by construction),
+    50 → 500 → 5000 = 1×/10×/100× on both axes at sf0.1 docs.
+
+    What each measures:
+    - host_rank_fixed_point: 3 power-iteration rounds UNROLLED INTO
+      ONE PLAN (no checkpoint, no driver loop) — cost is 3× the
+      per-round broadcast-join+groupBy, and the rank table stays the
+      broadcast side at every probed size.
+    - graph_kcore_hosts: 6 peeling rounds EACH materialized through
+      localCheckpoint — cost includes 6 round-trips of eager
+      checkpoint jobs, i.e. the per-round floor a 1000-executor
+      deployment would pay per peel (where reliable checkpoint()
+      replaces it, SCALING.md r10).
+
+    Iteration counts are fixed constants in both entries (3 and 6);
+    the growth axis under test is per-round cost, not round count —
+    PageRank's round count is a convergence choice, and peeling's is
+    graph-dependent (fixpoint at round 4 on the default graph).
+    """
+    from ethiopia_legal_etl_spark.operators import webarchive as wa
+
+    out = []
+    for n_hosts in (50, 500, 5000):
+        for name, fn in (
+            ("host_rank_unrolled", wa.host_rank_fixed_point),
+            ("kcore_checkpointed", wa.graph_kcore_hosts),
+        ):
+            b = lambda: run_noop(fn(spark, SF_DIR, n_hosts=n_hosts))
+            b()  # warm
+            out.append({"exp": name, "n_hosts": n_hosts, "sec": timed(b)})
+
+    # 1000× tier: the doc_id formulas cap edges at ~3·n_hosts and
+    # n_hosts at |docs|, so the big point replicates documents 100×
+    # (shifted doc_ids) and widens to 50k hosts / ~150k edges — enough
+    # data that the per-round joins stop being pure overhead.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    n_docs = docs.count()
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        for i in range(100)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    d_big = f"{scratch}/graph_docs_x100"
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{d_big}/documents.parquet"
+    )
+    for name, fn in (
+        ("host_rank_unrolled", wa.host_rank_fixed_point),
+        ("kcore_checkpointed", wa.graph_kcore_hosts),
+    ):
+        b = lambda: run_noop(fn(spark, d_big, n_hosts=50_000))
+        b()  # warm
+        out.append({"exp": name, "n_hosts": 50_000, "sec": timed(b)})
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1275,6 +1337,8 @@ def main() -> None:
                     help="planted gram-skew ExactSubstr probe: digest vs string keys, AQE skew on/off (~2 min)")
     ap.add_argument("--stats", action="store_true",
                     help="Theil-Sen day-range (full vs trailing-90) + silhouette label-count scaling (~4 min)")
+    ap.add_argument("--graph", action="store_true",
+                    help="fixed-point graph ops (PageRank unrolled / k-core checkpointed) at 1x/10x/100x hosts+edges (~3 min)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -1337,6 +1401,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.stats:
             for r in stats_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.graph:
+            for r in graph_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
