@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.operators.similarity import as_double
+from ethiopia_legal_etl_spark.operators.similarity import as_double, emb_ok
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------
@@ -392,8 +392,10 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
 @register(
     "embedding_matryoshka_overlap",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id < 5),
+    WITH ok AS (SELECT * FROM embeddings
+                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ok
+          WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, e.vec_id,
              LIST_COSINE_SIMILARITY(
@@ -404,7 +406,7 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
                LIST_TRANSFORM(q.q_emb[1:{_MRL_DIM}], x -> CAST(x AS DOUBLE)),
                LIST_TRANSFORM(e.embedding[1:{_MRL_DIM}],
                               x -> CAST(x AS DOUBLE))) AS cos_trunc
-      FROM q CROSS JOIN embeddings e
+      FROM q CROSS JOIN ok e
       WHERE e.vec_id <> q.q_id
     ),
     ranked AS (
@@ -432,7 +434,8 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
 def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ethiopia_legal_etl_spark.operators.similarity import cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -516,7 +519,9 @@ def pq_adc_scores(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
     "vs exact L2 (tests/test_selection.py).",
 )
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows out (EMB_DIM policy): a truncated vector
+    # crashes the per-subspace k-means fit and the fixed-offset slices
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     if emb.isEmpty():  # KMeans.fit requires rows
         return spark.createDataFrame(
             [], "q_id bigint, vec_id bigint, l2_dist double, rn int"

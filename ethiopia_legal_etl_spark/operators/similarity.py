@@ -24,6 +24,31 @@ from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
+EMB_DIM = 64
+# ^ the embeddings table's encoder contract (TESTDATA.md: array<float>,
+# 64-dim). A row with a DIFFERENT length is failed/partial encoder
+# output — as routine at corpus scale as a failed fetch — and the
+# engines genuinely diverge on it (null-mirror corruption axis 6,
+# tools/nulls_mirror.py, truncates ~10% of rows to 32 dims): Spark
+# zip_with silently NULL-pads the shorter array (NULL products -> NULL
+# sums), element_at(i>len) RAISES, DuckDB LIST_COSINE_SIMILARITY raises
+# "list dimensions must be equal", and pyspark.ml vectors must be fixed
+# size. Policy: every entry whose math needs the full dimension excludes
+# wrong-dim rows EXPLICITLY, on both engines, exactly like NULLs.
+# Per-vector plumbing entries (embedding_norms) keep them and report
+# the observed dim instead.
+
+
+def emb_ok(col: str = "embedding") -> Column:
+    """Failed-encoder guard: NULL or wrong-dimension embeddings out."""
+    c = F.col(col)
+    return c.isNotNull() & (F.size(c) == EMB_DIM)
+
+
+# the oracle-side twin (DuckDB), for interpolation into oracle SQL
+EMB_OK_SQL = f"(embedding IS NOT NULL AND LEN(embedding) = {EMB_DIM})"
+
+
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -70,13 +95,15 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_cosine_topk",
     oracle="""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+    WITH ok AS (SELECT * FROM embeddings
+                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ok WHERE vec_id < 5),
          scored AS (
            SELECT q.q_id, e.vec_id,
                   LIST_COSINE_SIMILARITY(
                     LIST_TRANSFORM(q.q_emb, x -> CAST(x AS DOUBLE)),
                     LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
-           FROM q CROSS JOIN embeddings e
+           FROM q CROSS JOIN ok e
            WHERE e.vec_id <> q.q_id
          ),
          ranked AS (
@@ -92,7 +119,8 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus streamed once, per-query heap via window)",
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -169,7 +197,8 @@ def resplit_oversized_cells(
     oracle="""
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings WHERE vec_id < 300)
+               FROM embeddings WHERE vec_id < 300
+                 AND embedding IS NOT NULL AND LEN(embedding) = 64)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 4) AS cos_sim
     FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -186,7 +215,12 @@ def resplit_oversized_cells(
     "tests/test_dedup_similarity.py with a small bound.",
 )
 def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .where(emb_ok())
+    )
     d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
     return near_dup_cosine_pairs(d, threshold=0.9)
 
@@ -228,10 +262,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    # NULL embeddings crash array_to_vector (JVM NPE); wrong-dim ones
+    # crash the LSH fit ("Dimensions mismatch when adding new sample")
+    # — both are failed-encoder rows, excluded (EMB_DIM policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     # localCheckpoint is a REORDER BARRIER, not an optimization: the
     # approx join appends size(UDF)>0 / isnotnull(UDF) conjuncts whose
     # common subexpression codegen evaluates EAGERLY, so a NULL array
@@ -281,10 +315,10 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    # NULL embeddings crash array_to_vector (JVM NPE); wrong-dim ones
+    # crash the KMeans fit ("Dimensions mismatch when adding new
+    # sample") — both are failed-encoder rows, excluded (EMB_DIM policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     feats = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).withColumn("features", array_to_vector(F.col("e")))
@@ -336,6 +370,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
     ),
     dims AS (
       SELECT label, dim, ROUND(AVG(val), 6) AS m
@@ -388,7 +423,8 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is an order-fixed array fold, bit-identical cross-engine.",
 )
 def similarity_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     e = as_double(F.col("embedding"))
     # centroids: elementwise mean per label via posexplode + re-assemble;
     # ROUND(.,6) canonicalizes the partial-agg summation order so the
@@ -481,6 +517,7 @@ def _rademacher_sign(i, k):
     FROM embeddings, LATERAL (
       SELECT unnest(range(1, {_PROJ_K} + 1))
     ) AS g(k)
+    WHERE embedding IS NOT NULL AND LEN(embedding) = 64
     """,
     doc="Johnson-Lindenstrauss random projection 64→16 with a "
     "deterministic Rademacher ±1 matrix from an integer formula (no "
@@ -496,7 +533,9 @@ def _rademacher_sign(i, k):
     "re-decimalized double (observed at sf0.1 as a raw-repr warn).",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows out (EMB_DIM policy): the fixed range(1,65)
+    # index would raise INVALID_ARRAY_INDEX on a truncated array
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     ks = F.sequence(F.lit(1), F.lit(_PROJ_K))
 
     def proj_at(k):
@@ -527,6 +566,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_max(list_transform(embedding, x -> abs(x)))
                   AS DOUBLE) / 127 AS scale
       FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
     )
     SELECT vec_id, i AS idx,
            ROUND(scale, 6) AS scale6,
@@ -544,7 +584,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the scale=0 guard. Shuffle-free per-row expression.",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows out (EMB_DIM policy): the fixed range(1,65)
+    # index would raise INVALID_ARRAY_INDEX on a truncated array
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     scale = (
         F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
             "double"
@@ -599,10 +641,10 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    # NULL embeddings crash array_to_vector (JVM NPE) — excluded
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    # NULL embeddings crash array_to_vector (JVM NPE); wrong-dim ones
+    # crash the LSH fit ("Dimensions mismatch when adding new sample")
+    # — both are failed-encoder rows, excluded (EMB_DIM policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     d = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
     if d.isEmpty():
         return spark.createDataFrame(
@@ -679,7 +721,7 @@ def write_ivf_partitioned(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     feats = emb.select(
         "vec_id", "label", "embedding",
         array_to_vector(as_double(F.col("embedding"))).alias("features"),
@@ -707,7 +749,8 @@ def read_probed_cells(
     oracle="""
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     kept AS (
       SELECT a.vec_id, a.label,
              NOT EXISTS (
@@ -746,7 +789,8 @@ def read_probed_cells(
     "dashboard a curation run reports).",
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
     d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
     cells = resplit_oversized_cells(d, "label", "vec_id", 10_000, strict=True)
     a = cells.alias("a")
@@ -780,7 +824,8 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings WHERE vec_id < 600),
+               FROM embeddings WHERE vec_id < 600
+                 AND embedding IS NOT NULL AND LEN(embedding) = 64),
     a AS (SELECT vec_id, e FROM d WHERE label = 0),
     b AS (SELECT vec_id, e FROM d WHERE label = 1),
     pairs AS (
@@ -824,7 +869,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 600)
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 600)
+        .where(emb_ok())
+    )
     d = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
     a = d.where(F.col("label") == 0).select(
         F.col("vec_id").alias("src_id"), F.col("e").alias("ea")
@@ -857,6 +907,7 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH emb AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings WHERE vec_id < 400
+        AND embedding IS NOT NULL AND LEN(embedding) = 64
     ),
     q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
     pool AS (SELECT vec_id, e FROM emb WHERE vec_id >= 3),
@@ -935,7 +986,12 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and MMR runs on the bounded candidates only — never the corpus.",
 )
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 400)
+        .where(emb_ok())
+    )
     d = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
     q = d.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
@@ -1031,6 +1087,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))),
                (a, b) -> a + b) AS BIGINT) AS xx
       FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        AND LEN(embedding) = 64
     ),
     dimsums AS (
       -- parallel unnests zip positionally in DuckDB (no WITH
@@ -1107,8 +1164,13 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Singleton clusters emit s = 0 (the standard convention).",
 )
 def embedding_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EMB_DIM guard matters here even though mixed dims DON'T crash:
+    # a truncated vector would add its 32-dim moments to S_C/SS_C
+    # (biasing a and b for every other point) while its own num goes
+    # NULL -> s=0 — consistent cross-engine but silently wrong as a
+    # statistic. Failed-encoder rows are excluded like NULLs.
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        emb_ok() & F.col("label").isNotNull()
     )
     qx = F.transform(
         "embedding",

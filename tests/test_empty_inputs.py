@@ -127,6 +127,12 @@ def test_null_mirror_sentinels_stay_green(spark, null_mirror_dir):
         # get_json_object / try_parse_json yield NULL where DuckDB
         # json_extract raises — oracles carry a json_valid guard
         "scalar_json_events", "variant_event_props",
+        # r10 truncation axis (wrong-dim embeddings, EMB_DIM policy):
+        # one sentinel per failure shape — DuckDB cosine raise,
+        # Spark element_at raise, pyspark.ml fit crash (lsh_buckets,
+        # already above), and the silent moment-bias case
+        "embedding_near_dup_cosine", "embedding_int8_quantize",
+        "embedding_silhouette_labels",
     ]
     failures, _ = co.run(null_mirror_dir, sentinels, spark=spark, count_warns=True)
     assert failures == 0

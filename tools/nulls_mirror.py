@@ -17,7 +17,14 @@ making the semantics explicit on BOTH sides — see git history):
 - a day whose values are all NULL is a GAP, not an observed null, under
   IGNORE-NULLS LOCF (timeseries_gapfill_locf: null values filtered);
 - a NULL sketch key can be neither counted nor queried
-  (heavy_hitters_cms: nulls excluded from the key list).
+  (heavy_hitters_cms: nulls excluded from the key list);
+- r10 truncation axis: a WRONG-DIMENSION embedding (failed encoder)
+  silently NULL-pads in Spark zip_with, RAISES in Spark element_at
+  (fixed-index math) and pyspark.ml fit ("Dimensions mismatch when
+  adding new sample"), and RAISES in DuckDB LIST_COSINE_SIMILARITY —
+  13 entries fixed + 1 silent-bias case (silhouette moments) with the
+  shared EMB_DIM=64 encoder-contract guard (similarity.py:emb_ok),
+  mirrored as LEN(embedding) = 64 in every oracle.
 
 The mirror is built with DuckDB so each table stays a single parquet
 FILE (the oracle registers `<dir>/<table>.parquet` as one file).
@@ -79,6 +86,18 @@ CORRUPT_JSON = {
     "events": ["props"],
 }
 
+# r10 corruption axis 6: WRONG-DIMENSION embeddings — a failed/partial
+# encoder emits short vectors as routinely as a failed fetch emits null
+# text, and the engines genuinely diverge on them: Spark zip_with
+# null-pads the shorter array (NULL products -> NULL sums), DuckDB
+# LIST_COSINE_SIMILARITY RAISES "list dimensions must be equal", and
+# pyspark.ml KMeans/LSH require a fixed vector size. Rows with
+# hash%10==2 (disjoint from NULL %10==0 and JSON-corrupt %10==1) get
+# the list truncated to half length (64 -> 32 dims).
+CORRUPT_TRUNC_LIST = {
+    "embeddings": ["embedding"],
+}
+
 
 def build(dst: str, src: str = SRC) -> None:
     con = duckdb.connect()
@@ -95,12 +114,17 @@ def build(dst: str, src: str = SRC) -> None:
             if c not in NULLABLE.get(t, []):
                 return c
             bucket = f"abs(hash({first} :: VARCHAR || '{c}')) % 10"
-            corrupt = (
-                f"WHEN {bucket} = 1 THEN substr({c}, 1, "
-                f"GREATEST(1, CAST(LEN({c}) // 2 AS INT))) "
-                if c in CORRUPT_JSON.get(t, [])
-                else ""
-            )
+            corrupt = ""
+            if c in CORRUPT_JSON.get(t, []):
+                corrupt = (
+                    f"WHEN {bucket} = 1 THEN substr({c}, 1, "
+                    f"GREATEST(1, CAST(LEN({c}) // 2 AS INT))) "
+                )
+            if c in CORRUPT_TRUNC_LIST.get(t, []):
+                corrupt += (
+                    f"WHEN {bucket} = 2 THEN list_slice({c}, 1, "
+                    f"GREATEST(1, CAST(LEN({c}) // 2 AS INT))) "
+                )
             return (
                 f"CASE WHEN {bucket} = 0 THEN NULL {corrupt}"
                 f"ELSE {c} END AS {c}"
