@@ -393,7 +393,8 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
     "embedding_matryoshka_overlap",
     oracle=f"""
     WITH ok AS (SELECT * FROM embeddings
-                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+                WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ok
           WHERE vec_id < 5),
     scored AS (

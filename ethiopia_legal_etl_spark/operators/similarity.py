@@ -25,28 +25,40 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
 EMB_DIM = 64
-# ^ the embeddings table's encoder contract (TESTDATA.md: array<float>,
-# 64-dim). A row with a DIFFERENT length is failed/partial encoder
+# ^ the embeddings table's encoder contract (driver-generated data:
+# array<float>, 64-dim — the dim a deployment pins from its encoder
+# config). A row with a DIFFERENT length is failed/partial encoder
 # output — as routine at corpus scale as a failed fetch — and the
 # engines genuinely diverge on it (null-mirror corruption axis 6,
 # tools/nulls_mirror.py, truncates ~10% of rows to 32 dims): Spark
 # zip_with silently NULL-pads the shorter array (NULL products -> NULL
 # sums), element_at(i>len) RAISES, DuckDB LIST_COSINE_SIMILARITY raises
 # "list dimensions must be equal", and pyspark.ml vectors must be fixed
-# size. Policy: every entry whose math needs the full dimension excludes
-# wrong-dim rows EXPLICITLY, on both engines, exactly like NULLs.
-# Per-vector plumbing entries (embedding_norms) keep them and report
-# the observed dim instead.
+# size. A NON-FINITE coordinate (fp16 overflow -> Inf, 0/0 -> NaN —
+# axis 7 of the mirror plants one per corrupted row) is just as
+# divergent: Spark's cosine fold yields NaN (which sorts GREATEST in a
+# DESC rank) where DuckDB LIST_COSINE_SIMILARITY returns -1.0 (sorts
+# last), and the silhouette lattice floor(NaN*1e6)::BIGINT is silently
+# 0 in Spark but RAISES a ConversionException in DuckDB. Policy: every
+# entry whose math needs healthy vectors excludes NULL / wrong-dim /
+# non-finite rows EXPLICITLY, on both engines, exactly like NULLs.
+# Per-vector plumbing entries (embedding_norms) keep wrong-dim rows
+# and report the observed dim instead.
 
 
 def emb_ok(col: str = "embedding") -> Column:
-    """Failed-encoder guard: NULL or wrong-dimension embeddings out."""
+    """Failed-encoder guard: NULL, wrong-dimension, or non-finite
+    (NaN/Inf coordinate) embeddings out."""
     c = F.col(col)
-    return c.isNotNull() & (F.size(c) == EMB_DIM)
+    finite = ~F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    return c.isNotNull() & (F.size(c) == EMB_DIM) & finite
 
 
 # the oracle-side twin (DuckDB), for interpolation into oracle SQL
-EMB_OK_SQL = f"(embedding IS NOT NULL AND LEN(embedding) = {EMB_DIM})"
+EMB_OK_SQL = (
+    f"(embedding IS NOT NULL AND LEN(embedding) = {EMB_DIM} "
+    "AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
+)
 
 
 def as_double(arr: Column) -> Column:
@@ -74,20 +86,32 @@ def cosine(a: Column, b: Column) -> Column:
     oracle="""
     SELECT vec_id,
            LEN(embedding) AS dim,
-           ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2,
+           CASE WHEN LEN(list_filter(embedding,
+                         x -> isnan(x) OR isinf(x))) = 0
+                THEN ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+           END AS l2,
            label
     FROM embeddings
     """,
-    doc="vector plumbing: dimension + L2 norm per embedding",
+    doc="vector plumbing: dimension + L2 norm per embedding. This is "
+    "the one entry that KEEPS failed-encoder rows (it's the view you "
+    "audit them with): wrong-dim rows report their observed dim; a "
+    "vector with a NaN/Inf coordinate reports l2 = NULL on both "
+    "engines — a non-finite l2 must never cross the driver "
+    "canonicalizer (Spark NaN vs DuckDB -1.0 cosine is the axis-7 "
+    "divergence; int(Inf) overflows the hash normalizer).",
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = as_double(F.col("embedding"))
+    finite = ~F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(l2norm(e), 4).alias("l2"),
+        F.when(finite, F.round(l2norm(e), 4)).alias("l2"),
         "label",
     )
 
@@ -96,7 +120,8 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_cosine_topk",
     oracle="""
     WITH ok AS (SELECT * FROM embeddings
-                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+                WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ok WHERE vec_id < 5),
          scored AS (
            SELECT q.q_id, e.vec_id,
@@ -198,7 +223,8 @@ def resplit_oversized_cells(
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings WHERE vec_id < 300
-                 AND embedding IS NOT NULL AND LEN(embedding) = 64)
+                 AND embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 4) AS cos_sim
     FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -371,6 +397,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
       WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ),
     dims AS (
       SELECT label, dim, ROUND(AVG(val), 6) AS m
@@ -518,6 +545,7 @@ def _rademacher_sign(i, k):
       SELECT unnest(range(1, {_PROJ_K} + 1))
     ) AS g(k)
     WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     """,
     doc="Johnson-Lindenstrauss random projection 64→16 with a "
     "deterministic Rademacher ±1 matrix from an integer formula (no "
@@ -567,6 +595,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) / 127 AS scale
       FROM embeddings
       WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     )
     SELECT vec_id, i AS idx,
            ROUND(scale, 6) AS scale6,
@@ -750,7 +779,8 @@ def read_probed_cells(
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings
-               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     kept AS (
       SELECT a.vec_id, a.label,
              NOT EXISTS (
@@ -825,7 +855,8 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings WHERE vec_id < 600
-                 AND embedding IS NOT NULL AND LEN(embedding) = 64),
+                 AND embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     a AS (SELECT vec_id, e FROM d WHERE label = 0),
     b AS (SELECT vec_id, e FROM d WHERE label = 1),
     pairs AS (
@@ -908,6 +939,7 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings WHERE vec_id < 400
         AND embedding IS NOT NULL AND LEN(embedding) = 64
+                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ),
     q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
     pool AS (SELECT vec_id, e FROM emb WHERE vec_id >= 3),
@@ -1088,6 +1120,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                (a, b) -> a + b) AS BIGINT) AS xx
       FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
         AND LEN(embedding) = 64
+        AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ),
     dimsums AS (
       -- parallel unnests zip positionally in DuckDB (no WITH

@@ -29,6 +29,8 @@ def normalize_cell(v) -> str:
     if isinstance(v, float):
         if v != v:  # NaN
             return "NaN"
+        if v in (float("inf"), float("-inf")):  # int(inf) raises
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

@@ -24,7 +24,16 @@ making the semantics explicit on BOTH sides — see git history):
   adding new sample"), and RAISES in DuckDB LIST_COSINE_SIMILARITY —
   13 entries fixed + 1 silent-bias case (silhouette moments) with the
   shared EMB_DIM=64 encoder-contract guard (similarity.py:emb_ok),
-  mirrored as LEN(embedding) = 64 in every oracle.
+  mirrored as LEN(embedding) = 64 in every oracle;
+- r10 non-finite axis: a NaN/Inf COORDINATE (fp16 overflow, 0/0
+  normalization) makes Spark's cosine fold NaN (sorts GREATEST under
+  DESC rank) where DuckDB LIST_COSINE_SIMILARITY returns -1.0 (sorts
+  last), and Spark floor(NaN*1e6)::long is silently 0 where DuckDB's
+  cast raises — emb_ok extended with a finiteness conjunct
+  (NOT exists(isnan|isinf)), and embedding_norms (the one entry that
+  deliberately KEEPS failed-encoder rows) reports l2 = NULL for a
+  non-finite vector on both engines so no non-finite cell ever
+  crosses the driver canonicalizer.
 
 The mirror is built with DuckDB so each table stays a single parquet
 FILE (the oracle registers `<dir>/<table>.parquet` as one file).
@@ -98,6 +107,21 @@ CORRUPT_TRUNC_LIST = {
     "embeddings": ["embedding"],
 }
 
+# r10 corruption axis 7: NON-FINITE coordinates — fp16 overflow emits
+# Inf and a 0/0 normalization emits NaN in real encoders. The engines
+# diverge HARD: Spark's cosine fold yields NaN (sorts GREATEST under
+# DESC rank) where DuckDB LIST_COSINE_SIMILARITY returns -1.0 (sorts
+# last); Spark floor(NaN*1e6)::long is silently 0 / Inf is Long.MAX
+# where DuckDB's cast RAISES a ConversionException. Rows with
+# hash%10==3 (disjoint from the NULL/%10==0, JSON-corrupt/%10==1 and
+# truncation/%10==2 buckets) get ONE coordinate (position = a second
+# hash % len, so it varies per row) replaced by NaN or +Inf
+# (alternating on the same second hash) — a partial corruption,
+# sneakier than a fully-poisoned vector.
+CORRUPT_NONFINITE_LIST = {
+    "embeddings": ["embedding"],
+}
+
 
 def build(dst: str, src: str = SRC) -> None:
     con = duckdb.connect()
@@ -124,6 +148,16 @@ def build(dst: str, src: str = SRC) -> None:
                 corrupt += (
                     f"WHEN {bucket} = 2 THEN list_slice({c}, 1, "
                     f"GREATEST(1, CAST(LEN({c}) // 2 AS INT))) "
+                )
+            if c in CORRUPT_NONFINITE_LIST.get(t, []):
+                h2 = f"abs(hash({first} :: VARCHAR || '{c}' || 'pos'))"
+                corrupt += (
+                    f"WHEN {bucket} = 3 THEN list_transform("
+                    f"range(1, LEN({c}) + 1), i -> CASE "
+                    f"WHEN i = 1 + {h2} % LEN({c}) THEN "
+                    f"(CASE WHEN {h2} % 2 = 0 THEN 'NaN' "
+                    f"ELSE 'Infinity' END) :: FLOAT "
+                    f"ELSE {c}[i] END) "
                 )
             return (
                 f"CASE WHEN {bucket} = 0 THEN NULL {corrupt}"
