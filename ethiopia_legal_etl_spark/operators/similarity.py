@@ -61,6 +61,36 @@ EMB_OK_SQL = (
 )
 
 
+# session conf that upgrades the ml reorder barriers from
+# localCheckpoint (executor-local blocks, lineage-free — lost with the
+# executor) to RELIABLE checkpoint() into the context's checkpoint dir
+# (HDFS/object store at cluster scale). Default off: at test scale
+# localCheckpoint is strictly faster and executor loss is not a threat.
+RELIABLE_BARRIERS_CONF = "spark.ethiopia_legal_etl.reliableBarriers"
+
+
+def reorder_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier for the pyspark.ml approx-join NPE (see
+    callers): the join appends size(UDF)>0 / isnotnull(UDF) conjuncts
+    whose common-subexpression codegen evaluates EAGERLY, so corrupt
+    rows must be physically gone before the UDF can ever see them —
+    only a lineage break guarantees that ordering.
+
+    Cluster posture (SCALING.md, ADVICE r9): with
+    `spark.ethiopia_legal_etl.reliableBarriers=true` AND a checkpoint
+    dir configured (`sc.setCheckpointDir`), the barrier writes a
+    RELIABLE checkpoint — fault-tolerant storage, survives executor
+    loss — instead of executor-local blocks. Results are identical
+    (asserted in tests/test_dedup_similarity.py)."""
+    spark = df.sparkSession
+    if (
+        spark.conf.get(RELIABLE_BARRIERS_CONF, "false").lower() == "true"
+        and spark.sparkContext.getCheckpointDir() is not None
+    ):
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -301,12 +331,17 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the UDF appears once — no hoisted duplicate — so the scan filter
     # protects it.)
     # Cluster posture (SCALING.md r10): localCheckpoint blocks are
-    # executor-local and lineage-free — at 1000 executors write the
-    # filtered projection to parquet instead, or use the pure-SQL
-    # LSH/IVF twins (the declared 100-TB path, no UDF to reorder).
-    feats = emb.select(
-        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
-    ).localCheckpoint()
+    # executor-local and lineage-free — at 1000 executors set
+    # spark.ethiopia_legal_etl.reliableBarriers=true + a checkpoint dir
+    # (reorder_barrier upgrades to reliable checkpoint()), or use the
+    # pure-SQL LSH/IVF twins (the declared 100-TB path, no UDF to
+    # reorder).
+    feats = reorder_barrier(
+        emb.select(
+            "vec_id",
+            array_to_vector(as_double(F.col("embedding"))).alias("features"),
+        )
+    )
     if feats.isEmpty():  # .fit requires rows; empty scan -> empty result
         return spark.createDataFrame(
             [], "q_id bigint, vec_id bigint, l2_dist double"
@@ -710,13 +745,14 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(dist, {target})").alias("r")
     ).first()  # bounded: exact percentile of the sample pairs, 1 row
     radius = float(row["r"]) if row["r"] is not None else 3.0
-    # localCheckpoint barrier: see similarity_lsh_buckets — the approx
-    # join's hoisted ScalaUDF conjuncts NPE on NULL arrays despite the
-    # upstream filter. Cluster posture (SCALING.md r10): parquet-persist
-    # the projection at 1000 executors, or take the pure-SQL twins.
-    feats = d.select(
-        "vec_id", array_to_vector("e").alias("features")
-    ).localCheckpoint()
+    # reorder barrier: see similarity_lsh_buckets — the approx join's
+    # hoisted ScalaUDF conjuncts NPE on NULL arrays despite the
+    # upstream filter. Cluster posture (SCALING.md r10): flip
+    # reliableBarriers + checkpoint dir at 1000 executors, or take the
+    # pure-SQL twins.
+    feats = reorder_barrier(
+        d.select("vec_id", array_to_vector("e").alias("features"))
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -742,3 +742,36 @@ def test_mmr_matches_greedy_python_replay(spark, sf_dir):
     assert any(
         got[(q, 2)] != pure_rank2[q] for q in (0, 1, 2)
     ), "MMR never diverged from pure relevance — diversity term inert"
+
+
+def test_reliable_barrier_mode_matches_localcheckpoint(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r9 / SCALING.md cluster posture: with
+    spark.ethiopia_legal_etl.reliableBarriers=true AND a checkpoint dir
+    set, the ml reorder barriers write a RELIABLE checkpoint
+    (fault-tolerant storage — survives executor loss) instead of
+    executor-local blocks, with IDENTICAL results. Default stays
+    localCheckpoint (strictly faster at test scale), so this flips the
+    conf for one run and restores it."""
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        RELIABLE_BARRIERS_CONF,
+        similarity_lsh_buckets,
+    )
+
+    base = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity_lsh_buckets(spark, sf_dir).collect()
+    }
+    ckpt = tmp_path_factory.mktemp("reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    spark.conf.set(RELIABLE_BARRIERS_CONF, "true")
+    try:
+        reliable = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity_lsh_buckets(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set(RELIABLE_BARRIERS_CONF, "false")
+    assert reliable == base
+    assert any(ckpt.rglob("*")), "barrier wrote no reliable checkpoint files"
