@@ -1,0 +1,52 @@
+"""Measure-column hygiene: non-finite readings are failed readings.
+
+Instrumentation emits NaN (0/0 rates) and Inf (overflowed counters)
+into metric columns as routinely as failed fetches emit NULL text —
+the null mirror's corruption axis 8 (tools/nulls_mirror.py) plants
+them in ~10% of `events.value`. The engines diverge hard on them:
+
+- the repo's fixed-point exactness policy multiplies measures into
+  integer cents, and a non-finite double breaks the cast on BOTH
+  engines, DIFFERENTLY: Spark raises ARITHMETIC_OVERFLOW (ANSI) or
+  silently wraps (non-ANSI), DuckDB raises a ConversionException;
+- DuckDB VAR_SAMP/STDDEV/CORR raise "is out of range!" where Spark
+  returns NaN;
+- both engines sort NaN GREATEST, so order statistics (median CI,
+  winsorize percentiles) shift instead of failing — the silent kind.
+
+Policy: map non-finite → NULL at the entry's events scan, on both
+engines. Every events entry already proved its NULL-value semantics
+against the r9 null mirror, so "failed reading = NULL reading" reuses
+verified behavior and — unlike a row filter — preserves row topology
+(sessionization, counts, and window frames keep every event; only the
+measure is marked unavailable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def finite_or_null(col: Column | str) -> Column:
+    """The measure with NaN/±Inf mapped to NULL (NULL stays NULL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+
+
+def clean_measures(df: DataFrame, *cols: str) -> DataFrame:
+    """Apply finite_or_null to the named measure columns."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, finite_or_null(c))
+    return out
+
+
+# The oracle-side twin: a DuckDB scan of `events` with the same
+# hygiene, aliased back to `events` so oracles swap it in for the
+# bare table name (`FROM events` -> `FROM {EVENTS_FINITE_SQL}`).
+# isfinite(NULL) is NULL, so NULLs stay NULL through the CASE.
+EVENTS_FINITE_SQL = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) "
+    "FROM events) events"
+)

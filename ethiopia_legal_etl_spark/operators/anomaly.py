@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 _WIN = 10  # trailing-window length (rows), excludes the current row
@@ -54,7 +55,7 @@ _V_BOUND = 50_000_000
       SELECT event_id, user_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS v,
              ts
-      FROM events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
     ),
     w AS (
       SELECT event_id, user_id, v,
@@ -91,7 +92,7 @@ _V_BOUND = 50_000_000
     "streaming twin shape.",
 )
 def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     v_raw = F.floor(F.col("value") * 100).cast("long")
     # Enforce the documented no-overflow bound: fail loudly instead of
     # wrapping int64 (DuckDB raises on BIGINT overflow; Spark wraps —
@@ -160,7 +161,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(14,2))) AS rev
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
       GROUP BY event_type, day
     ),
     ev AS (
@@ -202,7 +203,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tiny aggregate.",
 )
 def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     daily = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -413,7 +414,7 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE))
                AS x,
              SUM(CAST(value AS DECIMAL(14,2))) AS y
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
       GROUP BY event_type, x
     ),
     slopes AS (
@@ -449,7 +450,7 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_theil_sen_slope(
     spark: SparkSession, sf_dir: str, trailing_days: int | None = None
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     daily = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -499,7 +500,7 @@ def trend_theil_sen_slope(
              LEAD(ts) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
              ) AS nxt
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     w AS (
       SELECT event_type, v_c,
@@ -533,7 +534,7 @@ def trend_theil_sen_slope(
     "(exponential decay by COUNT), this weights by WALL TIME.",
 )
 def twap_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     o = ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
         "event_type",
         "ts",

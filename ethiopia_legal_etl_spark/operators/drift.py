@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -151,14 +152,14 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
       SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      FROM events GROUP BY event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
     ),
     binned AS (
       SELECT e.event_type,
              LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
                         AS BIGINT), 9) AS bin,
              CASE WHEN e.event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
-      FROM events e JOIN bounds b ON e.event_type = b.event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
       WHERE b.hi > b.lo AND e.value IS NOT NULL
     ),
     counts AS (
@@ -208,7 +209,7 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate-join-aggregate passes, no window at all.",
 )
 def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
@@ -279,7 +280,7 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              LEAST(CAST(FLOOR(value / 125) AS BIGINT), 3) AS bin,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
       GROUP BY event_type, bin
     ),
     m AS (
@@ -342,7 +343,7 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test. Chi-square: Pearson 1900; Cramer's V: Cramer 1946.",
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     cells = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -418,7 +419,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- everything downstream is exact BIGINT
       SELECT event_type, ts,
              CAST(FLOOR(value * 100) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
     ),
     c AS (
       SELECT event_type, ts,
@@ -475,7 +476,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrdered-style window over the same partitioning.",
 )
 def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     q = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "ts",

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -42,13 +43,13 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
       SELECT event_type,
              quantile_cont(value, 0.05) AS p05,
              quantile_cont(value, 0.95) AS p95
-      FROM events GROUP BY event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
            LEAST(GREATEST(e.value, b.p05), b.p95) AS value_wins,
            e.value < b.p05 AS clamped_low,
            e.value > b.p95 AS clamped_high
-    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
     WHERE e.value IS NOT NULL
     """,
     doc="per-group WINSORIZATION at p5/p95 (the standard outlier "
@@ -65,7 +66,7 @@ def features_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value_wins = p05 for a missing value. The percentile bounds are
     # NULL-skipping in both engines already, so only the row set
     # changes.
-    ev = load_table(spark, sf_dir, "events").where(
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
         F.col("value").isNotNull()
     )
     bounds = ev.groupBy("event_type").agg(
@@ -138,13 +139,13 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
       SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      FROM events GROUP BY event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
     ),
     binned AS (
       SELECT e.event_type,
              LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
                         AS BIGINT), 9) AS bin
-      FROM events e JOIN bounds b ON e.event_type = b.event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
       WHERE b.hi > b.lo AND e.value IS NOT NULL
     )
     SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
@@ -163,7 +164,7 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate-join-aggregate sandwich, all map-side partial.",
 )
 def features_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -455,7 +456,7 @@ def df_groupingsets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
                PARTITION BY event_type ORDER BY value, event_id
              ) AS rk,
              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
     ),
     ranks AS (
       SELECT event_type, value, rk, n,
@@ -492,7 +493,7 @@ def df_groupingsets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
 def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").where(
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
         F.col("value").isNotNull()
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -127,7 +128,7 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- by the r9 full null-mirror sweep)
       SELECT user_id, event_type, COUNT(*) AS cnt,
              SUM(CAST(value AS DECIMAL(14,2))) AS sumv
-      FROM events WHERE event_type IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE event_type IS NOT NULL
       GROUP BY user_id, event_type
     ), tot AS (
       SELECT user_id, event_type, cnt, sumv,
@@ -152,7 +153,7 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same numbers relationally, never touching a map.",
 )
 def map_hof_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     # null map keys are illegal in Spark ([NULL_MAP_KEY]) — null event
     # types excluded on both sides, the map_ops_user_stats precedent
     per = ev.where(F.col("event_type").isNotNull()).groupBy("user_id", "event_type").agg(

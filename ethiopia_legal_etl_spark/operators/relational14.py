@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -340,7 +341,7 @@ def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, event_type, value,
              CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS new_sess
-      FROM events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -371,7 +372,7 @@ def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_gap30_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTE")
     flagged = ev.withColumn(
@@ -444,7 +445,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
              ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     u AS (
       SELECT user_id, user_id % 2 AS variant,
@@ -502,7 +503,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcasts.",
 )
 def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     q = ev.where(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     ).select(
@@ -559,7 +560,7 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT event_id AS pid, user_id, ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000 AS v_mc
-      FROM events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
       WHERE event_type = 'purchase' AND value IS NOT NULL
         AND ts IS NOT NULL
     ),
@@ -567,7 +568,7 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.pid, p.v_mc, c.event_type AS channel,
              c.ts AS c_ts, c.event_id AS c_id
       FROM p
-      LEFT JOIN (SELECT * FROM events
+      LEFT JOIN (SELECT * FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
                  WHERE event_type IN ('view', 'click')
                    AND ts IS NOT NULL) c
         ON c.user_id = p.user_id
@@ -612,7 +613,7 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Conservation is property-tested.",
 )
 def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     p = ev.where(
         (F.col("event_type") == "purchase")
         & F.col("value").isNotNull()
@@ -766,7 +767,7 @@ def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, user_id % 2 AS variant,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                AS DECIMAL(38,0)) AS y
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
       GROUP BY user_id
     ),
     g AS (
@@ -827,7 +828,7 @@ def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical. One user shuffle, then a 2-row pivot.",
 )
 def experiment_welch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     u = (
         ev.where(F.col("value").isNotNull())
         .groupBy("user_id")

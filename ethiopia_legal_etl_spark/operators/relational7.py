@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -28,7 +29,7 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(14,2))) AS day_value
-      FROM events WHERE user_id < 20 AND value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE user_id < 20 AND value IS NOT NULL
       GROUP BY 1, 2
     ),
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
@@ -65,7 +66,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-valued events are NOT observations: the oracle's IGNORE
     # NULLS skips them, so a day whose values are all null must be a
     # GAP (filled from the previous day), not an observed null
-    ev = load_table(spark, sf_dir, "events").where(
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
         (F.col("user_id") < 20) & F.col("value").isNotNull()
     )
     day_expr = F.to_date(F.date_trunc("day", "ts"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 _RECURSIVE_SPINE_SQL = """
@@ -327,7 +328,7 @@ def pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cents_sum,
            CAST(MIN(event_id) AS BIGINT) AS first_event,
            CAST(MAX(event_id) AS BIGINT) AS last_event
-    FROM events GROUP BY user_id
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY user_id
     """,
     doc="grouped applyInArrow (Spark 4's Arrow-native grouped-map — "
     "the LAST unexercised entry in the pandas-API family: scalar "
@@ -343,7 +344,7 @@ def pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for genuinely non-SQL per-group Arrow compute.",
 )
 def arrow_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").select(
         "user_id", "event_id", "value"
     )
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
+from ethiopia_legal_etl_spark.functions.measures import clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -66,9 +67,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_window",
     oracle="""
     WITH assigned AS (
-      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, value FROM events
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, value FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
       UNION ALL
-      SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, value FROM events
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, value FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
     )
     SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*)             AS cnt,
@@ -79,7 +80,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="sliding window 10-min / hop 5-min (each event lands in 2 windows)",
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     return (
         # avg via exact decimal sum / count: both engines divide the
         # SAME double by the same int — bitwise-identical result, no
@@ -155,7 +156,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL 1 HOUR, ts)   AS hour_b,
              CAST(DATE_TRUNC('day', ts) AS DATE) AS day_b,
              event_type, value
-      FROM events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
     )
     SELECT
       CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
@@ -177,7 +178,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a single shuffle with grouping-set expansion)",
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     ev.select(
         F.date_trunc("minute", "ts").alias("minute_b"),
         F.date_trunc("hour", "ts").alias("hour_b"),
@@ -253,7 +254,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
     GROUP BY event_type
     """,
     doc="stateful streaming dedup, batch twin: the input stream is "
@@ -269,7 +270,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_id (dedup) and once on the tiny event_type key.",
 )
 def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     doubled = ev.unionByName(ev)
     deduped = doubled.dropDuplicates(["event_id"])
     return deduped.groupBy("event_type").agg(
@@ -742,7 +743,7 @@ def streaming_drift_bin_counts(events_stream: DataFrame) -> DataFrame:
     WITH base AS (
       SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
              time_bucket(INTERVAL 1 DAY, ts) AS day
-      FROM events WHERE value IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
     ),
     ref AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_c FROM base GROUP BY bin
@@ -793,7 +794,7 @@ def streaming_drift_bin_counts(events_stream: DataFrame) -> DataFrame:
     "tests/test_streaming.py (availableNow drain == this twin).",
 )
 def stream_drift_psi_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     ref = reference_bin_distribution(ev)
     cur = (
         ev.where(F.col("value").isNotNull())

@@ -137,6 +137,15 @@ def test_null_mirror_sentinels_stay_green(spark, null_mirror_dir):
         # vs DuckDB -1.0, and the NULL-l2 contract for the one entry
         # that keeps failed-encoder rows
         "embedding_norms",
+        # r10 non-finite MEASURE axis (NaN/Inf in events.value): one
+        # sentinel per failure shape — Spark ANSI ARITHMETIC_OVERFLOW
+        # on the fixed-point cents cast (welch), DuckDB NaN->INT64
+        # ConversionException on the lattice cast (psi bins), the
+        # SILENT order-statistic shift (both engines sort NaN
+        # greatest: median CI), and the entry's own raise_error bound
+        # guard tripping on Inf (rolling zscore)
+        "experiment_welch_effect", "drift_psi_decile_bins",
+        "median_ci_order_stats", "anomaly_rolling_zscore",
     ]
     failures, _ = co.run(null_mirror_dir, sentinels, spark=spark, count_warns=True)
     assert failures == 0

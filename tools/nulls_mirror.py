@@ -33,7 +33,17 @@ making the semantics explicit on BOTH sides — see git history):
   (NOT exists(isnan|isinf)), and embedding_norms (the one entry that
   deliberately KEEPS failed-encoder rows) reports l2 = NULL for a
   non-finite vector on both engines so no non-finite cell ever
-  crosses the driver canonicalizer.
+  crosses the driver canonicalizer;
+- r10 non-finite MEASURE axis (events.value): the fixed-point-cents
+  exactness policy breaks on a NaN/Inf measure DIFFERENTLY per engine
+  (Spark ANSI ARITHMETIC_OVERFLOW / USER_RAISED bound guards vs
+  DuckDB "DOUBLE with value nan can't be cast" ConversionException),
+  DuckDB VAR_SAMP/STDDEV/CORR RAISE "out of range!" where Spark
+  returns NaN, and order statistics shift SILENTLY (both engines sort
+  NaN greatest) — 21 entries fixed with the shared
+  functions/measures.py hygiene: non-finite -> NULL at the scan on
+  both engines ("failed reading = NULL reading"), reusing the
+  r9-verified NULL semantics and preserving row topology.
 
 The mirror is built with DuckDB so each table stays a single parquet
 FILE (the oracle registers `<dir>/<table>.parquet` as one file).
@@ -122,6 +132,18 @@ CORRUPT_NONFINITE_LIST = {
     "embeddings": ["embedding"],
 }
 
+# r10 corruption axis 8: NON-FINITE MEASURES — instrumentation emits
+# NaN (0/0 rates) and Inf (overflowed counters) into metric columns as
+# routinely as encoders do into vectors. Rows with hash%10==2 on
+# events.value (bucket 2 is free there — the truncation axis only
+# applies to list columns) get the scalar replaced by NaN or +Inf
+# (alternating on a second hash). The aggregate/window/stats entries
+# over `value` must either propagate NaN identically cross-engine or
+# exclude non-finite measures explicitly on both sides.
+CORRUPT_NONFINITE_SCALAR = {
+    "events": ["value"],
+}
+
 
 def build(dst: str, src: str = SRC) -> None:
     con = duckdb.connect()
@@ -158,6 +180,13 @@ def build(dst: str, src: str = SRC) -> None:
                     f"(CASE WHEN {h2} % 2 = 0 THEN 'NaN' "
                     f"ELSE 'Infinity' END) :: FLOAT "
                     f"ELSE {c}[i] END) "
+                )
+            if c in CORRUPT_NONFINITE_SCALAR.get(t, []):
+                h2 = f"abs(hash({first} :: VARCHAR || '{c}' || 'nf'))"
+                corrupt += (
+                    f"WHEN {bucket} = 2 THEN "
+                    f"(CASE WHEN {h2} % 2 = 0 THEN 'NaN' "
+                    f"ELSE 'Infinity' END) :: DOUBLE "
                 )
             return (
                 f"CASE WHEN {bucket} = 0 THEN NULL {corrupt}"
