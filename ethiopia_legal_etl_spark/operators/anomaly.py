@@ -203,7 +203,15 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tiny aggregate.",
 )
 def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     daily = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -450,7 +458,15 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_theil_sen_slope(
     spark: SparkSession, sf_dir: str, trailing_days: int | None = None
 ) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     daily = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -534,7 +550,15 @@ def trend_theil_sen_slope(
     "(exponential decay by COUNT), this weights by WALL TIME.",
 )
 def twap_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     o = ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
         "event_type",
         "ts",

@@ -209,7 +209,15 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate-join-aggregate passes, no window at all.",
 )
 def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
@@ -343,7 +351,15 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test. Chi-square: Pearson 1900; Cramer's V: Cramer 1946.",
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     cells = (
         ev.where(F.col("value").isNotNull())
         .groupBy(
@@ -476,7 +492,15 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrdered-style window over the same partitioning.",
 )
 def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     q = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "ts",

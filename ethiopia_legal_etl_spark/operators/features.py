@@ -66,7 +66,15 @@ def features_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value_wins = p05 for a missing value. The percentile bounds are
     # NULL-skipping in both engines already, so only the row set
     # changes.
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    ).where(
         F.col("value").isNotNull()
     )
     bounds = ev.groupBy("event_type").agg(
@@ -164,7 +172,15 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate-join-aggregate sandwich, all map-side partial.",
 )
 def features_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )

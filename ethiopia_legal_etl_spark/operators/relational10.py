@@ -493,7 +493,15 @@ def df_groupingsets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
 def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    ).where(
         F.col("value").isNotNull()
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")

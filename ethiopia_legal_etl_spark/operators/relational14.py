@@ -503,7 +503,15 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcasts.",
 )
 def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     q = ev.where(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     ).select(
@@ -613,7 +621,15 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Conservation is property-tested.",
 )
 def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     p = ev.where(
         (F.col("event_type") == "purchase")
         & F.col("value").isNotNull()
@@ -828,7 +844,15 @@ def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical. One user shuffle, then a 2-row pivot.",
 )
 def experiment_welch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     u = (
         ev.where(F.col("value").isNotNull())
         .groupBy("user_id")

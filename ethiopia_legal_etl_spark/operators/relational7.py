@@ -66,7 +66,15 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-valued events are NOT observations: the oracle's IGNORE
     # NULLS skips them, so a day whose values are all null must be a
     # GAP (filled from the previous day), not an observed null
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").where(
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    ).where(
         (F.col("user_id") < 20) & F.col("value").isNotNull()
     )
     day_expr = F.to_date(F.date_trunc("day", "ts"))

@@ -794,7 +794,15 @@ def streaming_drift_bin_counts(events_stream: DataFrame) -> DataFrame:
     "tests/test_streaming.py (availableNow drain == this twin).",
 )
 def stream_drift_psi_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
+    ev = clean_measures(
+        # raw-column null prefilter keeps IsNotNull(value) PUSHED to
+        # the scan (the entry drops null measures anyway); the
+        # cleaned non-finites become NULL and fall to the same filter
+        load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        ),
+        "value",
+    )
     ref = reference_bin_distribution(ev)
     cur = (
         ev.where(F.col("value").isNotNull())
