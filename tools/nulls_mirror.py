@@ -132,6 +132,18 @@ CORRUPT_NONFINITE_LIST = {
     "embeddings": ["embedding"],
 }
 
+# Deliberate scope boundaries (stated so the coverage is honest):
+# - events.ts stays intact — the mirror's standing design rule: every
+#   time-keyed operator (windows, sessions, as-of) would degenerate to
+#   empty output rather than exercise divergent semantics;
+# - the TPC-H money columns (l_extendedprice, o_totalprice, ...) stay
+#   finite — they model LEDGER data whose source of truth is decimal
+#   arithmetic; a NaN there is a corrupt file, not a routine failed
+#   reading, and the r9 NULL sweep already covers the
+#   missing-measure case for them. Float-typed INSTRUMENTATION
+#   metrics (events.value) are where non-finite values occur in
+#   practice, and that axis is covered below.
+
 # r10 corruption axis 8: NON-FINITE MEASURES — instrumentation emits
 # NaN (0/0 rates) and Inf (overflowed counters) into metric columns as
 # routinely as encoders do into vectors. Rows with hash%10==2 on
