@@ -97,15 +97,18 @@ def null_mirror_dir(sf_dir, tmp_path_factory):
 
 
 def test_null_mirror_sentinels_stay_green(spark, null_mirror_dir):
-    """CI pin for the r9 null-mirror classes (the FULL mirror gate is
-    a ~8-min tool run; this keeps the 16 fixed entries' divergence
-    classes from silently regressing on every pytest run): one
-    sentinel per fixed class — null GROUP dropped by an equi-join
-    oracle, NULL_MAP_KEY, all-null STRING_AGG vs array_join, NULLS
-    FIRST/LAST trim flip, None-payload UDF crashes, f-string 'None',
-    implicit batch membership, aggregate(NULL) fold, explode_outer's
-    null row, regexp over NULL, and the ml array_to_vector
-    subexpression-elimination NPE."""
+    """CI pin for the null/corruption-mirror divergence classes (the
+    FULL mirror gate is a ~13-min tool run; this keeps every fixed
+    class from silently regressing on every pytest run): one sentinel
+    per fixed class — the r9 NULL classes (null GROUP dropped by an
+    equi-join oracle, NULL_MAP_KEY, all-null STRING_AGG vs
+    array_join, NULLS FIRST/LAST trim flip, None-payload UDF crashes,
+    f-string 'None', implicit batch membership, aggregate(NULL) fold,
+    explode_outer's null row, regexp over NULL, the ml
+    array_to_vector subexpression-elimination NPE) plus the r10
+    CORRUPTION classes (malformed JSON, wrong-dim embeddings,
+    non-finite coordinates, non-finite measures — see the inline
+    comments below)."""
     import importlib.util
     from pathlib import Path
 
