@@ -111,3 +111,24 @@ def test_chi2_independence_matches_scipy_free_reference(spark, sf_dir):
     assert abs(got["chi2"] - chi2) < 1e-4
     assert got["dof"] == (len(rows) - 1) * (len(colsv) - 1)
     assert got["n"] == n
+
+
+def test_finite_or_null_measure_hygiene_contract(spark):
+    """Direct pin of functions/measures.py (axis 8 of the corruption
+    mirror): NaN and ±Inf map to NULL, finite values and NULLs pass
+    through untouched — 'a failed reading is a NULL reading', the
+    contract 21 events entries build on."""
+    import math
+
+    from ethiopia_legal_etl_spark.functions.measures import clean_measures
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None), (6, 0.0)],
+        "event_id long, value double",
+    )
+    got = {r["event_id"]: r["value"] for r in clean_measures(df, "value").collect()}
+    assert got[1] == 1.5 and got[6] == 0.0
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
+    assert not any(v is not None and math.isnan(v) for v in got.values())
