@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.operators.similarity import as_double, emb_ok
+from ethiopia_legal_etl_spark.operators.similarity import (
+    EMB_OK_SQL,
+    as_double,
+    emb_ok,
+)
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------
@@ -392,9 +396,7 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
 @register(
     "embedding_matryoshka_overlap",
     oracle=f"""
-    WITH ok AS (SELECT * FROM embeddings
-                WHERE embedding IS NOT NULL AND LEN(embedding) = 64
-                 AND LEN(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    WITH ok AS (SELECT * FROM embeddings WHERE {EMB_OK_SQL}),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ok
           WHERE vec_id < 5),
     scored AS (
@@ -433,26 +435,45 @@ _MRL_DIM = 16  # Matryoshka truncation prefix (of 64)
     "integer so the gate is float-tie-free.",
 )
 def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ethiopia_legal_etl_spark.operators.similarity import cosine
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        dot,
+        emb_ok_basic,
+        l2norm,
+        with_norm,
+    )
 
-    # failed-encoder rows (NULL / wrong-dim) out — see EMB_DIM policy
-    emb = load_table(spark, sf_dir, "embeddings").where(emb_ok())
-    q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # failed-encoder rows (NULL / wrong-dim / non-finite) out — same
+    # set as emb_ok(), via the basic guard + reusable norm column
+    # (EMB_DIM policy; VERDICT r10 #1). Both the full and the
+    # truncated cosine reuse precomputed norms: full `nrm` doubles as
+    # the finiteness guard; `n16` over the prefix slice is finite
+    # whenever nrm is, so it carries no guard duty.
+    d = (
+        with_norm(load_table(spark, sf_dir, "embeddings").where(emb_ok_basic()))
+        .withColumn("e16", F.slice("e", 1, _MRL_DIM))
+        .withColumn("n16", l2norm(F.col("e16")))
+        .select("vec_id", "e", "nrm", "e16", "n16")
+    )
+    q = d.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("e16").alias("qe16"),
+        F.col("n16").alias("qn16"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(d)
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(
-                as_double(F.col("q_emb")), as_double(F.col("embedding"))
-            ).alias("cos_full"),
-            cosine(
-                as_double(F.slice("q_emb", 1, _MRL_DIM)),
-                as_double(F.slice("embedding", 1, _MRL_DIM)),
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos_full"
+            ),
+            (
+                dot(F.col("qe16"), F.col("e16"))
+                / (F.col("qn16") * F.col("n16"))
             ).alias("cos_trunc"),
         )
     )
