@@ -43,10 +43,16 @@ def clean_measures(df: DataFrame, *cols: str) -> DataFrame:
 
 
 # The oracle-side twin: a DuckDB scan of `events` with the same
-# hygiene, aliased back to `events` so oracles swap it in for the
-# bare table name (`FROM events` -> `FROM {EVENTS_FINITE_SQL}`).
+# hygiene. EVENTS_FINITE_BARE is the subquery alone (alias it
+# yourself: `FROM {EVENTS_FINITE_BARE} e`); EVENTS_FINITE_SQL is
+# pre-aliased back to `events` so oracles swap it in for the bare
+# table name (`FROM events` -> `FROM {EVENTS_FINITE_SQL}`). Every
+# clean_measures oracle INTERPOLATES one of these (ADVICE r10: no
+# hand-inlined copies, so the hygiene expression has a single source
+# of truth on the oracle side too).
 # isfinite(NULL) is NULL, so NULLs stay NULL through the CASE.
-EVENTS_FINITE_SQL = (
+EVENTS_FINITE_BARE = (
     "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) "
-    "FROM events) events"
+    "FROM events)"
 )
+EVENTS_FINITE_SQL = f"{EVENTS_FINITE_BARE} events"

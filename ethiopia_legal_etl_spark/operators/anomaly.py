@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 _WIN = 10  # trailing-window length (rows), excludes the current row
@@ -55,7 +55,7 @@ _V_BOUND = 50_000_000
       SELECT event_id, user_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS v,
              ts
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+      FROM {EVENTS_FINITE_SQL}
     ),
     w AS (
       SELECT event_id, user_id, v,
@@ -156,12 +156,12 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "forecast_seasonal_naive_eval",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type,
              CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(14,2))) AS rev
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
       GROUP BY event_type, day
     ),
     ev AS (
@@ -415,14 +415,14 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trend_theil_sen_slope",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type,
              date_diff('day', DATE '1970-01-01',
                        CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE))
                AS x,
              SUM(CAST(value AS DECIMAL(14,2))) AS y
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
       GROUP BY event_type, x
     ),
     slopes AS (
@@ -509,14 +509,14 @@ def trend_theil_sen_slope(
 
 @register(
     "twap_event_type",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT event_type, ts, event_id,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c,
              LEAD(ts) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
              ) AS nxt
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     w AS (
       SELECT event_type, v_c,

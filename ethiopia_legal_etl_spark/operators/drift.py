@@ -32,19 +32,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_BARE, EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
 @register(
     "drift_ks_two_sample",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
-      -- ECDF is over OBSERVED values: null measurements are excluded
-      -- explicitly (engines also disagree on null sort placement)
+      -- ECDF is over OBSERVED values: null AND non-finite
+      -- measurements are excluded explicitly (engines also disagree
+      -- on null sort placement, and both sort NaN greatest — a NaN
+      -- reading would silently become the top ECDF step; ADVICE r10)
       SELECT event_type, value,
              CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
-      FROM events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
     ),
     n AS (
       SELECT event_type,
@@ -93,7 +95,12 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     "partitioned by event_type (never global), one aggregate.",
 )
 def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # failed readings (NULL or non-finite) are not ECDF observations:
+    # both engines sort NaN greatest, so an un-cleaned NaN would
+    # silently become the top step on BOTH sides — consistent but
+    # biased (ADVICE r10). clean_measures -> NULL -> the NOT NULL
+    # filter drops it, matching the oracle's isfinite REPLACE.
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     tagged = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "value",
@@ -149,17 +156,17 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "drift_psi_decile_bins",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
+      FROM {EVENTS_FINITE_SQL} GROUP BY event_type
     ),
     binned AS (
       SELECT e.event_type,
              LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
                         AS BIGINT), 9) AS bin,
              CASE WHEN e.event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
+      FROM {EVENTS_FINITE_BARE} e JOIN bounds b ON e.event_type = b.event_type
       WHERE b.hi > b.lo AND e.value IS NOT NULL
     ),
     counts AS (
@@ -190,7 +197,7 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- engine's partial-aggregation grouping
            ROUND(list_reduce(
              list_prepend(0.0, list_transform(
-               list_sort(LIST({'bin': bin, 'term': term})),
+               list_sort(LIST({{'bin': bin, 'term': term}})),
                x -> x.term)),
              (acc, x) -> acc + x), 6) + 0 AS psi
     FROM terms GROUP BY event_type
@@ -281,14 +288,14 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_chi2_independence",
-    oracle="""
+    oracle=f"""
     WITH cells AS (
       -- fixed-edge value bins (drift_psi discipline): NULL
       -- measurements are excluded, not binned
       SELECT event_type,
              LEAST(CAST(FLOOR(value / 125) AS BIGINT), 3) AS bin,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
       GROUP BY event_type, bin
     ),
     m AS (
@@ -318,8 +325,8 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_cells,
              list_reduce(
                list_prepend(0.0, list_transform(
-                 list_sort(LIST({'event_type': event_type,
-                                 'bin': bin, 'term': term})),
+                 list_sort(LIST({{'event_type': event_type,
+                                 'bin': bin, 'term': term}})),
                  x -> x.term)),
                (acc, x) -> acc + x) AS chi2_raw
       FROM terms
@@ -428,14 +435,14 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "changepoint_cusum_events",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       -- one-time cent quantization (anomaly_rolling_zscore policy):
       -- a single deterministic IEEE multiply+floor per row, then
       -- everything downstream is exact BIGINT
       SELECT event_type, ts,
              CAST(FLOOR(value * 100) AS BIGINT) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
     ),
     c AS (
       SELECT event_type, ts,
@@ -552,13 +559,13 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "proportion_wilson_ci",
-    oracle="""
+    oracle=f"""
     WITH g AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
                AS BIGINT) AS x
-      FROM events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
       GROUP BY event_type
     )
     SELECT event_type, n, x,
@@ -589,7 +596,12 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate, |event_type| output rows, nothing else.",
 )
 def proportion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # failed readings out (ADVICE r10): NaN/Inf pass `value IS NOT
+    # NULL` and both engines treat them as >= 250 (NaN/Inf sort
+    # greatest), silently counting failed readings as successes —
+    # consistent cross-engine but biased. clean_measures -> NULL ->
+    # excluded from n and x, matching the oracle's isfinite REPLACE.
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     g = (
         ev.where(F.col("value").isNotNull())
         .groupBy("event_type")

@@ -32,24 +32,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_BARE, EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
 @register(
     "features_winsorize_events",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS p05,
              quantile_cont(value, 0.95) AS p95
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
+      FROM {EVENTS_FINITE_SQL} GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
            LEAST(GREATEST(e.value, b.p05), b.p95) AS value_wins,
            e.value < b.p05 AS clamped_low,
            e.value > b.p95 AS clamped_high
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
+    FROM {EVENTS_FINITE_BARE} e JOIN bounds b ON e.event_type = b.event_type
     WHERE e.value IS NOT NULL
     """,
     doc="per-group WINSORIZATION at p5/p95 (the standard outlier "
@@ -144,16 +144,16 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "features_histogram_values",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY event_type
+      FROM {EVENTS_FINITE_SQL} GROUP BY event_type
     ),
     binned AS (
       SELECT e.event_type,
              LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo) * 10)
                         AS BIGINT), 9) AS bin
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) e JOIN bounds b ON e.event_type = b.event_type
+      FROM {EVENTS_FINITE_BARE} e JOIN bounds b ON e.event_type = b.event_type
       WHERE b.hi > b.lo AND e.value IS NOT NULL
     )
     SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -449,14 +449,14 @@ def df_groupingsets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "median_ci_order_stats",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (
                PARTITION BY event_type ORDER BY value, event_id
              ) AS rk,
              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
     ),
     ranks AS (
       SELECT event_type, value, rk, n,

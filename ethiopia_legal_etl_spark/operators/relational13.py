@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -121,14 +121,14 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @register(
     "map_hof_event_profile",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       -- null map keys are illegal in Spark (map_ops_user_stats
       -- precedent): null event types excluded on BOTH sides (caught
       -- by the r9 full null-mirror sweep)
       SELECT user_id, event_type, COUNT(*) AS cnt,
              SUM(CAST(value AS DECIMAL(14,2))) AS sumv
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE event_type IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE event_type IS NOT NULL
       GROUP BY user_id, event_type
     ), tot AS (
       SELECT user_id, event_type, cnt, sumv,

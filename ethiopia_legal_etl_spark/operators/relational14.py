@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
@@ -117,7 +117,7 @@ def pivot_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_user_value",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(len(vals) AS BIGINT) AS n_events,
            list_reduce(list_transform(list_sort(vals),
@@ -125,8 +125,8 @@ def pivot_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (acc, x) -> x * 0.5 + acc * 0.5) AS ewma
     FROM (
       SELECT user_id,
-             LIST({'ts': ts, 'event_id': event_id, 'v': value}) AS vals
-      FROM events GROUP BY user_id
+             LIST({{'ts': ts, 'event_id': event_id, 'v': value}}) AS vals
+      FROM {EVENTS_FINITE_SQL} GROUP BY user_id
     )
     """,
     doc="exponentially weighted moving average (alpha = 0.5, "
@@ -144,7 +144,13 @@ def pivot_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape shared with anomaly_rolling_zscore.",
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # failed readings -> NULL at the scan (ADVICE r10): an un-cleaned
+    # NaN would otherwise flow arithmetic-poison through the rest of
+    # the user's fold. The fold's NULL semantics (a NULL observation
+    # NULLs the accumulator from that step on — the ewma is marked
+    # unavailable, the r9-mirror-proven behavior) now covers NaN/Inf
+    # readings identically on both engines.
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value").select(
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "v")))
@@ -336,12 +342,12 @@ def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_gap30_events",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type, value,
              CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS new_sess
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+      FROM {EVENTS_FINITE_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -440,12 +446,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "experiment_cuped_adjust",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT user_id,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
              ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     u AS (
       SELECT user_id, user_id % 2 AS variant,
@@ -564,11 +570,11 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "attribution_linear_credit",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT event_id AS pid, user_id, ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000 AS v_mc
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+      FROM {EVENTS_FINITE_SQL}
       WHERE event_type = 'purchase' AND value IS NOT NULL
         AND ts IS NOT NULL
     ),
@@ -576,7 +582,7 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.pid, p.v_mc, c.event_type AS channel,
              c.ts AS c_ts, c.event_id AS c_id
       FROM p
-      LEFT JOIN (SELECT * FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+      LEFT JOIN (SELECT * FROM {EVENTS_FINITE_SQL}
                  WHERE event_type IN ('view', 'click')
                    AND ts IS NOT NULL) c
         ON c.user_id = p.user_id
@@ -778,12 +784,12 @@ def experiment_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "experiment_welch_effect",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT user_id, user_id % 2 AS variant,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                AS DECIMAL(38,0)) AS y
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE value IS NOT NULL
       GROUP BY user_id
     ),
     g AS (

@@ -19,17 +19,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
 @register(
     "timeseries_gapfill_locf",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(14,2))) AS day_value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE user_id < 20 AND value IS NOT NULL
+      FROM {EVENTS_FINITE_SQL} WHERE user_id < 20 AND value IS NOT NULL
       GROUP BY 1, 2
     ),
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.operators.registry import register
-from ethiopia_legal_etl_spark.functions.measures import clean_measures
+from ethiopia_legal_etl_spark.functions.measures import EVENTS_FINITE_SQL, clean_measures
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 _RECURSIVE_SPINE_SQL = """
@@ -321,14 +321,14 @@ def pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "arrow_grouped_user_stats",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents_sum,
            CAST(MIN(event_id) AS BIGINT) AS first_event,
            CAST(MAX(event_id) AS BIGINT) AS last_event
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events GROUP BY user_id
+    FROM {EVENTS_FINITE_SQL} GROUP BY user_id
     """,
     doc="grouped applyInArrow (Spark 4's Arrow-native grouped-map — "
     "the LAST unexercised entry in the pandas-API family: scalar "
