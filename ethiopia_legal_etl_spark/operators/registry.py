@@ -170,9 +170,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stays under the full-registry CI gate.
     "warc_to_text_pipeline",
     # streaming batch twins + UDF surface
+    # r11 rotation (VERDICT r10 #3, 12 out / 12 in; all rotated-out
+    # names stay oracle-gated by tests/test_full_registry_gate.py on
+    # every pytest run). OUT: arrow_token_count (green r1-r10; UDF
+    # surface keeps sql_udf_year_extract), warc_ingest_extract +
+    # pack_sequences_offsets (green r5-r10; warc keeps
+    # warc_to_text_pipeline, corpus ops keep corpus_quality_curation),
+    # multimodal_decode_mpeg1 (green r6-r10; multimodal keeps
+    # audio_compressed/audio_features/mp3_sideinfo/fake_embed),
+    # dedup_cluster_jaccard (green r7-r10; the cluster-fixpoint class
+    # keeps dedup_cluster_components), and the r8 batch's six
+    # three-round-green entries drift_ks_two_sample (drift class gets
+    # stream_drift_psi_twin IN), ewma_user_value (ordered folds keep
+    # changepoint_cusum + twap_event_type IN), sessionize_gap30_events
+    # (stream_session_window stays), features_target_encode_loo
+    # (experiment_cuped_adjust IN), stats_corr_exact_moments
+    # (stats_chi2_independence stays + median_ci/wilson IN),
+    # funnel_view_click_purchase (markov_next_event_accuracy IN), plus
+    # dedup_substring_fraction (dedup keeps ngram_jaccard/minhash_lsh/
+    # simhash_band/cluster_components — and it stays on the SECONDARY
+    # bench). IN: the registry's published r11 candidate list — see
+    # the end of the window.
     "stream_session_window",
     "sql_udf_year_extract",
-    "arrow_token_count",
     # r5 rotation IN: never driver-checked before (replica-pass only
     # until now) — keeps the externally-audited sample moving
     # r9: text_unicode_nfc rotates out (green r5-r8; text class keeps
@@ -196,18 +216,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (ISO 11172-3; VERDICT r5 #7) — value-exact oracle, raw-double
     # parity, no rounding policy. scalar_subquery_above_avg
     # (driver-green since r1) rotates out to make room.
-    "multimodal_decode_mpeg1",
     "multimodal_audio_features",
     "corpus_quality_curation",
-    "warc_ingest_extract",
-    "pack_sequences_offsets",
     # r7 rotation IN (VERDICT r6 #4): the six strongest entries the
     # driver has never sampled — the first oracle-checked ITERATIVE op
     # (recursive-CTE-checked connected components), bit-exact integer
     # PageRank, exact rank-sum AUC, AQP with exact HT error bars, the
     # oracle-checked Misra-Gries sketch, and the stream-stream
     # interval join batch twin.
-    "dedup_cluster_jaccard",
     "heavy_hitters_mg",
     # r7 flagship: MP3 (Layer III) frame-syntax + scalefactor decode
     # with a formula-recomputing oracle (functions/mp3.py; VERDICT r6
@@ -222,13 +238,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # funnel (with the r8 empty-stage NULL guard) and the Lee-et-al
     # ExactSubstr dedup accounting (secondary-bench heavyweight, now
     # also driver-audited for correctness).
-    "drift_ks_two_sample",
-    "ewma_user_value",
-    "sessionize_gap30_events",
-    "features_target_encode_loo",
-    "stats_corr_exact_moments",
-    "funnel_view_click_purchase",
-    "dedup_substring_fraction",
     # r9 rotation IN (VERDICT r8 #1): the seven strongest of the 27
     # oracle-checked entries that landed after the r8 window froze and
     # were never driver-sampled (all replica-verified green at sf0.01
@@ -265,14 +274,32 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_pii_scrub",
     "scd2_merge_emulation",
     "changepoint_cusum_events",
-    # r11 rotation candidates (never driver-sampled, oracle-checked):
-    # the rest of the r8 batch (split_leakage_audit,
-    # experiment_cuped_adjust, twap_event_type, median_ci_order_stats,
-    # markov_next_event_accuracy, proportion_wilson_ci,
-    # trend_theil_sen_slope, embedding_silhouette_labels,
-    # stream_drift_psi_twin, forecast_seasonal_naive_eval,
-    # sample_quota_apportion, snapshot_diff_reconcile,
-    # experiment_proportion_ztest, batch_padding_waste, ...).
+    # r11 rotation IN (VERDICT r10 #3): the registry's published r11
+    # candidate list verbatim — the remaining never-driver-sampled
+    # oracle-checked entries from the r8 batch plus the strongest
+    # class representatives (leakage audit, CUPED, TWAP, order-stat
+    # median CI, Markov accuracy, Wilson CI — freshly measure-hygiened
+    # this round per ADVICE r10 — Theil-Sen, silhouette, PSI stream
+    # twin, seasonal-naive backtest, quota apportionment, snapshot
+    # diff). All replica-verified at sf0.01 before entering.
+    "split_leakage_audit",
+    "experiment_cuped_adjust",
+    "twap_event_type",
+    "median_ci_order_stats",
+    "markov_next_event_accuracy",
+    "proportion_wilson_ci",
+    "trend_theil_sen_slope",
+    "embedding_silhouette_labels",
+    "stream_drift_psi_twin",
+    "forecast_seasonal_naive_eval",
+    "sample_quota_apportion",
+    "snapshot_diff_reconcile",
+    # r12 rotation candidates (never driver-sampled, oracle-checked):
+    # experiment_proportion_ztest, batch_padding_waste,
+    # winsorize_user_value, anomaly_rolling_zscore, basket_lift_pairs,
+    # concentration_gini_users, aqp_stratified_error,
+    # profile_columns_events, and the remaining relational9-14
+    # additions — pick the 12 strongest class representatives.
 )
 
 

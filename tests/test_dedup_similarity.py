@@ -772,6 +772,13 @@ def test_reliable_barrier_mode_matches_localcheckpoint(
             for r in similarity_lsh_buckets(spark, sf_dir).collect()
         }
     finally:
+        # restore BOTH pieces of leaked session state (ADVICE r10): the
+        # conf flag AND the checkpoint dir — a later test flipping
+        # reliableBarriers (or any code reading getCheckpointDir) must
+        # see the shared fixture as it found it. Scala's
+        # setCheckpointDir wraps the arg in Option(), so null clears it.
         spark.conf.set(RELIABLE_BARRIERS_CONF, "false")
+        spark.sparkContext.setCheckpointDir(None)
+    assert spark.sparkContext.getCheckpointDir() is None
     assert reliable == base
     assert any(ckpt.rglob("*")), "barrier wrote no reliable checkpoint files"
