@@ -97,9 +97,13 @@ def synth_bmp(doc_id: int) -> bytes:
 
 def decode_bmp(payload: bytes) -> dict:
     """Parse BITMAPFILEHEADER + BITMAPINFOHEADER. Raises ValueError on
-    non-BMP bytes."""
+    non-BMP bytes AND on payloads shorter than the declared file size
+    (axis 9: a header-only parse would otherwise report metadata for
+    pixel bytes that are not there — the silently-wrong kind)."""
     if len(payload) < 30 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     size, _, _, _off = struct.unpack("<IHHI", payload[2:14])
     _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+    if len(payload) < size:
+        raise ValueError("truncated BMP payload")
     return {"width": w, "height": abs(h), "bpp": bpp, "byte_len": size}

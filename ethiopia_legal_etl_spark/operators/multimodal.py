@@ -236,6 +236,10 @@ def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ethiopia_legal_etl_spark.functions.media import synth_bmp, synth_wav
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        trunc_fraction,
+    )
 
     # One shuffle of bare 8-byte doc_id rows buys full decode
     # parallelism: without it a single-file documents scan yields ONE
@@ -249,6 +253,9 @@ def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    # model object-store partial reads; 0 (default) = byte-identical
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -260,7 +267,11 @@ def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "audio" if i % 2 == 0 else "image" for i in ids
                     ],
                     "payload": [
-                        synth_wav(i) if i % 2 == 0 else synth_bmp(i)
+                        maybe_truncate(
+                            synth_wav(i) if i % 2 == 0 else synth_bmp(i),
+                            i,
+                            frac,
+                        )
                         for i in ids
                     ],
                 }
@@ -318,6 +329,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ethiopia_legal_etl_spark.functions.media import decode_bmp, decode_wav
+    from ethiopia_legal_etl_spark.functions.transport import row_or_nulls
 
     media = synth_media_real(spark, sf_dir)
 
@@ -328,18 +340,19 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 b = bytes(payload)
-                if mt == "audio":
-                    m = decode_wav(b)
-                    rows.append(
-                        (doc_id, mt, m["byte_len"], m["sample_rate"],
-                         m["n_samples"], m["duration_us"], None, None)
-                    )
-                else:
+
+                def one() -> tuple:
+                    if mt == "audio":
+                        m = decode_wav(b)
+                        return (mt, m["byte_len"], m["sample_rate"],
+                                m["n_samples"], m["duration_us"], None,
+                                None)
                     m = decode_bmp(b)
-                    rows.append(
-                        (doc_id, mt, m["byte_len"], None, None, None,
-                         m["width"], m["height"])
-                    )
+                    return (mt, m["byte_len"], None, None, None,
+                            m["width"], m["height"])
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 7, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -396,6 +409,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_baseline_jpeg,
         synth_jpeg,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     # One shuffle of bare 8-byte doc_id rows buys full decode
     # parallelism: without it a single-file documents scan yields ONE
@@ -410,16 +428,27 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts;
+    # the two payload columns fail independently (distinct salts)
+    frac = trunc_fraction(spark)
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "grad": [synth_jpeg(i) for i in ids],
+                    "grad": [
+                        maybe_truncate(synth_jpeg(i), i, frac) for i in ids
+                    ],
                     "flat": [
-                        encode_baseline_jpeg(
-                            [[i % 256] * 8 for _ in range(8)], quant=1
+                        maybe_truncate(
+                            encode_baseline_jpeg(
+                                [[i % 256] * 8 for _ in range(8)], quant=1
+                            ),
+                            i,
+                            frac,
+                            salt=1,
                         )
                         for i in ids
                     ],
@@ -436,11 +465,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, grad, flat in zip(
                 pdf["doc_id"], pdf["grad"], pdf["flat"]
             ):
-                g = decode_jpeg(bytes(grad))
-                f = decode_jpeg(bytes(flat))
-                rows.append(
-                    (
-                        doc_id,
+
+                def one(grad=grad, flat=flat) -> tuple:
+                    g = decode_jpeg(bytes(grad))
+                    f = decode_jpeg(bytes(flat))
+                    return (
                         "image/jpeg",
                         g["width"],
                         g["height"],
@@ -448,7 +477,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         g["n_components"],
                         f["pixels"][0][0],
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 6, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -525,6 +556,11 @@ def multimodal_decode_audio_compressed(
         write_ima_wav,
         write_mulaw_wav,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     # One shuffle of bare 8-byte doc_id rows buys full decode
     # parallelism: without it a single-file documents scan yields ONE
@@ -539,6 +575,10 @@ def multimodal_decode_audio_compressed(
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts;
+    # the two audio objects fail independently (distinct salts)
+    frac = trunc_fraction(spark)
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
@@ -547,13 +587,21 @@ def multimodal_decode_audio_compressed(
                 enc = bytes(
                     (i * 13 + j * 7) % 256 for j in range(50 + i % 40)
                 )
-                mu.append(write_mulaw_wav(enc, 8000 * (1 + i % 2)))
+                mu.append(
+                    maybe_truncate(
+                        write_mulaw_wav(enc, 8000 * (1 + i % 2)), i, frac
+                    )
+                )
                 c, spb = i % 100 - 50, 1 + (64 - 4) * 2
                 blocks = [
                     ima_encode_block([c] * spb, 64)
                     for _ in range(1 + i % 3)
                 ]
-                ima.append(write_ima_wav(blocks, 8000, 64))
+                ima.append(
+                    maybe_truncate(
+                        write_ima_wav(blocks, 8000, 64), i, frac, salt=1
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "mu": mu, "ima": ima})
 
     media = docs.mapInPandas(
@@ -564,11 +612,11 @@ def multimodal_decode_audio_compressed(
         for pdf in batches:
             rows = []
             for doc_id, mu, ima in zip(pdf["doc_id"], pdf["mu"], pdf["ima"]):
-                m = decode_compressed_wav(bytes(mu))
-                a = decode_compressed_wav(bytes(ima))
-                rows.append(
-                    (
-                        doc_id,
+
+                def one(mu=mu, ima=ima) -> tuple:
+                    m = decode_compressed_wav(bytes(mu))
+                    a = decode_compressed_wav(bytes(ima))
+                    return (
                         m["codec"],
                         m["sample_rate"],
                         m["n_samples"],
@@ -578,7 +626,9 @@ def multimodal_decode_audio_compressed(
                         a["n_samples"],
                         sum(a["samples"]),
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 8, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -644,6 +694,11 @@ def multimodal_video_frame_sample(
         decode_jpeg,
         encode_baseline_jpeg,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     # One shuffle of bare 8-byte doc_id rows buys full decode
     # parallelism: without it a single-file documents scan yields ONE
@@ -658,6 +713,9 @@ def multimodal_video_frame_sample(
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
@@ -671,7 +729,11 @@ def multimodal_video_frame_sample(
                     for k in range(3 + i % 6)
                 ]
                 avis.append(
-                    write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10)
+                    maybe_truncate(
+                        write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10),
+                        i,
+                        frac,
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "avi": avis})
 
@@ -681,17 +743,20 @@ def multimodal_video_frame_sample(
         for pdf in batches:
             rows = []
             for doc_id, avi in zip(pdf["doc_id"], pdf["avi"]):
-                m = parse_avi(bytes(avi))
-                sampled = sample_frames(m["frames"], 2)
-                val_sum = sum(
-                    decode_jpeg(f)["pixels"][0][0] for f in sampled
-                )
-                rows.append(
-                    (
-                        doc_id, m["n_frames"], m["width"], m["height"],
+
+                def one(avi=avi) -> tuple:
+                    m = parse_avi(bytes(avi))
+                    sampled = sample_frames(m["frames"], 2)
+                    val_sum = sum(
+                        decode_jpeg(f)["pixels"][0][0] for f in sampled
+                    )
+                    return (
+                        m["n_frames"], m["width"], m["height"],
                         m["fps"], len(sampled), val_sum,
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 6, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -745,6 +810,11 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     # One shuffle of bare 8-byte doc_id rows buys full decode
     # parallelism: without it a single-file documents scan yields ONE
@@ -758,6 +828,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -780,7 +852,15 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ]
                     )
                 )
-            yield pd.DataFrame({"doc_id": ids, "png": pngs})
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "png": [
+                        maybe_truncate(p, i, frac)
+                        for i, p in zip(ids, pngs)
+                    ],
+                }
+            )
 
     media = docs.mapInPandas(synth, schema="doc_id long, png binary")
 
@@ -788,20 +868,23 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
-                m = decode_png(bytes(png))
-                sums = [0, 0, 0]
-                for row in m["pixels"]:
-                    for px in row:
-                        sums[0] += px[0]
-                        sums[1] += px[1]
-                        sums[2] += px[2]
-                rows.append(
-                    (
-                        doc_id, m["width"], m["height"],
+
+                def one(png=png) -> tuple:
+                    m = decode_png(bytes(png))
+                    sums = [0, 0, 0]
+                    for row in m["pixels"]:
+                        for px in row:
+                            sums[0] += px[0]
+                            sums[1] += px[1]
+                            sums[2] += px[2]
+                    return (
+                        m["width"], m["height"],
                         m["width"] * m["height"], m["n_channels"],
                         sums[0], sums[1], sums[2],
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 7, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -856,12 +939,19 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_nearest,
     )
     from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -870,12 +960,19 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in ids:
                 w, h = 5 + i % 12, 6 + (i // 3) % 10
                 pngs.append(
-                    encode_png(
-                        [
-                            [(i * 7 + x * 11 + y * 3) % 256 for x in range(w)]
-                            for y in range(h)
-                        ],
-                        grayscale=True,
+                    maybe_truncate(
+                        encode_png(
+                            [
+                                [
+                                    (i * 7 + x * 11 + y * 3) % 256
+                                    for x in range(w)
+                                ]
+                                for y in range(h)
+                            ],
+                            grayscale=True,
+                        ),
+                        i,
+                        frac,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "png": pngs})
@@ -888,18 +985,22 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
-                m = decode_png(bytes(png))
-                near = resize_nearest(m["pixels"], 8, 8)
-                # bilinear runs on the same real pixels (tested vs an
-                # independent numpy model); only nearest is emitted
-                # because only it is integer-exact for the oracle
-                resize_bilinear(m["pixels"], 8, 8)
-                rows.append(
-                    (
-                        doc_id, m["width"], m["height"], 8, 8,
+
+                def one(png=png) -> tuple:
+                    m = decode_png(bytes(png))
+                    near = resize_nearest(m["pixels"], 8, 8)
+                    # bilinear runs on the same real pixels (tested vs
+                    # an independent numpy model); only nearest is
+                    # emitted because only it is integer-exact for the
+                    # oracle
+                    resize_bilinear(m["pixels"], 8, 8)
+                    return (
+                        m["width"], m["height"], 8, 8,
                         sum(v for row in near for v in row),
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 5, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -965,20 +1066,34 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_mulaw_wav,
     )
     from ethiopia_legal_etl_spark.functions.imageops import audio_features
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             wavs = [
-                write_mulaw_wav(
-                    bytes((i * 13 + j * 7) % 256 for j in range(50 + i % 40)),
-                    8000 * (1 + i % 2),
+                maybe_truncate(
+                    write_mulaw_wav(
+                        bytes(
+                            (i * 13 + j * 7) % 256
+                            for j in range(50 + i % 40)
+                        ),
+                        8000 * (1 + i % 2),
+                    ),
+                    i,
+                    frac,
                 )
                 for i in ids
             ]
@@ -990,14 +1105,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
-                m = decode_compressed_wav(bytes(wav))
-                f = audio_features(m["samples"])
-                rows.append(
-                    (
-                        doc_id, m["n_samples"], f["energy"],
+
+                def one(wav=wav) -> tuple:
+                    m = decode_compressed_wav(bytes(wav))
+                    f = audio_features(m["samples"])
+                    return (
+                        m["n_samples"], f["energy"],
                         f["zero_crossings"], f["peak"],
                     )
-                )
+
+                # truncated payload (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 4, one))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -1079,12 +1197,18 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_layer1,
         write_layer1_frame,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        trunc_fraction,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1105,7 +1229,13 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for t in range(12)
                         ]
                     )
-                frames.append(write_layer1_frame(allocations, scf, samples))
+                frames.append(
+                    maybe_truncate(
+                        write_layer1_frame(allocations, scf, samples),
+                        i,
+                        frac,
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "frame": frames})
 
     media = docs.mapInPandas(synth, schema="doc_id long, frame binary")
@@ -1114,7 +1244,14 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
-                (f,) = parse_layer1(bytes(frame))
+                # truncated frame (axis 9) -> ONE error row for the
+                # whole object (its subband rows are unrecoverable),
+                # never an executor crash
+                try:
+                    (f,) = parse_layer1(bytes(frame))
+                except ValueError:
+                    rows.append((doc_id,) + (None,) * 7)
+                    continue
                 for s in f["subbands"]:
                     rows.append(
                         (
@@ -1244,12 +1381,18 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_layer2,
         write_layer2_frame,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        trunc_fraction,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1282,7 +1425,13 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ]
                     )
                 frames.append(
-                    write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+                    maybe_truncate(
+                        write_layer2_frame(
+                            alloc, scfsi_list, scf_tx, samples
+                        ),
+                        i,
+                        frac,
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "frame": frames})
 
@@ -1292,7 +1441,13 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
-                (f,) = parse_layer2(bytes(frame))
+                # truncated frame (axis 9) -> ONE error row for the
+                # whole object, never an executor crash
+                try:
+                    (f,) = parse_layer2(bytes(frame))
+                except ValueError:
+                    rows.append((doc_id,) + (None,) * 7)
+                    continue
                 for s in f["subbands"]:
                     rows.append(
                         (
@@ -1431,12 +1586,18 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_layer3,
         write_layer3_stream,
     )
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        trunc_fraction,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts
+    frac = trunc_fraction(spark)
 
     def _spec(i: int) -> dict:
         granules = []
@@ -1462,7 +1623,10 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            streams = [write_layer3_stream([_spec(i)]) for i in ids]
+            streams = [
+                maybe_truncate(write_layer3_stream([_spec(i)]), i, frac)
+                for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "mp3": streams})
 
     media = docs.mapInPandas(synth, schema="doc_id long, mp3 binary")
@@ -1471,7 +1635,13 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, mp3 in zip(pdf["doc_id"], pdf["mp3"]):
-                (f,) = parse_layer3(bytes(mp3))
+                # truncated stream (axis 9) -> ONE error row for the
+                # whole object, never an executor crash
+                try:
+                    (f,) = parse_layer3(bytes(mp3))
+                except ValueError:
+                    rows.append((doc_id,) + (None,) * 11)
+                    continue
                 for gr, g in enumerate(f["granules"]):
                     sfs = g["scalefactors"]
                     rows.append(

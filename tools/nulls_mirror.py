@@ -132,6 +132,23 @@ CORRUPT_NONFINITE_LIST = {
     "embeddings": ["embedding"],
 }
 
+# r11 corruption axis 9: TRUNCATED BINARY PAYLOADS (bytes cut
+# mid-stream — a failed object-store GET / partial multipart upload).
+# This axis does NOT live in this mirror: the engine's media payloads
+# are synthesized executor-side as deterministic functions of doc_id
+# (these driver tables have no binary column to corrupt), so the cut
+# is applied at the transport boundary instead —
+# functions/transport.py's conf-gated deterministic truncation
+# (spark.ethiopia_legal_etl.corruptTransport), default OFF so clean
+# runs and this oracle gate see byte-identical payloads.
+# tests/test_transport_truncation.py fuzzes every decoder over EVERY
+# cut offset (ValueError-only contract, sentinels pinned — the sweep
+# hardened decode_bmp, which accepted header-only payloads and
+# reported declared-size metadata for missing pixel bytes) and runs
+# every media entry end-to-end at 10% truncation, asserting error-row
+# accounting (doc_id + all-NULL metadata), full doc_id retention, and
+# byte-identical healthy rows.
+
 # Deliberate scope boundaries (stated so the coverage is honest):
 # - events.ts stays intact — the mirror's standing design rule: every
 #   time-keyed operator (windows, sessions, as-of) would degenerate to
