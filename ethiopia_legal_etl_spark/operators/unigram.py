@@ -202,10 +202,15 @@ def _seed_pieces(
         .groupBy("piece", "len")
         .agg(F.sum("freq").alias("weight"))
     )
+    # BOUND: |rows| = |alphabet| (distinct single chars in the corpus
+    # — Unicode-bounded, corpus-size-independent; probe-measured flat
+    # at 10x corpus, SCALING.md "EM collect bounds")
     chars = [
         (r["piece"], r["weight"])
         for r in subs.where(F.col("len") == 1).collect()
     ]
+    # BOUND: |rows| <= seed_size (TakeOrderedAndProject limit — the
+    # only top-K that ever reaches the driver)
     multi = [
         (r["piece"], r["weight"])
         for r in subs.where(F.col("len") > 1)
@@ -236,14 +241,28 @@ def unigram_train_table(
     n_iters: int = 2,
     min_freq: int = 1,
     max_words: int | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[str, int]]:
     """Train the unigram vocabulary; returns [(piece, micro_count)]
     sorted by (micro_count desc, piece asc), len <= vocab_size (+
     however many single chars exist). Spark-job budget: 2 seed jobs +
-    n_iters E-step aggregates, independent of corpus size."""
+    n_iters E-step aggregates, independent of corpus size.
+
+    `stats` (optional dict, filled in place) records per-EM-round wall
+    seconds and driver-collected row counts — the scale_probe
+    --emvocab instrumentation that proves the collect bounds hold at
+    10x vocab / 10x corpus without guessing."""
+    import time as _time
+
     sc = spark.sparkContext
     wf = _word_freq_df(spark, sf_dir, min_freq, max_words).cache()
+    t0 = _time.perf_counter()
     seed = _seed_pieces(wf, max_piece_len, seed_size)
+    if stats is not None:
+        stats["seed_sec"] = round(_time.perf_counter() - t0, 3)
+        stats["seed_rows"] = len(seed)
+        stats["alphabet"] = sum(1 for p, _ in seed if len(p) == 1)
+        stats["em_rounds"] = []
     if not seed:  # empty / pruned-to-nothing corpus: empty vocabulary
         return []
     # initial model: probs proportional to substring weight
@@ -251,6 +270,7 @@ def unigram_train_table(
 
     counts: dict[str, int] = {}
     for _ in range(n_iters):
+        t_round = _time.perf_counter()
         bc = sc.broadcast((logp, max_piece_len))
 
         def estep(batches):
@@ -277,8 +297,21 @@ def unigram_train_table(
             .groupBy("piece")
             .agg(F.sum("micro").alias("micro"))
         )
+        # BOUND: |rows| <= |model| = |seed| <= alphabet + seed_size —
+        # the E-step only emits pieces already in the broadcast model
+        # (word_expected_counts walks the model lattice), so the
+        # per-round collect is VOCAB-bounded, never corpus-bounded
+        # (probe-measured flat at 10x corpus, SCALING.md "EM collect
+        # bounds")
         counts = {r["piece"]: int(r["micro"]) for r in agg.collect()}
         logp = _normalize_logp(counts)
+        if stats is not None:
+            stats["em_rounds"].append(
+                {
+                    "sec": round(_time.perf_counter() - t_round, 3),
+                    "collect_rows": len(counts),
+                }
+            )
 
     # prune: keep single chars unconditionally + top multi-char pieces
     # by (count desc, piece asc) — every word stays segmentable

@@ -949,6 +949,70 @@ def selection_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def emvocab_probe(spark, scratch: str) -> list[dict]:
+    """Unigram EM loop, BOTH axes crossed (VERDICT r10 #5): corpus
+    {1x, 10x copy-prefixed replicas — distinct words grow with the
+    factor} x vocab {1x = seed 64/vocab 48, 10x = seed 640/vocab 480},
+    with the trainer's `stats` instrumentation recording per-EM-round
+    wall seconds AND the driver-collected row counts at each of the
+    three collect sites (operators/unigram.py). The claim under test:
+    every collect is vocab-bounded (<= alphabet + seed_size), FLAT in
+    corpus size — the property that lets the loop run against 100 TB
+    with a driver that only ever holds the model."""
+    from ethiopia_legal_etl_spark.operators import unigram as uni_mod
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_n = base.count()
+    out = []
+    for factor in (1, 10):
+        d = f"{scratch}/emvocab_x{factor}"
+        parts = []
+        for i in range(factor):
+            p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * base_n))
+            if i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"c{i}_"),
+                        F.regexp_replace("text", " ", f" c{i}_"),
+                    ),
+                )
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        for vfactor, seed_size, vocab_size in ((1, 64, 48), (10, 640, 480)):
+            kw = dict(seed_size=seed_size, vocab_size=vocab_size)
+            uni_mod.unigram_train_table(spark, d, **kw)  # warm
+            stats: dict = {}
+            sec = timed(
+                lambda: uni_mod.unigram_train_table(spark, d, stats=stats, **kw)
+            )
+            out.append(
+                {
+                    "exp": "unigram_em_vocab",
+                    "corpus_factor": factor,
+                    "vocab_factor": vfactor,
+                    "docs": base_n * factor,
+                    "seed_size": seed_size,
+                    "sec": sec,
+                    "seed_sec": stats["seed_sec"],
+                    "seed_rows": stats["seed_rows"],
+                    "alphabet": stats["alphabet"],
+                    "em_rounds": stats["em_rounds"],
+                    "collect_bound": stats["alphabet"] + seed_size,
+                    "bound_holds": all(
+                        r["collect_rows"] <= stats["alphabet"] + seed_size
+                        for r in stats["em_rounds"]
+                    ),
+                }
+            )
+    return out
+
+
 def tokenizer_probe(spark, scratch: str) -> list[dict]:
     """Unigram-LM tokenizer scaling (operators/unigram.py): full train
     (seed + 2 EM iterations) and Viterbi encode at 1x/10x/30x document
@@ -1331,6 +1395,8 @@ def main() -> None:
                     help="DSIR/snapshot-dedup/shard/PQ data-selection scaling to 30x docs (~3 min)")
     ap.add_argument("--tokenizer", action="store_true",
                     help="unigram-LM train/encode scaling to 30x docs, distinct-word growth (~3 min)")
+    ap.add_argument("--emvocab", action="store_true",
+                    help="unigram EM loop crossed 10x-vocab x 10x-corpus; proves the driver collects stay vocab-bounded (~3 min)")
     ap.add_argument("--textir", action="store_true",
                     help="BM25/PMI/backoff-LM/winnowing scaling to 30x docs (~3 min)")
     ap.add_argument("--substr-skew", action="store_true",
@@ -1392,6 +1458,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.tokenizer:
             for r in tokenizer_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.emvocab:
+            for r in emvocab_probe(spark, scratch):
                 print(json.dumps(r))
         if args.textir:
             for r in textir_probe(spark, scratch):
