@@ -235,6 +235,17 @@ def main() -> None:
                 "steal_pct_mean": round(
                     sum(flat_steal) / len(flat_steal), 2
                 ) if flat_steal else 0.0,
+                # per-run vectors for the queries that actually saw
+                # steal (>0.5% in any run) — compact enough for the
+                # driver's recorded tail, so a contended query's runs
+                # are attributable from BENCH_r{N}.json alone
+                "steal_pct_runs": {
+                    n: v for n, v in run_steal.items()
+                    if any(s > 0.5 for s in v)
+                },
+                "load1_max": max(
+                    (x for v in run_load1.values() for x in v), default=0.0
+                ),
             }
         )
     )
