@@ -56,6 +56,11 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
 def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    from ethiopia_legal_etl_spark.functions.transport import (
+        maybe_truncate,
+        row_or_nulls,
+        trunc_fraction,
+    )
     from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
 
     docs = (
@@ -63,6 +68,12 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # axis 9 (functions/transport.py): conf-gated deterministic cuts —
+    # THIS is the entry that models archives at rest (the bytes cross
+    # the Arrow boundary between stages); warc_to_text_pipeline's
+    # merged synth+parse closure has no store boundary to cut at and
+    # deliberately stays untouched (its docstring explains the merge)
+    frac = trunc_fraction(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +93,9 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                     for i in range(2 + d % 4)
                 ]
-                archives.append(write_warc(recs, compress=True))
+                archives.append(
+                    maybe_truncate(write_warc(recs, compress=True), d, frac)
+                )
             yield pd.DataFrame({"doc_id": ids, "warc": archives})
 
     media = docs.mapInPandas(synth, schema="doc_id long, warc binary")
@@ -91,16 +104,26 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, warc in zip(pdf["doc_id"], pdf["warc"]):
-                recs = parse_warc(bytes(warc))
-                rows.append(
-                    (
-                        doc_id,
+
+                def one(warc=warc) -> tuple:
+                    recs = parse_warc(bytes(warc))
+                    if not recs:
+                        # a cut at/near offset 0 parses as an EMPTY
+                        # archive ([]), not a ValueError — but every
+                        # synthesized archive has >= 2 records, so
+                        # empty = lost in transport (recs[0] below
+                        # would otherwise IndexError past the
+                        # ValueError-only isolation)
+                        raise ValueError("empty archive")
+                    return (
                         len(recs),
                         recs[0]["uri"],
                         sum(len(r["payload"]) for r in recs),
                         sum(sum(r["payload"]) for r in recs),
                     )
-                )
+
+                # truncated archive (axis 9) -> error row, never a crash
+                rows.append(row_or_nulls(doc_id, 4, one))
             yield pd.DataFrame(
                 rows,
                 columns=[

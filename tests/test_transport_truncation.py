@@ -253,6 +253,38 @@ def test_truncation_sentinels():
         parse_layer1(l1[:2])
 
 
+def test_warc_parser_totality_under_truncation():
+    """The one binary FILE format the engine reads (ISO 28500 WARC,
+    plain and per-record-gzipped): every cut offset either raises
+    ValueError or parses the complete records that are actually there
+    (a cut at a gzip member boundary legitimately yields the earlier
+    records; a cut at offset ~0 yields an EMPTY archive, which the
+    warc_ingest_extract entry maps to an error row itself)."""
+    from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
+
+    recs = [
+        {"type": "response", "uri": f"http://ex.com/{i}",
+         "date": "2026-01-01T00:00:00Z",
+         "payload": (f"<html>doc {i} " + "x" * (40 + i * 7)).encode(),
+         "record_id": f"0000-{i}"}
+        for i in range(3)
+    ]
+    for compress in (False, True):
+        payload = write_warc(recs, compress=compress)
+        full = parse_warc(payload)
+        assert len(full) == 3
+        for k in range(len(payload)):
+            try:
+                got = parse_warc(payload[:k])
+            except ValueError:
+                continue
+            # a successful parse of a prefix must be a PREFIX of the
+            # full record list — never invented or reordered records
+            assert [r["record_id"] for r in got] == [
+                r["record_id"] for r in full[: len(got)]
+            ]
+
+
 def test_maybe_truncate_deterministic_fraction():
     """The transport model itself: deterministic, ~frac of keys cut,
     cut offsets strictly inside [0, len), frac=0 is the identity,
@@ -299,6 +331,10 @@ MEDIA_ENTRIES = [
     "multimodal_decode_mpeg1",
     "multimodal_decode_mpeg1_l2",
     "multimodal_mp3_sideinfo",
+    # the WARC container entry that models archives at rest (its
+    # sibling warc_to_text_pipeline merges synth+parse in one closure
+    # — no store boundary to cut at; see its docstring)
+    "warc_ingest_extract",
 ]
 
 
