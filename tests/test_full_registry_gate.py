@@ -95,11 +95,17 @@ def test_driver_window_entries_emit_scalar_columns_only(spark, sf_dir):
 def test_full_registry_matches_oracles(spark, sf_dir):
     from ethiopia_legal_etl_spark.operators.registry import DRIVER_WINDOW, all_queries
 
-    names = sorted(all_queries())
+    ordered = list(all_queries())
+    names = sorted(ordered)
     # sanity: the window the driver samples is a strict subset — the
     # point of this gate is everything OUTSIDE it
     assert set(DRIVER_WINDOW) <= set(names)
     assert len(names) > len(DRIVER_WINDOW)
+    # and the window IS the first 50 in registration order — the
+    # property the driver's index-0..49 sampling depends on (r11: a
+    # rotation edit that broke the ordering would otherwise surface
+    # only in CORRECTNESS_r{N})
+    assert ordered[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
 
     failures, warns = check_oracle.run(sf_dir, [], spark=spark, count_warns=True)
     assert failures == 0, f"{failures} registry entries diverged from their oracles"
