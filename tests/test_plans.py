@@ -56,6 +56,32 @@ def test_semi_join_planned_as_semi(spark, sf_dir):
     assert "LeftSemi" in formatted_plan(df)
 
 
+def test_pair_scoring_similarity_has_no_exists_scan(spark, sf_dir):
+    """r11 perf pin (VERDICT r10 #1): the pair-scoring cosine entries
+    derive encoder-guard finiteness from the precomputed L2-norm
+    column (with_norm), NOT a per-element exists(isnan|isinf) HOF
+    conjunct — the exists form cost similarity_cosine_topk a measured
+    1.6x by duplicating the scan into both join sides. A regression
+    reintroducing the HOF (directly or via an emb_ok() call on these
+    entries) re-fails here, not in a bench dispute two rounds later."""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "similarity_cosine_topk",
+        "embedding_near_dup_cosine",
+        "embedding_mutual_nn",
+        "retrieval_mmr_rerank",
+        "similarity_ivf_by_label",
+        "dedup_semantic_keep",
+        "embedding_matryoshka_overlap",
+    ):
+        plan = formatted_plan(qs[name].builder(spark, sf_dir))
+        assert "exists(" not in plan and "ArrayExists" not in plan, (
+            f"{name}: per-element exists scan is back in the plan"
+        )
+
+
 # Queries where a nested-loop join IS the intended plan (tiny broadcast
 # side or genuine theta join) — everywhere else it's a planning bug.
 BNLJ_ALLOWED = {
