@@ -353,6 +353,10 @@ def main_ab(ref_dir: str) -> None:
             w.wait(timeout=30)
         except Exception:
             w.kill()
+    try:
+        os.unlink(worker_py)
+    except OSError:
+        pass
     ok_names = [n for n in HEADLINE if "ratio" in result.get(n, {})]
     print(
         json.dumps(
