@@ -294,18 +294,45 @@ def main_ab(ref_dir: str) -> None:
         f.write(_WORKER_SRC)
         worker_py = f.name
 
-    def spawn(tree: str) -> subprocess.Popen:
+    def spawn(tree: str, timeout_s: float = 300.0) -> subprocess.Popen:
+        import select
+
         p = subprocess.Popen(
             [sys.executable, worker_py, tree, sf_dir],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, cwd=tree,
         )
-        for line in p.stdout:
-            if line.strip() == "READY":
+        deadline = time.monotonic() + timeout_s
+        buf = ""
+        while time.monotonic() < deadline:
+            if p.poll() is not None:
+                raise RuntimeError(f"worker for {tree} died before READY")
+            r, _, _ = select.select([p.stdout], [], [], 1.0)
+            if not r:
+                continue
+            buf += p.stdout.readline()
+            if "READY" in buf:
                 return p
-        raise RuntimeError(f"worker for {tree} died before READY")
+        p.kill()
+        raise RuntimeError(
+            f"worker for {tree} not READY within {timeout_s:.0f}s"
+        )
 
-    workers = {"cur": spawn(REPO), "ref": spawn(ref_dir)}
+    # spawn both under a guard: if the ref tree's worker fails (bad
+    # path, missing package, hung Spark startup), the already-running
+    # cur worker's JVM must not be orphaned (r11 self-review)
+    workers: dict[str, subprocess.Popen] = {}
+    try:
+        workers["cur"] = spawn(REPO)
+        workers["ref"] = spawn(ref_dir)
+    except BaseException:
+        for w in workers.values():
+            w.kill()
+        try:
+            os.unlink(worker_py)
+        except OSError:
+            pass
+        raise
 
     def run_one(side: str, name: str, build: bool) -> float | None:
         w = workers[side]

@@ -62,7 +62,10 @@ def maybe_truncate(
     ADPCM object fail independently in a real store)."""
     if not frac or payload is None:
         return payload
-    if (_mix(key, salt) % 10) >= frac * 10:
+    # mille buckets, not deca: (h % 10) >= frac*10 quantized every
+    # frac in (0, 0.1] up to 10% — a corruptTransport=0.01 setting
+    # silently over-corrupted 10x (caught in the r11 self-review)
+    if (_mix(key, salt) % 1000) >= frac * 1000:
         return payload
     return payload[: _mix(key, salt + 101) % max(1, len(payload))]
 

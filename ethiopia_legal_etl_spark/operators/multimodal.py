@@ -228,6 +228,173 @@ def multimodal_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ #
+# Per-entry payload-synthesis formulas, module-level so the axis-9
+# fuzz (tests/test_transport_truncation.py) fuzzes EXACTLY the byte
+# layouts the entries emit — an inline-closure copy in the test would
+# silently drift when a formula changes (r11 self-review). Codec
+# imports stay inside the functions, executor-side, like the entry
+# closures they serve. Each function is deterministic in doc_id.
+# ------------------------------------------------------------------ #
+
+
+def synth_mu_wav(i: int) -> bytes:
+    """The G.711 mu-law object: encoded bytes follow the doc_id
+    formula the audio_compressed oracle re-expands in SQL."""
+    from ethiopia_legal_etl_spark.functions.g711 import write_mulaw_wav
+
+    enc = bytes((i * 13 + j * 7) % 256 for j in range(50 + i % 40))
+    return write_mulaw_wav(enc, 8000 * (1 + i % 2))
+
+
+def synth_ima_wav(i: int) -> bytes:
+    """The IMA ADPCM object: constant signal, 64-byte blocks."""
+    from ethiopia_legal_etl_spark.functions.g711 import (
+        ima_encode_block,
+        write_ima_wav,
+    )
+
+    c, spb = i % 100 - 50, 1 + (64 - 4) * 2
+    blocks = [ima_encode_block([c] * spb, 64) for _ in range(1 + i % 3)]
+    return write_ima_wav(blocks, 8000, 64)
+
+
+def synth_l1_frame(i: int) -> bytes:
+    """The MPEG-1 Layer I frame the decode_mpeg1 oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.mpeg1 import write_layer1_frame
+
+    allocations = [0] * 32
+    scf, samples = [], []
+    for sb in range(32):
+        if (3 * sb + i) % 4:
+            continue
+        nb = 2 + (i + sb) % 14
+        allocations[sb] = nb - 1
+        scf.append(3 * ((i + 2 * sb) % 21))
+        samples.append(
+            [(i * 5 + sb * 3 + t * 11) % ((1 << nb) - 1) for t in range(12)]
+        )
+    return write_layer1_frame(allocations, scf, samples)
+
+
+def synth_l2_frame(i: int) -> bytes:
+    """The MPEG-1 Layer II frame the decode_mpeg1_l2 oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.mpeg1 import (
+        B2A_SBLIMIT,
+        b2a_class,
+        write_layer2_frame,
+    )
+
+    alloc = [0] * B2A_SBLIMIT
+    scfsi_list, scf_tx, samples = [], [], []
+    for sb in range(B2A_SBLIMIT):
+        if (3 * sb + i) % 4:
+            continue
+        _nbal, catalog = b2a_class(sb)
+        a = 1 + (i + sb) % len(catalog)
+        alloc[sb] = a
+        levels = catalog[a - 1]
+        scfsi = (i + sb) % 4
+        f = [(i + 2 * sb + 5 * p) % 21 * 3 for p in range(3)]
+        tx = {
+            0: [f[0], f[1], f[2]],
+            1: [f[0], f[2]],
+            2: [f[0]],
+            3: [f[0], f[1]],
+        }[scfsi]
+        scfsi_list.append(scfsi)
+        scf_tx.append(tx)
+        samples.append([(i * 7 + sb * 5 + t * 11) % levels for t in range(36)])
+    return write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
+
+
+def mp3_frame_spec(i: int) -> dict:
+    """The Layer III side-info spec the mp3_sideinfo oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.mp3 import SLEN
+
+    granules = []
+    for gr in range(2):
+        sfc = i % 16 if gr == 0 else (i * 3 + 1) % 16
+        slen1, slen2 = SLEN[sfc]
+        sfs = []
+        for b in range(21):
+            slen = slen1 if b < 11 else slen2
+            raw = (i + b) if gr == 0 else (i + 2 * b + 1)
+            sfs.append(raw % (1 << slen) if slen else 0)
+        granules.append(
+            {
+                "global_gain": (i * 7) % 256 if gr == 0 else (i * 11 + 5) % 256,
+                "scalefac_compress": sfc,
+                "preflag": (i + gr) % 2,
+                "scalefac_scale": (i // 2 + gr) % 2,
+                "scalefactors": sfs,
+            }
+        )
+    return {"scfsi": (i * 5) % 16, "granules": granules}
+
+
+def synth_mp3_stream(i: int) -> bytes:
+    from ethiopia_legal_etl_spark.functions.mp3 import write_layer3_stream
+
+    return write_layer3_stream([mp3_frame_spec(i)])
+
+
+def synth_mjpeg_avi(i: int) -> bytes:
+    """The MJPEG AVI container (flat q=1 JPEG frames) the
+    video_frame_sample oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.avi import write_mjpeg_avi
+    from ethiopia_legal_etl_spark.functions.jpeg import encode_baseline_jpeg
+
+    frames = [
+        encode_baseline_jpeg(
+            [[(i * 11 + k * 17) % 256] * 8 for _ in range(8)], quant=1
+        )
+        for k in range(3 + i % 6)
+    ]
+    return write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10)
+
+
+def synth_png_rgb(i: int) -> bytes:
+    """The RGB PNG the decode_png oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.png import encode_png
+
+    w, h = 5 + i % 12, 6 + (i // 3) % 10
+    return encode_png(
+        [
+            [
+                (
+                    (i * 7 + x * 11 + y * 3) % 256,
+                    (x + y * 5 + i) % 256,
+                    (x * y + i * 13) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+    )
+
+
+def synth_png_gray(i: int) -> bytes:
+    """The grayscale PNG the image_resize oracle re-derives."""
+    from ethiopia_legal_etl_spark.functions.png import encode_png
+
+    w, h = 5 + i % 12, 6 + (i // 3) % 10
+    return encode_png(
+        [
+            [(i * 7 + x * 11 + y * 3) % 256 for x in range(w)]
+            for y in range(h)
+        ],
+        grayscale=True,
+    )
+
+
+def synth_flat_jpeg(i: int) -> bytes:
+    """The flat q=1 JPEG (value-exact decode) of decode_jpeg's `flat`."""
+    from ethiopia_legal_etl_spark.functions.jpeg import encode_baseline_jpeg
+
+    return encode_baseline_jpeg([[i % 256] * 8 for _ in range(8)], quant=1)
+
+
 def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media payloads, synthesized distributed: even doc_ids get a
     genuine PCM WAV, odd doc_ids a genuine 24-bit BMP (functions/
@@ -406,7 +573,6 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ethiopia_legal_etl_spark.functions.jpeg import (
         decode_jpeg,
-        encode_baseline_jpeg,
         synth_jpeg,
     )
     from ethiopia_legal_etl_spark.functions.transport import (
@@ -442,14 +608,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         maybe_truncate(synth_jpeg(i), i, frac) for i in ids
                     ],
                     "flat": [
-                        maybe_truncate(
-                            encode_baseline_jpeg(
-                                [[i % 256] * 8 for _ in range(8)], quant=1
-                            ),
-                            i,
-                            frac,
-                            salt=1,
-                        )
+                        maybe_truncate(synth_flat_jpeg(i), i, frac, salt=1)
                         for i in ids
                     ],
                 }
@@ -550,12 +709,7 @@ def multimodal_decode_audio_compressed(
 ) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.g711 import (
-        decode_compressed_wav,
-        ima_encode_block,
-        write_ima_wav,
-        write_mulaw_wav,
-    )
+    from ethiopia_legal_etl_spark.functions.g711 import decode_compressed_wav
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         row_or_nulls,
@@ -582,27 +736,19 @@ def multimodal_decode_audio_compressed(
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            mu, ima = [], []
-            for i in ids:
-                enc = bytes(
-                    (i * 13 + j * 7) % 256 for j in range(50 + i % 40)
-                )
-                mu.append(
-                    maybe_truncate(
-                        write_mulaw_wav(enc, 8000 * (1 + i % 2)), i, frac
-                    )
-                )
-                c, spb = i % 100 - 50, 1 + (64 - 4) * 2
-                blocks = [
-                    ima_encode_block([c] * spb, 64)
-                    for _ in range(1 + i % 3)
-                ]
-                ima.append(
-                    maybe_truncate(
-                        write_ima_wav(blocks, 8000, 64), i, frac, salt=1
-                    )
-                )
-            yield pd.DataFrame({"doc_id": ids, "mu": mu, "ima": ima})
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mu": [
+                        maybe_truncate(synth_mu_wav(i), i, frac)
+                        for i in ids
+                    ],
+                    "ima": [
+                        maybe_truncate(synth_ima_wav(i), i, frac, salt=1)
+                        for i in ids
+                    ],
+                }
+            )
 
     media = docs.mapInPandas(
         synth, schema="doc_id long, mu binary, ima binary"
@@ -685,15 +831,8 @@ def multimodal_video_frame_sample(
 ) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.avi import (
-        parse_avi,
-        sample_frames,
-        write_mjpeg_avi,
-    )
-    from ethiopia_legal_etl_spark.functions.jpeg import (
-        decode_jpeg,
-        encode_baseline_jpeg,
-    )
+    from ethiopia_legal_etl_spark.functions.avi import parse_avi, sample_frames
+    from ethiopia_legal_etl_spark.functions.jpeg import decode_jpeg
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         row_or_nulls,
@@ -719,22 +858,9 @@ def multimodal_video_frame_sample(
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            avis = []
-            for i in ids:
-                frames = [
-                    encode_baseline_jpeg(
-                        [[(i * 11 + k * 17) % 256] * 8 for _ in range(8)],
-                        quant=1,
-                    )
-                    for k in range(3 + i % 6)
-                ]
-                avis.append(
-                    maybe_truncate(
-                        write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10),
-                        i,
-                        frac,
-                    )
-                )
+            avis = [
+                maybe_truncate(synth_mjpeg_avi(i), i, frac) for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "avi": avis})
 
     media = docs.mapInPandas(synth, schema="doc_id long, avi binary")
@@ -809,7 +935,7 @@ def multimodal_video_frame_sample(
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+    from ethiopia_legal_etl_spark.functions.png import decode_png
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         row_or_nulls,
@@ -834,33 +960,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            pngs = []
-            for i in ids:
-                w, h = 5 + i % 12, 6 + (i // 3) % 10
-                pngs.append(
-                    encode_png(
-                        [
-                            [
-                                (
-                                    (i * 7 + x * 11 + y * 3) % 256,
-                                    (x + y * 5 + i) % 256,
-                                    (x * y + i * 13) % 256,
-                                )
-                                for x in range(w)
-                            ]
-                            for y in range(h)
-                        ]
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "png": [
-                        maybe_truncate(p, i, frac)
-                        for i, p in zip(ids, pngs)
-                    ],
-                }
-            )
+            pngs = [
+                maybe_truncate(synth_png_rgb(i), i, frac) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "png": pngs})
 
     media = docs.mapInPandas(synth, schema="doc_id long, png binary")
 
@@ -938,7 +1041,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_bilinear,
         resize_nearest,
     )
-    from ethiopia_legal_etl_spark.functions.png import decode_png, encode_png
+    from ethiopia_legal_etl_spark.functions.png import decode_png
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         row_or_nulls,
@@ -956,25 +1059,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            pngs = []
-            for i in ids:
-                w, h = 5 + i % 12, 6 + (i // 3) % 10
-                pngs.append(
-                    maybe_truncate(
-                        encode_png(
-                            [
-                                [
-                                    (i * 7 + x * 11 + y * 3) % 256
-                                    for x in range(w)
-                                ]
-                                for y in range(h)
-                            ],
-                            grayscale=True,
-                        ),
-                        i,
-                        frac,
-                    )
-                )
+            pngs = [
+                maybe_truncate(synth_png_gray(i), i, frac) for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "png": pngs})
 
     media = docs.mapInPandas(synth, schema="doc_id long, png binary")
@@ -1061,10 +1148,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.g711 import (
-        decode_compressed_wav,
-        write_mulaw_wav,
-    )
+    from ethiopia_legal_etl_spark.functions.g711 import decode_compressed_wav
     from ethiopia_legal_etl_spark.functions.imageops import audio_features
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
@@ -1083,20 +1167,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            wavs = [
-                maybe_truncate(
-                    write_mulaw_wav(
-                        bytes(
-                            (i * 13 + j * 7) % 256
-                            for j in range(50 + i % 40)
-                        ),
-                        8000 * (1 + i % 2),
-                    ),
-                    i,
-                    frac,
-                )
-                for i in ids
-            ]
+            # same mu-law object formula as audio_compressed — shared
+            # module-level synth, so the fuzz covers both entries
+            wavs = [maybe_truncate(synth_mu_wav(i), i, frac) for i in ids]
             yield pd.DataFrame({"doc_id": ids, "wav": wavs})
 
     media = docs.mapInPandas(synth, schema="doc_id long, wav binary")
@@ -1193,10 +1266,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.mpeg1 import (
-        parse_layer1,
-        write_layer1_frame,
-    )
+    from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer1
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         trunc_fraction,
@@ -1213,29 +1283,9 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            frames = []
-            for i in ids:
-                allocations = [0] * 32
-                scf, samples = [], []
-                for sb in range(32):
-                    if (3 * sb + i) % 4:
-                        continue
-                    nb = 2 + (i + sb) % 14
-                    allocations[sb] = nb - 1
-                    scf.append(3 * ((i + 2 * sb) % 21))
-                    samples.append(
-                        [
-                            (i * 5 + sb * 3 + t * 11) % ((1 << nb) - 1)
-                            for t in range(12)
-                        ]
-                    )
-                frames.append(
-                    maybe_truncate(
-                        write_layer1_frame(allocations, scf, samples),
-                        i,
-                        frac,
-                    )
-                )
+            frames = [
+                maybe_truncate(synth_l1_frame(i), i, frac) for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "frame": frames})
 
     media = docs.mapInPandas(synth, schema="doc_id long, frame binary")
@@ -1375,12 +1425,7 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.mpeg1 import (
-        B2A_SBLIMIT,
-        b2a_class,
-        parse_layer2,
-        write_layer2_frame,
-    )
+    from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer2
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         trunc_fraction,
@@ -1397,42 +1442,9 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            frames = []
-            for i in ids:
-                alloc = [0] * B2A_SBLIMIT
-                scfsi_list, scf_tx, samples = [], [], []
-                for sb in range(B2A_SBLIMIT):
-                    if (3 * sb + i) % 4:
-                        continue
-                    _nbal, catalog = b2a_class(sb)
-                    a = 1 + (i + sb) % len(catalog)
-                    alloc[sb] = a
-                    levels = catalog[a - 1]
-                    scfsi = (i + sb) % 4
-                    f = [(i + 2 * sb + 5 * p) % 21 * 3 for p in range(3)]
-                    tx = {
-                        0: [f[0], f[1], f[2]],
-                        1: [f[0], f[2]],
-                        2: [f[0]],
-                        3: [f[0], f[1]],
-                    }[scfsi]
-                    scfsi_list.append(scfsi)
-                    scf_tx.append(tx)
-                    samples.append(
-                        [
-                            (i * 7 + sb * 5 + t * 11) % levels
-                            for t in range(36)
-                        ]
-                    )
-                frames.append(
-                    maybe_truncate(
-                        write_layer2_frame(
-                            alloc, scfsi_list, scf_tx, samples
-                        ),
-                        i,
-                        frac,
-                    )
-                )
+            frames = [
+                maybe_truncate(synth_l2_frame(i), i, frac) for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "frame": frames})
 
     media = docs.mapInPandas(synth, schema="doc_id long, frame binary")
@@ -1581,11 +1593,7 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ethiopia_legal_etl_spark.functions.mp3 import (
-        SLEN,
-        parse_layer3,
-        write_layer3_stream,
-    )
+    from ethiopia_legal_etl_spark.functions.mp3 import parse_layer3
     from ethiopia_legal_etl_spark.functions.transport import (
         maybe_truncate,
         trunc_fraction,
@@ -1599,33 +1607,11 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
-    def _spec(i: int) -> dict:
-        granules = []
-        for gr in range(2):
-            sfc = i % 16 if gr == 0 else (i * 3 + 1) % 16
-            slen1, slen2 = SLEN[sfc]
-            sfs = []
-            for b in range(21):
-                slen = slen1 if b < 11 else slen2
-                raw = (i + b) if gr == 0 else (i + 2 * b + 1)
-                sfs.append(raw % (1 << slen) if slen else 0)
-            granules.append(
-                {
-                    "global_gain": (i * 7) % 256 if gr == 0 else (i * 11 + 5) % 256,
-                    "scalefac_compress": sfc,
-                    "preflag": (i + gr) % 2,
-                    "scalefac_scale": (i // 2 + gr) % 2,
-                    "scalefactors": sfs,
-                }
-            )
-        return {"scfsi": (i * 5) % 16, "granules": granules}
-
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             streams = [
-                maybe_truncate(write_layer3_stream([_spec(i)]), i, frac)
-                for i in ids
+                maybe_truncate(synth_mp3_stream(i), i, frac) for i in ids
             ]
             yield pd.DataFrame({"doc_id": ids, "mp3": streams})
 

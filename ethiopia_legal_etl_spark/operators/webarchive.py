@@ -24,6 +24,28 @@ from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
 
+def synth_warc_archive(d: int) -> bytes:
+    """The per-doc .warc.gz (module-level so the axis-9 fuzz covers
+    exactly this byte layout; the oracle re-derives its aggregates
+    from the same formulas)."""
+    from ethiopia_legal_etl_spark.sources.warc import write_warc
+
+    recs = [
+        {
+            "type": "response",
+            "uri": f"http://site{d % 10}.example/{i}",
+            "date": "2026-01-01T00:00:00Z",
+            "payload": bytes(
+                (d * 7 + j) % 256 for j in range(20 + (d + i) % 30)
+            ),
+            "record_id": f"{d}-{i}",
+        }
+        for i in range(2 + d % 4)
+    ]
+    return write_warc(recs, compress=True)
+
+
+
 @register(
     "warc_ingest_extract",
     oracle="""
@@ -61,7 +83,7 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_or_nulls,
         trunc_fraction,
     )
-    from ethiopia_legal_etl_spark.sources.warc import parse_warc, write_warc
+    from ethiopia_legal_etl_spark.sources.warc import parse_warc
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -78,24 +100,9 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            archives = []
-            for d in ids:
-                recs = [
-                    {
-                        "type": "response",
-                        "uri": f"http://site{d % 10}.example/{i}",
-                        "date": "2026-01-01T00:00:00Z",
-                        "payload": bytes(
-                            (d * 7 + j) % 256
-                            for j in range(20 + (d + i) % 30)
-                        ),
-                        "record_id": f"{d}-{i}",
-                    }
-                    for i in range(2 + d % 4)
-                ]
-                archives.append(
-                    maybe_truncate(write_warc(recs, compress=True), d, frac)
-                )
+            archives = [
+                maybe_truncate(synth_warc_archive(d), d, frac) for d in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "warc": archives})
 
     media = docs.mapInPandas(synth, schema="doc_id long, warc binary")
@@ -105,16 +112,24 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, warc in zip(pdf["doc_id"], pdf["warc"]):
 
-                def one(warc=warc) -> tuple:
+                def one(doc_id=doc_id, warc=warc) -> tuple:
                     recs = parse_warc(bytes(warc))
-                    if not recs:
-                        # a cut at/near offset 0 parses as an EMPTY
-                        # archive ([]), not a ValueError — but every
-                        # synthesized archive has >= 2 records, so
-                        # empty = lost in transport (recs[0] below
-                        # would otherwise IndexError past the
-                        # ValueError-only isolation)
-                        raise ValueError("empty archive")
+                    # a cut at a gzip MEMBER boundary parses cleanly
+                    # as a PREFIX of the records (and a cut at ~0 as
+                    # an empty archive, which recs[0] would turn into
+                    # an IndexError past the ValueError-only
+                    # isolation) — silently-reduced counts are the
+                    # exact silently-wrong-metadata class axis 9
+                    # exists to kill, so the record count is checked
+                    # against the manifest (here: the synthesis
+                    # formula; in production: the crawl manifest /
+                    # WARC-Segment headers). Caught in the r11
+                    # self-review before any SF happened to land a
+                    # cut on a boundary.
+                    if len(recs) != 2 + int(doc_id) % 4:
+                        raise ValueError(
+                            f"archive record count {len(recs)} != manifest"
+                        )
                     return (
                         len(recs),
                         recs[0]["uri"],

@@ -43,127 +43,26 @@ from ethiopia_legal_etl_spark.functions.transport import (
 
 
 # ---------------------------------------------------------------- #
-# payload builders: the ENTRIES' OWN synthesis formulas, so the fuzz
-# exercises exactly the byte layouts production emits
+# payload builders: the ENTRIES' OWN module-level synthesis functions
+# (operators/multimodal.py, operators/webarchive.py), imported — not
+# copied — so the fuzz can never drift from the byte layouts
+# production emits (r11 self-review finding).
 # ---------------------------------------------------------------- #
 
-
-def _mu_wav(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.g711 import write_mulaw_wav
-
-    enc = bytes((i * 13 + j * 7) % 256 for j in range(50 + i % 40))
-    return write_mulaw_wav(enc, 8000 * (1 + i % 2))
-
-
-def _ima_wav(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.g711 import (
-        ima_encode_block,
-        write_ima_wav,
-    )
-
-    c, spb = i % 100 - 50, 1 + (64 - 4) * 2
-    return write_ima_wav(
-        [ima_encode_block([c] * spb, 64) for _ in range(1 + i % 3)], 8000, 64
-    )
-
-
-def _l1_frame(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.mpeg1 import write_layer1_frame
-
-    allocations = [0] * 32
-    scf, samples = [], []
-    for sb in range(32):
-        if (3 * sb + i) % 4:
-            continue
-        nb = 2 + (i + sb) % 14
-        allocations[sb] = nb - 1
-        scf.append(3 * ((i + 2 * sb) % 21))
-        samples.append(
-            [(i * 5 + sb * 3 + t * 11) % ((1 << nb) - 1) for t in range(12)]
-        )
-    return write_layer1_frame(allocations, scf, samples)
-
-
-def _l2_frame(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.mpeg1 import (
-        B2A_SBLIMIT,
-        b2a_class,
-        write_layer2_frame,
-    )
-
-    alloc = [0] * B2A_SBLIMIT
-    scfsi_list, scf_tx, samples = [], [], []
-    for sb in range(B2A_SBLIMIT):
-        if (3 * sb + i) % 4:
-            continue
-        _nbal, catalog = b2a_class(sb)
-        a = 1 + (i + sb) % len(catalog)
-        alloc[sb] = a
-        levels = catalog[a - 1]
-        scfsi = (i + sb) % 4
-        f = [(i + 2 * sb + 5 * p) % 21 * 3 for p in range(3)]
-        tx = {0: [f[0], f[1], f[2]], 1: [f[0], f[2]], 2: [f[0]],
-              3: [f[0], f[1]]}[scfsi]
-        scfsi_list.append(scfsi)
-        scf_tx.append(tx)
-        samples.append([(i * 7 + sb * 5 + t * 11) % levels for t in range(36)])
-    return write_layer2_frame(alloc, scfsi_list, scf_tx, samples)
-
-
-def _mp3_stream(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.mp3 import (
-        SLEN,
-        write_layer3_stream,
-    )
-
-    granules = []
-    for gr in range(2):
-        sfc = i % 16 if gr == 0 else (i * 3 + 1) % 16
-        slen1, slen2 = SLEN[sfc]
-        sfs = []
-        for b in range(21):
-            slen = slen1 if b < 11 else slen2
-            raw = (i + b) if gr == 0 else (i + 2 * b + 1)
-            sfs.append(raw % (1 << slen) if slen else 0)
-        granules.append(
-            {
-                "global_gain": (i * 7) % 256 if gr == 0 else (i * 11 + 5) % 256,
-                "scalefac_compress": sfc,
-                "preflag": (i + gr) % 2,
-                "scalefac_scale": (i // 2 + gr) % 2,
-                "scalefactors": sfs,
-            }
-        )
-    return write_layer3_stream([{"scfsi": (i * 5) % 16, "granules": granules}])
-
-
-def _avi(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.avi import write_mjpeg_avi
-    from ethiopia_legal_etl_spark.functions.jpeg import encode_baseline_jpeg
-
-    frames = [
-        encode_baseline_jpeg(
-            [[(i * 11 + k * 17) % 256] * 8 for _ in range(8)], quant=1
-        )
-        for k in range(3 + i % 6)
-    ]
-    return write_mjpeg_avi(frames, 8, 8, fps=5 + i % 10)
-
-
-def _png(i: int) -> bytes:
-    from ethiopia_legal_etl_spark.functions.png import encode_png
-
-    w, h = 5 + i % 12, 6 + (i // 3) % 10
-    return encode_png(
-        [
-            [
-                ((i * 7 + x * 11 + y * 3) % 256, (x + y * 5 + i) % 256,
-                 (x * y + i * 13) % 256)
-                for x in range(w)
-            ]
-            for y in range(h)
-        ]
-    )
+from ethiopia_legal_etl_spark.operators.multimodal import (  # noqa: E402
+    synth_flat_jpeg,
+    synth_ima_wav,
+    synth_l1_frame,
+    synth_l2_frame,
+    synth_mjpeg_avi,
+    synth_mp3_stream,
+    synth_mu_wav,
+    synth_png_gray,
+    synth_png_rgb,
+)
+from ethiopia_legal_etl_spark.operators.webarchive import (  # noqa: E402
+    synth_warc_archive,
+)
 
 
 def _decoders():
@@ -180,14 +79,15 @@ def _decoders():
          media.decode_wav),
         ("decode_bmp", [media.synth_bmp(i) for i in (1, 8, 15)],
          media.decode_bmp),
-        ("decode_compressed_wav", [_mu_wav(5), _ima_wav(6)],
+        ("decode_compressed_wav", [synth_mu_wav(5), synth_ima_wav(6)],
          decode_compressed_wav),
-        ("decode_jpeg", [jpeg.synth_jpeg(3)], jpeg.decode_jpeg),
-        ("decode_png", [_png(4)], decode_png),
-        ("parse_avi", [_avi(2)], parse_avi),
-        ("parse_layer1", [_l1_frame(4) + _l1_frame(5)], mpeg1.parse_layer1),
-        ("parse_layer2", [_l2_frame(3) + _l2_frame(8)], mpeg1.parse_layer2),
-        ("parse_layer3", [_mp3_stream(6) + _mp3_stream(9)], mp3.parse_layer3),
+        ("decode_jpeg", [jpeg.synth_jpeg(3), synth_flat_jpeg(7)],
+         jpeg.decode_jpeg),
+        ("decode_png", [synth_png_rgb(4), synth_png_gray(9)], decode_png),
+        ("parse_avi", [synth_mjpeg_avi(2)], parse_avi),
+        ("parse_layer1", [synth_l1_frame(4) + synth_l1_frame(5)], mpeg1.parse_layer1),
+        ("parse_layer2", [synth_l2_frame(3) + synth_l2_frame(8)], mpeg1.parse_layer2),
+        ("parse_layer3", [synth_mp3_stream(6) + synth_mp3_stream(9)], mp3.parse_layer3),
     ]
 
 
@@ -236,7 +136,7 @@ def test_truncation_sentinels():
         decode_bmp(bmp[:-1])
     assert decode_bmp(bmp)["byte_len"] == len(bmp)  # intact still parses
 
-    mu = _mu_wav(5)
+    mu = synth_mu_wav(5)
     with pytest.raises(ValueError, match="missing fmt or data chunk"):
         decode_compressed_wav(mu[: len(mu) // 2])  # cut inside data
     # mu's data chunk is 55 bytes (odd -> 1 alignment pad): cutting
@@ -246,7 +146,7 @@ def test_truncation_sentinels():
     with pytest.raises(ValueError, match="truncated chunk"):
         decode_compressed_wav(mu[:-2])  # declared size overruns payload
 
-    l1 = _l1_frame(4)
+    l1 = synth_l1_frame(4)
     with pytest.raises(ValueError, match="truncated frame body"):
         parse_layer1(l1[:-1])
     with pytest.raises(ValueError, match="truncated header"):
@@ -401,7 +301,7 @@ def test_truncated_fraction_matches_formula(spark, sf_dir):
 
     predicted = set()
     for i in {r["doc_id"] for r in rows}:
-        p = _mu_wav(i)
+        p = synth_mu_wav(i)
         t = maybe_truncate(p, i, 0.1)
         if t != p:
             # a cut payload yields an error row iff the decoder rejects
