@@ -20,6 +20,31 @@ against the r9 null mirror, so "failed reading = NULL reading" reuses
 verified behavior and — unlike a row filter — preserves row topology
 (sessionization, counts, and window frames keep every event; only the
 measure is marked unavailable).
+
+SCOPE BOUNDARY (ADVICE r10/r11 — the complete census of
+`events.value` consumers that intentionally DON'T clean, and why each
+is acceptable; everything else cleans or was fixed):
+
+- stream_tumbling_window / stream_session_window /
+  stream_static_enrich — windowed SUMs where a poisoned window is
+  VISIBLY NaN on both engines (loud, not silently biased; the honest
+  streaming semantics for "this window contained a failed reading").
+- window_running_user_value / window_lag_lead_delta /
+  window_ignore_nulls_last_purchase — per-user navigation/prefix
+  VIEWS, not estimators: a NaN propagates visibly from the failed
+  reading onward, exactly like the raw timeline it presents.
+- snapshot_diff_reconcile — reconciliation compares old-vs-new with
+  null-safe equality; a reading corrupt in BOTH snapshots compares
+  "unchanged", which is correct reconcile semantics (the value did
+  not change between snapshots; its corruption is a measure-quality
+  question the hygiene entries own).
+
+Entries whose outputs are STATISTICS over value (thresholded counts,
+CIs, ECDFs, folds feeding estimates) must clean: the silent-bias
+class (non-finite sorts greatest on both engines, so `value >= t`
+quietly counts failed readings as successes) was fixed in
+proportion_wilson_ci / drift_ks_two_sample / ewma_user_value
+(ADVICE r10) and join_nullsafe_eq's grade counts (r11 census).
 """
 
 from __future__ import annotations

@@ -29,6 +29,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.measures import (
+    EVENTS_FINITE_SQL,
+    clean_measures,
+)
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -158,12 +162,12 @@ def crosstab_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "join_nullsafe_eq",
-    oracle="""
+    oracle=f"""
     WITH graded AS (
       SELECT event_type,
              CASE WHEN value >= 100 THEN 'high'
                   WHEN value >= 50 THEN 'mid' END AS grade
-      FROM events
+      FROM {EVENTS_FINITE_SQL}
     ),
     a AS (SELECT grade, COUNT(*) AS purchase_cnt FROM graded
           WHERE event_type = 'purchase' GROUP BY grade),
@@ -179,10 +183,16 @@ def crosstab_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
     "it IS NOT DISTINCT FROM. Scale: "
     "both sides are post-aggregate (|grades| rows), so the join is a "
     "broadcast; on large sides <=> hashes NULL like any value, no "
-    "skew surprise beyond an actual NULL hot key (salt if so).",
+    "skew surprise beyond an actual NULL hot key (salt if so). "
+    "Measure hygiene (r11, the proportion_wilson_ci class): a NaN/Inf "
+    "reading passes `value >= 100` on BOTH engines (non-finite sorts "
+    "greatest) and would silently grade 'high' — clean_measures maps "
+    "it to NULL, i.e. the 'unknown' grade, which is exactly what a "
+    "failed reading is (and the NULL-grade key is this entry's whole "
+    "point).",
 )
 def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = clean_measures(load_table(spark, sf_dir, "events"), "value")
     grade = (
         F.when(F.col("value") >= 100, "high")
         .when(F.col("value") >= 50, "mid")
