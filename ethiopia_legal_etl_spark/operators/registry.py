@@ -294,12 +294,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "forecast_seasonal_naive_eval",
     "sample_quota_apportion",
     "snapshot_diff_reconcile",
-    # r12 rotation candidates (never driver-sampled, oracle-checked):
+    # r12 rotation candidates — every name below VERIFIED against the
+    # registry at r11 close (152 oracle-checked entries have never
+    # been driver-sampled; an earlier draft of this list used four
+    # names that didn't exist). Strongest class representatives:
     # experiment_proportion_ztest, batch_padding_waste,
-    # winsorize_user_value, anomaly_rolling_zscore, basket_lift_pairs,
-    # concentration_gini_users, aqp_stratified_error,
-    # profile_columns_events, and the remaining relational9-14
-    # additions — pick the 12 strongest class representatives.
+    # features_winsorize_events, anomaly_rolling_zscore,
+    # gini_revenue_concentration, aqp_stratified_revenue,
+    # dedup_semantic_keep (norm-rewritten r11 — deserves the external
+    # signal), embedding_mutual_nn, graph_kcore_hosts,
+    # event_transition_matrix, contamination_ngram_overlap,
+    # corpus_stratified_sample.
 )
 
 
