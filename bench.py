@@ -175,12 +175,15 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_end = os.getloadavg()
-    headline_t = {n: timings[n] for n in HEADLINE}
-    # Detail line first (full per-run raw timings + spreads — for a
-    # human or the repo's own round notes), THEN the compact summary
-    # as the FINAL stdout line: the driver keeps only the last ~2000
-    # bytes of stdout, so everything the cross-round comparison needs
-    # must fit in that one last line (VERDICT r5 #3).
+    # Detail line first (full per-run raw timings + spreads + per-run
+    # steal/load vectors — for a human or the repo's own round notes),
+    # THEN the compact summary as the FINAL stdout line: the driver
+    # keeps only the last ~2000 bytes of stdout, so everything the
+    # cross-round comparison needs must fit in that one last line
+    # (VERDICT r5 #3). Per-run steal vectors live HERE, never in the
+    # summary: putting them in the summary line pushed it past 4 KB in
+    # r11 and the driver's tail cut off the headline value
+    # (VERDICT r11 #1) — build_summary() enforces the byte budget.
     print(
         json.dumps(
             {
@@ -188,67 +191,112 @@ def main() -> None:
                 "spread": spreads,
                 "steal_pct": run_steal,
                 "load1": run_load1,
-            }
-        )
-    )
-    flat_steal = [s for v in run_steal.values() for s in v]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(headline_t.values()), 3),
-                "unit": "sec",
-                "queries": headline_t,
-                "n_runs": 4,
-                "stat": "median_of_last_3",
-                # per-run totals over the frozen headline set: run 1
-                # includes one-time codegen; a noisy-box episode shows
-                # as disagreement among runs 2-4
-                "run_totals": [
-                    round(sum(all_runs[n][i] for n in HEADLINE), 3)
-                    for i in range(4)
-                ],
-                # r2 and earlier reported best-of-3; emitted alongside
-                # so cross-round diffs don't read the r3 methodology
-                # change as a perf change (ADVICE r3)
-                "value_min_of_runs": round(
-                    sum(min_timings[n] for n in HEADLINE), 3
-                ),
-                # non-headline heavyweights (frozen total excludes them);
-                # timed as build+write since r7 (iterative ops compute
-                # eagerly inside builder) — r6 secondary numbers for
-                # non-iterative entries remain comparable (their build
-                # is lazy plan construction, ~ms)
-                "secondary_stat": "build_plus_write",
-                "secondary": {n: timings[n] for n in SECONDARY},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # host 1/5/15-min load average at start and end of the
-                # measured window, so a noisy-box episode (like the
-                # uniform +13% in BENCH_r04) is diagnosable from the
-                # JSON alone instead of argued from min-of-runs.
-                "load_avg_start": [round(x, 2) for x in LOAD_START],
-                "load_avg_end": [round(x, 2) for x in load_end],
-                # per-run CPU-steal aggregate (full per-run vectors in
-                # the detail line): a nonzero max flags an episodic
-                # contention burst inside the measured window
-                "steal_pct_max": max(flat_steal) if flat_steal else 0.0,
-                "steal_pct_mean": round(
-                    sum(flat_steal) / len(flat_steal), 2
-                ) if flat_steal else 0.0,
-                # per-run vectors for the queries that actually saw
-                # steal (>0.5% in any run) — compact enough for the
-                # driver's recorded tail, so a contended query's runs
-                # are attributable from BENCH_r{N}.json alone
+                # queries that saw steal >0.5% in any run, with their
+                # vectors — the r11 "steal_pct_runs" attribution,
+                # relocated out of the summary line
                 "steal_pct_runs": {
                     n: v for n, v in run_steal.items()
                     if any(s > 0.5 for s in v)
                 },
-                "load1_max": max(
-                    (x for v in run_load1.values() for x in v), default=0.0
-                ),
             }
         )
     )
+    print(
+        build_summary(
+            timings, min_timings, all_runs, run_steal, run_load1,
+            sf, LOAD_START, load_end,
+        )
+    )
+
+
+# Hard budget for the final stdout line. The driver records only the
+# last ~2000 bytes of stdout; BENCH_r11.json came back "parsed": null
+# because the summary line grew past 4 KB (VERDICT r11 #1). r10's line
+# was 1462 bytes, so 1800 leaves headroom for timing-digit drift while
+# still fitting the 2000-byte tail. tests/test_bench_contract.py
+# builds a worst-case summary and asserts this budget.
+SUMMARY_MAX_BYTES = 1800
+
+
+def build_summary(
+    timings: dict[str, float],
+    min_timings: dict[str, float],
+    all_runs: dict[str, list[float]],
+    run_steal: dict[str, list[float]],
+    run_load1: dict[str, list[float]],
+    sf: str,
+    load_start: tuple[float, float, float],
+    load_end: tuple[float, float, float],
+) -> str:
+    """The ONE machine-readable line the driver parses. Everything
+    per-run or per-query-vector goes in the detail line instead —
+    this line carries only scalars plus the two frozen per-query
+    median dicts, and is size-asserted at < SUMMARY_MAX_BYTES."""
+    headline_t = {n: timings[n] for n in HEADLINE}
+    flat_steal = [s for v in run_steal.values() for s in v]
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(headline_t.values()), 3),
+            "unit": "sec",
+            "queries": headline_t,
+            "n_runs": 4,
+            "stat": "median_of_last_3",
+            # per-run totals over the frozen headline set: run 1
+            # includes one-time codegen; a noisy-box episode shows
+            # as disagreement among runs 2-4
+            "run_totals": [
+                round(sum(all_runs[n][i] for n in HEADLINE), 3)
+                for i in range(4)
+            ],
+            # r2 and earlier reported best-of-3; emitted alongside
+            # so cross-round diffs don't read the r3 methodology
+            # change as a perf change (ADVICE r3)
+            "value_min_of_runs": round(
+                sum(min_timings[n] for n in HEADLINE), 3
+            ),
+            # non-headline heavyweights (frozen total excludes them);
+            # timed as build+write since r7 (iterative ops compute
+            # eagerly inside builder)
+            "secondary_stat": "build_plus_write",
+            "secondary": {n: timings[n] for n in SECONDARY},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # host load at start/end of the measured window
+            # (BENCH_r04's uniform +13% diagnosis)
+            "load_avg_start": [round(x, 2) for x in load_start],
+            "load_avg_end": [round(x, 2) for x in load_end],
+            # steal aggregates only — the per-run vectors are in the
+            # detail line (VERDICT r11 #1); a nonzero max still flags
+            # an episodic contention burst from this line alone
+            "steal_pct_max": max(flat_steal) if flat_steal else 0.0,
+            "steal_pct_mean": round(
+                sum(flat_steal) / len(flat_steal), 2
+            ) if flat_steal else 0.0,
+            "load1_max": max(
+                (x for v in run_load1.values() for x in v), default=0.0
+            ),
+        }
+    )
+    if len(line.encode()) >= SUMMARY_MAX_BYTES:
+        # Never let the full summary overflow the driver's tail the
+        # way r11's did: degrade to an ultra-compact core that always
+        # fits. The unit test treats reaching this branch as a
+        # failure, so in-repo growth is caught before the driver runs.
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(headline_t.values()), 3),
+                "unit": "sec",
+                "run_totals": [
+                    round(sum(all_runs[n][i] for n in HEADLINE), 3)
+                    for i in range(4)
+                ],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "steal_pct_max": max(flat_steal) if flat_steal else 0.0,
+                "truncated": True,
+            }
+        )
+    return line
 
 
 _WORKER_SRC = '''
@@ -335,55 +383,71 @@ def main_ab(ref_dir: str) -> None:
         raise
 
     def run_one(side: str, name: str, build: bool) -> float | None:
+        # A worker that dies mid-benchmark (e.g. Spark OOM) surfaces
+        # as BrokenPipeError on write or an empty readline — return
+        # None so the query is recorded as failed on THIS side instead
+        # of aborting the whole A/B with an uncaught exception and an
+        # orphaned surviving JVM (ADVICE r11 #1).
         w = workers[side]
-        w.stdin.write(f"RUN {name}{' build' if build else ''}\n")
-        w.stdin.flush()
-        out = w.stdout.readline().split()
+        try:
+            w.stdin.write(f"RUN {name}{' build' if build else ''}\n")
+            w.stdin.flush()
+            out = w.stdout.readline().split()
+        except (OSError, BrokenPipeError, ValueError):
+            return None
         return float(out[1]) if out and out[0] == "T" else None
 
     result: dict[str, dict] = {}
     steals: list[float] = []
-    for name in HEADLINE + SECONDARY:
-        build = name in SECONDARY
-        runs: dict[str, list[float]] = {"cur": [], "ref": []}
-        ok = True
-        for side in ("cur", "ref"):  # warm-up: codegen/JIT, dropped
-            if run_one(side, name, build) is None:
-                ok = False
-        cpu0 = read_cpu_times()
-        for _ in range(3 if ok else 0):
-            for side in ("cur", "ref"):
-                t = run_one(side, name, build)
-                if t is None:
-                    ok = False
-                    break
-                runs[side].append(t)
-            if not ok:
-                break
-        steals.append(steal_pct(cpu0, read_cpu_times()))
-        if ok and runs["cur"] and runs["ref"]:
-            med = {s: sorted(r)[len(r) // 2] for s, r in runs.items()}
-            result[name] = {
-                "cur": round(med["cur"], 3),
-                "ref": round(med["ref"], 3),
-                "ratio": round(med["cur"] / med["ref"], 3)
-                if med["ref"] > 0 else None,
-                "runs_cur": [round(x, 3) for x in runs["cur"]],
-                "runs_ref": [round(x, 3) for x in runs["ref"]],
-            }
-        else:
-            result[name] = {"error": "ref tree lacks query or run failed"}
-    for w in workers.values():
-        try:
-            w.stdin.write("EXIT\n")
-            w.stdin.flush()
-            w.wait(timeout=30)
-        except Exception:
-            w.kill()
     try:
-        os.unlink(worker_py)
-    except OSError:
-        pass
+        for name in HEADLINE + SECONDARY:
+            build = name in SECONDARY
+            runs: dict[str, list[float]] = {"cur": [], "ref": []}
+            # which side returned None, so a cur-side failure isn't
+            # misattributed to the ref tree (ADVICE r11 #2)
+            failed: set[str] = set()
+            for side in ("cur", "ref"):  # warm-up: codegen/JIT, dropped
+                if run_one(side, name, build) is None:
+                    failed.add(side)
+            cpu0 = read_cpu_times()
+            for _ in range(3 if not failed else 0):
+                for side in ("cur", "ref"):
+                    t = run_one(side, name, build)
+                    if t is None:
+                        failed.add(side)
+                        break
+                    runs[side].append(t)
+                if failed:
+                    break
+            steals.append(steal_pct(cpu0, read_cpu_times()))
+            if not failed and runs["cur"] and runs["ref"]:
+                med = {s: sorted(r)[len(r) // 2] for s, r in runs.items()}
+                result[name] = {
+                    "cur": round(med["cur"], 3),
+                    "ref": round(med["ref"], 3),
+                    "ratio": round(med["cur"] / med["ref"], 3)
+                    if med["ref"] > 0 else None,
+                    "runs_cur": [round(x, 3) for x in runs["cur"]],
+                    "runs_ref": [round(x, 3) for x in runs["ref"]],
+                }
+            else:
+                sides = "+".join(sorted(failed)) or "unknown"
+                result[name] = {"error": f"{sides} run failed"}
+    finally:
+        # EXIT/kill both workers and unlink the tempfile even when the
+        # query loop raises — the spawn-phase guard alone left these
+        # leaking on mid-benchmark failures (ADVICE r11 #1)
+        for w in workers.values():
+            try:
+                w.stdin.write("EXIT\n")
+                w.stdin.flush()
+                w.wait(timeout=30)
+            except Exception:
+                w.kill()
+        try:
+            os.unlink(worker_py)
+        except OSError:
+            pass
     ok_names = [n for n in HEADLINE if "ratio" in result.get(n, {})]
     print(
         json.dumps(

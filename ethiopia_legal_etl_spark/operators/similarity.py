@@ -94,7 +94,12 @@ def norm_finite(col: str = "nrm") -> Column:
     it +Inf (squares sum to +Inf), and an element-NULL coordinate
     makes it NULL — so `nrm IS NOT NULL AND nrm < Inf` (NaN sorts
     GREATEST in Spark, so NaN < Inf is false) excludes exactly the
-    rows emb_ok() would. The norm column is then REUSED as the cosine
+    rows emb_ok() would — PRECONDITION: float32-sourced coordinates
+    (|x| ≤ ~3.4e38, so the square-sum ≤ ~7e78 stays finite; ADVICE
+    r11 #4). For a future double-typed embeddings column the
+    equivalence breaks at |x| > ~1.3e154, where a FINITE coordinate
+    squares to +Inf and with_norm drops a row emb_ok() would keep.
+    The norm column is then REUSED as the cosine
     denominator, so pair scoring is one dot fold instead of three
     (dot + both norms) — the guard costs less than zero (VERDICT r10
     #1: measured 1.37x faster than the r9 exists-guard code in an
@@ -109,7 +114,8 @@ def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     Callers MUST have applied emb_ok_basic() (NULL / wrong-dim) first
     and score pairs as dot(a.e, b.e) / (a.nrm * b.nrm) — bit-identical
     to cosine(a.e, b.e), since nrm = sqrt(dot(e, e)) is the same IEEE
-    op tree cosine() folds inline."""
+    op tree cosine() folds inline. Same float32-range precondition as
+    norm_finite() (see its docstring)."""
     e = as_double(F.col(emb_col))
     return (
         df.withColumn("e", e)

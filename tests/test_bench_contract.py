@@ -1,0 +1,87 @@
+"""Driver-contract tests for bench.py's stdout protocol.
+
+The driver records only the last ~2000 bytes of bench stdout and
+parses the FINAL line as JSON. BENCH_r11.json came back
+`"parsed": null` because the summary line grew past 4 KB when the
+r11 per-run steal vectors were added to it (VERDICT r11 #1). These
+tests freeze the contract: the summary line — built with worst-case
+realistic digit widths for every field — must stay under
+bench.SUMMARY_MAX_BYTES (< the driver's tail), must parse, and must
+never silently fall back to the truncated core form.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+# Worst-case-but-realistic digit widths: every per-query median at
+# 88.888 s (5 significant digits — 10× anything ever recorded; the
+# heaviest real entry is ~4.5 s), 4-run vectors at 99.999, steal and
+# load at their widest observed shapes.
+_NAMES = bench.HEADLINE + bench.SECONDARY
+_TIMINGS = {n: 88.888 for n in _NAMES}
+_ALL_RUNS = {n: [99.999] * 4 for n in _NAMES}
+_RUN_STEAL = {n: [10.64, 9.88, 10.12, 8.7] for n in _NAMES}
+_RUN_LOAD1 = {n: [31.99] * 4 for n in _NAMES}
+
+
+def _build() -> str:
+    return bench.build_summary(
+        _TIMINGS, dict(_TIMINGS), _ALL_RUNS, _RUN_STEAL, _RUN_LOAD1,
+        "0.1", (30.07, 29.5, 28.12), (31.99, 30.08, 29.44),
+    )
+
+
+def test_summary_line_fits_driver_tail():
+    line = _build()
+    size = len(line.encode())
+    assert size < bench.SUMMARY_MAX_BYTES, (
+        f"summary line is {size}B, budget {bench.SUMMARY_MAX_BYTES}B — "
+        "a new field belongs in the detail line, not here"
+    )
+    # the budget itself must clear the driver's ~2000-byte tail with
+    # margin for the line to be the LAST of several
+    assert bench.SUMMARY_MAX_BYTES <= 1900
+
+
+def test_summary_line_is_full_form_and_parses():
+    parsed = json.loads(_build())
+    # reaching the ultra-compact fallback inside build_summary is a
+    # contract failure in-repo, even though it keeps the driver fed
+    assert "truncated" not in parsed
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert set(parsed["secondary"]) == set(bench.SECONDARY)
+    assert len(parsed["run_totals"]) == 4
+    assert parsed["sf"] == 0.1
+    # steal attribution stays as aggregates only — the per-run
+    # vectors that sank r11 live in the detail line
+    assert "steal_pct_max" in parsed and "steal_pct_mean" in parsed
+    assert "steal_pct_runs" not in parsed
+
+
+def test_fallback_core_always_fits():
+    # if a future field pushes the full form over budget anyway, the
+    # runtime fallback must itself be far under the tail limit
+    huge = {n: 88.888 for n in _NAMES}
+    # simulate overflow by shrinking the budget temporarily
+    orig = bench.SUMMARY_MAX_BYTES
+    bench.SUMMARY_MAX_BYTES = 10
+    try:
+        line = bench.build_summary(
+            huge, dict(huge), _ALL_RUNS, _RUN_STEAL, _RUN_LOAD1,
+            "0.1", (1.0, 1.0, 1.0), (1.0, 1.0, 1.0),
+        )
+    finally:
+        bench.SUMMARY_MAX_BYTES = orig
+    parsed = json.loads(line)
+    assert parsed.get("truncated") is True
+    assert "value" in parsed and "run_totals" in parsed
+    assert len(line.encode()) < 400

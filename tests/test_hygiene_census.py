@@ -37,14 +37,57 @@ VALUE_PROPAGATORS = {
 EMB_UNGUARDED = {"embedding_norms"}
 
 
+def _expanded_source(fn) -> str:
+    """Builder source PLUS one level of intra-module helper functions
+    it references (ADVICE r11 #3: a builder that loads events/
+    embeddings through a module-local helper — or names the table via
+    a module-local string constant — must not silently escape the
+    census). Only same-module symbols are expanded: shared
+    cross-module loaders take the table name as a call-site literal,
+    which the builder's own source already shows, and expanding them
+    would false-positive every builder on a docstring mention."""
+    src = inspect.getsource(fn)
+    mod = getattr(fn, "__module__", None)
+    g = getattr(fn, "__globals__", {})
+    for sym in fn.__code__.co_names:
+        obj = g.get(sym)
+        if inspect.isfunction(obj) and obj.__module__ == mod:
+            try:
+                src += "\n" + inspect.getsource(obj)
+            except (OSError, TypeError):
+                pass
+        elif isinstance(obj, str) and obj in ("events", "embeddings"):
+            src += f'\n"{obj}"'
+    return src
+
+
 def _builder_sources():
     from ethiopia_legal_etl_spark.operators.registry import all_queries
 
     for name, q in all_queries().items():
         try:
-            yield name, inspect.getsource(q.builder.__wrapped__)
+            yield name, _expanded_source(q.builder.__wrapped__)
         except (OSError, TypeError):
             continue
+
+
+def test_census_matched_population_is_sane():
+    """The two censuses must each keep matching a healthy population —
+    if a refactor routes table loads through a path the source scan
+    can't see, the matched count collapses and this trips before the
+    guard gates go quietly vacuous (ADVICE r11 #3)."""
+    value_consumers = emb_consumers = 0
+    for _name, src in _builder_sources():
+        if '"events"' in src and ('"value"' in src or "'value'" in src):
+            value_consumers += 1
+        if '"embeddings"' in src:
+            emb_consumers += 1
+    # Counted at r12 open: 32 events.value consumers, 15 embeddings
+    # consumers. Floors sit just below so entry churn doesn't trip
+    # them; a drop below the floor means the scan lost visibility,
+    # not that consumers left.
+    assert value_consumers >= 28, value_consumers
+    assert emb_consumers >= 12, emb_consumers
 
 
 def test_every_value_consumer_cleans_or_is_documented():
