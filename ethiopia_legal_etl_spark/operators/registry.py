@@ -102,7 +102,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_record_projection",
     "incremental_skip_docs",
     "log_tail_events",
-    "html_link_extraction",
+    # r12 rotation (VERDICT r11 #2, 12 out / 12 in; all rotated-out
+    # names stay oracle-gated by tests/test_full_registry_gate.py on
+    # every pytest run). OUT: html_link_extraction (green r1-r11;
+    # §2.A keeps three in-window reps and A-2/A-3 semantics stay
+    # full-registry-gated), dedup_ngram_jaccard (green r3-r11; dedup
+    # keeps minhash_lsh/simhash_band/cluster_components and the ngram
+    # class gets contamination_ngram_overlap IN),
+    # text_quality_model_score (green r5-r11; text keeps
+    # corpus_quality_curation/bm25/pii_scrub/KN/winnowing),
+    # multimodal_audio_features + multimodal_mp3_sideinfo (green
+    # r6/r7-r11; multimodal keeps audio_compressed + fake_embed),
+    # heavy_hitters_mg (green r7-r11; approximate-answer class gets
+    # aqp_stratified_revenue IN), stream_dedup_twin (green r5-r11;
+    # streaming keeps stream_session_window + stream_drift_psi_twin),
+    # and the five r9-batch entries green r9-r11:
+    # fuzzy_vocab_jaro_winkler (strings keep fuzzy_vocab_damerau),
+    # retrieval_rank_metrics (retrieval keeps retrieval_bm25_topk),
+    # retention_kaplan_meier + experiment_welch_effect (stats keep
+    # stats_chi2_independence + cuped + wilson;
+    # experiment_proportion_ztest IN), attribution_linear_credit
+    # (event sequences keep markov_next_event_accuracy;
+    # event_transition_matrix IN). IN: the registry's published r12
+    # candidate list verbatim — see the end of the window; all 12
+    # replica-re-verified at sf0.01 at r12 open (12/12, 0 raw-repr
+    # warnings).
     # relational: agg / join / window / set / scalar classes
     # r5 rotation (VERDICT r4 #5): q3_shipping_priority,
     # join_full_nation_balance, theta_nation_pairs, q18_large_orders,
@@ -148,7 +172,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r9: dedup_exact_hash rotates out (green r1-r8; the dedup class
     # keeps ngram_jaccard, paragraph_exact, cluster_jaccard and
     # substring_fraction in-window).
-    "dedup_ngram_jaccard",
     # r4: swapped dedup_minhash_lsh (rows-only, which the driver can
     # only record as "ran") for the oracle-checked real-decode proof;
     # dedup_simhash_band keeps the rows-only path represented and
@@ -198,8 +221,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r9: text_unicode_nfc rotates out (green r5-r8; text class keeps
     # text_quality_model_score + corpus_vocab_oov, and the NFC plan
     # shape stays pinned by test_plans.py::test_nfc_single_arrow_eval).
-    "stream_dedup_twin",
-    "text_quality_model_score",
     # r6 rotation (VERDICT r5 #5): semi_customers_with_orders,
     # window_rank_orders, set_except_custkeys, agg_collect_concat,
     # scalar_math_lineitem, pagination_keyset_orders — all driver-green
@@ -216,7 +237,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (ISO 11172-3; VERDICT r5 #7) — value-exact oracle, raw-double
     # parity, no rounding policy. scalar_subquery_above_avg
     # (driver-green since r1) rotates out to make room.
-    "multimodal_audio_features",
     "corpus_quality_curation",
     # r7 rotation IN (VERDICT r6 #4): the six strongest entries the
     # driver has never sampled — the first oracle-checked ITERATIVE op
@@ -224,13 +244,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # PageRank, exact rank-sum AUC, AQP with exact HT error bars, the
     # oracle-checked Misra-Gries sketch, and the stream-stream
     # interval join batch twin.
-    "heavy_hitters_mg",
     # r7 flagship: MP3 (Layer III) frame-syntax + scalefactor decode
     # with a formula-recomputing oracle (functions/mp3.py; VERDICT r6
     # #5). agg_distinct_customers (driver-green r1-r6) rotates out —
     # q1/rollup keep aggregates represented and the approx-distinct
     # sketch family stays under the full-registry gate.
-    "multimodal_mp3_sideinfo",
     # r8 rotation IN (VERDICT r7 #4): the strongest entries the driver
     # has never sampled — exact two-sample KS drift, the bit-identical
     # EWMA ordered fold, gap-based sessionization, leave-one-out
@@ -248,13 +266,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rounds with their §2 classes keeping in-window representatives;
     # rotated-out names stay oracle-gated by
     # tests/test_full_registry_gate.py on every pytest run.
-    "fuzzy_vocab_jaro_winkler",
     "fuzzy_vocab_damerau",
-    "retrieval_rank_metrics",
-    "retention_kaplan_meier",
     "stats_chi2_independence",
-    "experiment_welch_effect",
-    "attribution_linear_credit",
     # r10 rotation IN (VERDICT r9 #1: raise throughput to 12): the
     # five r9 rows-only→oracle conversions lead (their new oracles
     # deserve the external signal), then seven strong never-sampled
@@ -294,17 +307,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "forecast_seasonal_naive_eval",
     "sample_quota_apportion",
     "snapshot_diff_reconcile",
-    # r12 rotation candidates — every name below VERIFIED against the
-    # registry at r11 close (152 oracle-checked entries have never
-    # been driver-sampled; an earlier draft of this list used four
-    # names that didn't exist). Strongest class representatives:
-    # experiment_proportion_ztest, batch_padding_waste,
-    # features_winsorize_events, anomaly_rolling_zscore,
-    # gini_revenue_concentration, aqp_stratified_revenue,
-    # dedup_semantic_keep (norm-rewritten r11 — deserves the external
-    # signal), embedding_mutual_nn, graph_kcore_hosts,
-    # event_transition_matrix, contamination_ngram_overlap,
-    # corpus_stratified_sample.
+    # r12 rotation IN (VERDICT r11 #2): the registry's published r12
+    # candidate list verbatim — every name verified against the
+    # registry at r11 close, never driver-sampled, and replica-
+    # re-verified at sf0.01 at r12 open (12/12 passed, 0 raw-repr
+    # warnings). Strongest class representatives: proportion z-test,
+    # padding-waste accounting, winsorization, rolling z-score
+    # anomaly, Gini concentration, stratified AQP with error bars,
+    # semantic near-dup keep (norm-rewritten r11 — deserves the
+    # external signal), mutual-NN embedding pairs, k-core graph
+    # decomposition, event transition matrix, n-gram contamination
+    # overlap, stratified corpus sampling.
+    "experiment_proportion_ztest",
+    "batch_padding_waste",
+    "features_winsorize_events",
+    "anomaly_rolling_zscore",
+    "gini_revenue_concentration",
+    "aqp_stratified_revenue",
+    "dedup_semantic_keep",
+    "embedding_mutual_nn",
+    "graph_kcore_hosts",
+    "event_transition_matrix",
+    "contamination_ngram_overlap",
+    "corpus_stratified_sample",
 )
 
 
