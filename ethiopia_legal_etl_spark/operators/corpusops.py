@@ -712,7 +712,13 @@ register(
     "only words containing the pair). Exactly one collect "
     "regardless of merge count (job-count pinned in tests); the r4 "
     "design's 2-jobs-per-merge chain is gone. Deterministic "
-    "tie-break: count desc, then lexicographic pair.",
+    "tie-break: count desc, then lexicographic pair."
+    "Rows-only verdict (r12): NOT convertible — each merge round's "
+    "argmax pair depends on all prior merges (data-dependent "
+    "iterative chain); a recursive-CTE oracle would re-implement the "
+    "trainer, not independently check it. Ground truth: pure-Python "
+    "recount-from-scratch differential at 8 and 256 merges "
+    "(tests/test_corpusops.py).",
 )(bpe_train_merges)
 
 
@@ -1045,7 +1051,13 @@ register(
     "under vocab growth), the form pack_sequences_offsets consumes. "
     "Broadcast (ranks, vocab) + one Arrow-vectorized pandas UDF with "
     "a distinct-word cache; shuffle-free map-only plan. Unknown "
-    "symbols -> -1 (byte-fallback tier placeholder).",
+    "symbols -> -1 (byte-fallback tier placeholder)."
+    "Rows-only verdict (r12): NOT convertible — encoding applies the "
+    "TRAINED merge table lowest-rank-first with unbounded passes per "
+    "word, and the table itself is the non-SQL-expressible training "
+    "artifact. Ground truth: pure-Python sequential-merge encode on "
+    "the same merges, per-document id equality "
+    "(tests/test_corpusops.py).",
 )(bpe_encode_ids)
 
 
@@ -1062,7 +1074,11 @@ register(
     "lowest-rank-first merge loop with a distinct-word cache — the "
     "map-only, no-codegen-blowup shape a 32k-merge vocab needs "
     "(VERDICT r4 #1). Reports per-doc token count under the trained "
-    "tokenizer vs the untrained character baseline.",
+    "tokenizer vs the untrained character baseline."
+    "Rows-only verdict (r12): NOT convertible — same trained-merge "
+    "dependency and per-word merge loop as bpe_encode_ids. Ground "
+    "truth: pure-Python encode differential at 4 merges (regex path) "
+    "AND 256 merges (broadcast path).",
 )(bpe_encode_tokens)
 
 
@@ -1202,7 +1218,13 @@ register(
     "global token positions -> regroup by (shard, pack) with "
     "slot-sorted reassembly, so nothing larger than one pack ever "
     "materializes. 2 shuffles; deterministic (doc_id order) so two "
-    "runs produce byte-identical packs.",
+    "runs produce byte-identical packs."
+    "Rows-only verdict (r12): NOT convertible as composed — inputs "
+    "are bpe_encode_ids token arrays (trained-artifact dependency); "
+    "the packing ALGEBRA itself IS oracle-checked via "
+    "pack_sequences_offsets (whitespace-token twin, driver-green "
+    "r5-r10). Ground truth: pack-for-pack pure-Python differential + "
+    "lossless-concatenation property.",
 )(pack_token_sequences)
 
 

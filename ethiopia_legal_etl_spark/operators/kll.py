@@ -224,5 +224,10 @@ register(
     "quantiles. The persistable/incremental percentile story "
     "approx_percentile (one-shot aggregate) cannot give: per-day "
     "sketches answer any-range quantiles without rescanning history. "
-    "Deterministic alternating compaction parity -> bit-reproducible.",
+    "Deterministic alternating compaction parity -> bit-reproducible."
+    "Rows-only verdict (r12): NOT convertible — KLL compactions are "
+    "sequential and level-structured, so the surviving samples depend "
+    "on partition-merge order; no closed-form SQL re-derivation "
+    "exists. Ground truth: measured rank-error gate vs exact ranks + "
+    "merge-associativity/determinism properties (tests/test_kll.py).",
 )(sketch_kll_order_prices)

@@ -133,7 +133,12 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix-free table — so a from-memory transcription could ship "
     "silently wrong values, which this registry's value-exact "
     "discipline exists to prevent. Frames carrying spectral data "
-    "reject with a ValueError naming the table.",
+    "reject with a ValueError naming the table."
+    "Rows-only verdict (r12): NOT convertible — the entry's content "
+    "is the Arrow batch plumbing around a DOCUMENTED stub tier (MP3 "
+    "spectral/H.264); the ten real codecs beside it carry value-exact "
+    "oracles. Ground truth: plumbing unit tests + truncation-totality "
+    "fuzz.",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_media_metadata(media_table(spark, sf_dir))

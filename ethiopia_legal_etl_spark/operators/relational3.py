@@ -514,11 +514,24 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_roundtrip_formats",
-    oracle=None,  # writes/reads scratch files -> rows-only
+    # rows-only -> ORACLE-CHECKED (r12, VERDICT r11 #3): the scratch
+    # files themselves are invisible to DuckDB, but the entry's OUTPUT
+    # is per-format row-count reconciliation — and the oracle can
+    # recompute the expected count from the source table externally.
+    # A format that drops or duplicates rows on write or read now
+    # hash-mismatches instead of passing a rows-only "ran" check.
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id < 100)
+    SELECT t.fmt, n.c AS n_rows, n.c AS n_src, TRUE AS roundtrip_ok
+    FROM (VALUES ('csv'), ('json'), ('orc'), ('text'), ('xml'))
+         AS t(fmt), n
+    """,
     doc="CSV + JSONL + ORC + text + XML (Spark 4 native) source/sink "
     "round-trip: documents subset written and re-read in each format "
     "with explicit schemas, counts reconciled (SURVEY §2.B scans/sinks "
-    "row)",
+    "row). Oracle-checked since r12: the oracle recomputes the "
+    "expected count externally, so a row-dropping format sink/source "
+    "fails the hash instead of passing a rows-only check",
 )
 def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -212,7 +212,11 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fraction per o_orderstatus stratum (seeded, deterministic for a "
     "fixed input layout), then counts per stratum. The train/eval-split "
     "and class-rebalancing primitive; property test bounds each "
-    "stratum's count by binomial tails (tests/test_relational7.py).",
+    "stratum's count by binomial tails (tests/test_relational7.py)."
+    "Rows-only verdict (r12): NOT convertible — sampleBy membership "
+    "rides the same engine RNG stream as sample_lineitem_fraction. "
+    "Ground truth: per-stratum binomial-tail bounds "
+    "(tests/test_relational7.py).",
 )
 def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -234,7 +238,12 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as sketch_hll_daily_users: per-partition sketches merge "
     "associatively, so 100 TB of events reduces to kilobytes before "
     "any frequency question is asked. CMS guarantees est >= true and "
-    "est <= true + eps*N w.p. conf (property-tested).",
+    "est <= true + eps*N w.p. conf (property-tested)."
+    "Rows-only verdict (r12): NOT convertible — "
+    "org.apache.spark.util.sketch.CountMinSketch's hash family is "
+    "JVM-internal, so collision noise is engine-specific; the Misra- "
+    "Gries twin heavy_hitters_mg IS oracle-checked. Ground truth: CMS "
+    "overestimate-only + eps*N error envelope properties.",
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -303,7 +312,12 @@ def _heavy_hitters_cms(
     "nothing, single-column range prunes only its sort column, z-order "
     "prunes BOTH (~6-8/16). At 100 TB this is the difference between "
     "a two-dimension filter reading ~6% of files and reading all of "
-    "them when the predicate misses the sort column.",
+    "them when the predicate misses the sort column."
+    "Rows-only verdict (r12): NOT convertible — the entry reads "
+    "parquet footer min/max of files written to a scratch dir; oracle "
+    "views are the pre-registered testdata tables only and DuckDB "
+    "never sees the scratch layouts. Ground truth: layout-ordering "
+    "assertions (z-order prunes both keys) in tests.",
 )
 def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -538,7 +538,11 @@ def pq_adc_scores(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
     "corpus-sized shuffles carry only (vec_id, code) pairs; the "
     "re-rank join fetches 50 raw vectors per query. "
     "Differential-tested against a NumPy PQ model and a recall floor "
-    "vs exact L2 (tests/test_selection.py).",
+    "vs exact L2 (tests/test_selection.py)."
+    "Rows-only verdict (r12): NOT convertible — per-subspace "
+    "codebooks are seeded-k-means artifacts (same class as "
+    "similarity_ivf_kmeans). Ground truth: shortlist-recall + exact- "
+    "re-rank properties.",
 )
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failed-encoder rows out (EMB_DIM policy): a truncated vector
