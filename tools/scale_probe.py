@@ -788,6 +788,115 @@ def codecs_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def codec_volume_probe(spark) -> list[dict]:
+    """Payload-VOLUME scaling for the audio decode path (VERDICT r11
+    #5): codecs_probe above scales document COUNT at fixed bytes/doc;
+    this scales BYTES PER DOCUMENT 1x -> 10x at fixed count, because
+    decode cost is bytes-proportional CPU — the same class that grew
+    8.2x at 30x in the dedup_hash probe. Reports rows/sec/core and
+    MB/sec/core for the decode stage alone (synth cost measured
+    separately and subtracted), which is what partition sizing needs:
+    a partition of B MB of compressed audio takes B / (MB/s/core)
+    seconds on one core, so the maxPartitionBytes / repartition choice
+    follows directly. Results pinned in SCALING.md §codec-volume."""
+    import pandas as pd
+
+    from ethiopia_legal_etl_spark.functions.g711 import (
+        decode_compressed_wav,
+        ima_encode_block,
+        write_ima_wav,
+        write_mulaw_wav,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_docs = docs.count()
+    cores = spark.sparkContext.defaultParallelism
+    out = []
+    # 1x sits in the per-task-overhead regime (decode wall ~= Arrow +
+    # scheduling floor); 10x/50x reach the bytes-proportional regime
+    # the partition-sizing guidance is derived from
+    for vol in (1, 10, 50):
+        def synth(batches, vol=vol):
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                mu, ima = [], []
+                for i in ids:
+                    enc = bytes(
+                        (i * 13 + j * 7) % 256
+                        for j in range(vol * (50 + i % 40))
+                    )
+                    mu.append(write_mulaw_wav(enc, 8000 * (1 + i % 2)))
+                    c, spb = i % 100 - 50, 1 + (64 - 4) * 2
+                    blocks = [
+                        ima_encode_block([c] * spb, 64)
+                        for _ in range(vol * (1 + i % 3))
+                    ]
+                    ima.append(write_ima_wav(blocks, 8000, 64))
+                yield pd.DataFrame(
+                    {"doc_id": ids, "mu": mu, "ima": ima}
+                )
+
+        media = docs.mapInPandas(
+            synth, schema="doc_id long, mu binary, ima binary"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id, mu, ima in zip(
+                    pdf["doc_id"], pdf["mu"], pdf["ima"]
+                ):
+                    m = decode_compressed_wav(bytes(mu))
+                    a = decode_compressed_wav(bytes(ima))
+                    rows.append(
+                        (doc_id, sum(m["samples"]), sum(a["samples"]))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "mu_sum", "ima_sum"]
+                )
+
+        decoded = media.mapInPandas(
+            decode, schema="doc_id long, mu_sum long, ima_sum long"
+        )
+        payload_mb = (
+            media.select(
+                (F.length("mu") + F.length("ima")).alias("b")
+            ).agg(F.sum("b")).collect()[0][0] / 1e6
+        )
+        # synth-only floor: same pipeline minus the decode stage.
+        # 4 runs, median of last 3 (bench.py methodology): the first
+        # Python-stage run of a session pays daemon spawn + module
+        # import across all workers, and a single warm run does not
+        # reliably absorb it (observed: a 6.5 s vol=1 reading vs
+        # 1.6 s at vol=10 before this was median-ized).
+        def med(df) -> float:
+            runs = [timed(lambda: run_noop(df)) for _ in range(4)]
+            steady = sorted(runs[1:])
+            return steady[len(steady) // 2]
+
+        synth_sec = med(media)
+        full_sec = med(decoded)
+        dec_sec = max(full_sec - synth_sec, 1e-3)
+        out.append(
+            {
+                "exp": "codec_volume",
+                "volume": vol,
+                "docs": n_docs,
+                "payload_mb": round(payload_mb, 1),
+                "synth_sec": synth_sec,
+                "full_sec": full_sec,
+                "decode_sec": dec_sec,
+                "rows_per_sec_core": round(n_docs / dec_sec / cores, 1),
+                "mb_per_sec_core": round(payload_mb / dec_sec / cores, 3),
+            }
+        )
+    return out
+
+
 def ingest_probe(spark) -> list[dict]:
     """End-to-end ingest throughput: the reference's architecture (one
     serial per-record Python loop, fetch_legal_docs.py:32-96) vs the
@@ -1389,6 +1498,8 @@ def main() -> None:
                     help="contamination + chunk-boilerplate guard scaling to 30x docs (~3 min)")
     ap.add_argument("--codecs", action="store_true",
                     help="compressed-codec decode scaling (JPEG/audio/AVI/PNG) to 30x docs (~3 min)")
+    ap.add_argument("--codec-volume", action="store_true",
+                    help="audio decode bytes-per-doc scaling 1x->10x; rows/sec/core + MB/sec/core for partition sizing (~2 min)")
     ap.add_argument("--corpusops", action="store_true",
                     help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
     ap.add_argument("--selection", action="store_true",
@@ -1449,6 +1560,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.codecs:
             for r in codecs_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.codec_volume:
+            for r in codec_volume_probe(spark):
                 print(json.dumps(r))
         if args.corpusops:
             for r in corpusops_probe(spark, scratch):
