@@ -330,6 +330,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_transition_matrix",
     "contamination_ngram_overlap",
     "corpus_stratified_sample",
+    # r13 rotation candidates — every name below verified against the
+    # registry at r12 close (130 oracle-checked entries have never
+    # been driver-sampled after this round's window). The two r12
+    # rows-only→oracle conversions lead (VERDICT r11 #3: conversions
+    # lead the next shortlist), then strong never-sampled class
+    # representatives: approx_percentile_price,
+    # source_roundtrip_formats, multimodal_decode_jpeg (the
+    # value-exact JPEG decode oracle), robots_crawl_gate (RFC 9309),
+    # url_canonical_dedup (RFC 3986), timeseries_gapfill_locf
+    # (headline bench entry, never driver-audited),
+    # q9_product_profit, funnel_signup_purchase_7d,
+    # retention_cohort_weekly, stream_sliding_window,
+    # privacy_k_anonymity, hypertable_rollup.
 )
 
 
