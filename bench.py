@@ -395,7 +395,8 @@ def main_ab(ref_dir: str) -> None:
             out = w.stdout.readline().split()
         except (OSError, BrokenPipeError, ValueError):
             return None
-        return float(out[1]) if out and out[0] == "T" else None
+        # a worker dying mid-write can emit a bare "T" with no number
+        return float(out[1]) if len(out) >= 2 and out[0] == "T" else None
 
     result: dict[str, dict] = {}
     steals: list[float] = []

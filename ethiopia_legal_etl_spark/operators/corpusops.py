@@ -713,7 +713,7 @@ register(
     "regardless of merge count (job-count pinned in tests); the r4 "
     "design's 2-jobs-per-merge chain is gone. Deterministic "
     "tie-break: count desc, then lexicographic pair."
-    "Rows-only verdict (r12): NOT convertible — each merge round's "
+    " Rows-only verdict (r12): NOT convertible — each merge round's "
     "argmax pair depends on all prior merges (data-dependent "
     "iterative chain); a recursive-CTE oracle would re-implement the "
     "trainer, not independently check it. Ground truth: pure-Python "
@@ -1052,7 +1052,7 @@ register(
     "Broadcast (ranks, vocab) + one Arrow-vectorized pandas UDF with "
     "a distinct-word cache; shuffle-free map-only plan. Unknown "
     "symbols -> -1 (byte-fallback tier placeholder)."
-    "Rows-only verdict (r12): NOT convertible — encoding applies the "
+    " Rows-only verdict (r12): NOT convertible — encoding applies the "
     "TRAINED merge table lowest-rank-first with unbounded passes per "
     "word, and the table itself is the non-SQL-expressible training "
     "artifact. Ground truth: pure-Python sequential-merge encode on "
@@ -1075,7 +1075,7 @@ register(
     "map-only, no-codegen-blowup shape a 32k-merge vocab needs "
     "(VERDICT r4 #1). Reports per-doc token count under the trained "
     "tokenizer vs the untrained character baseline."
-    "Rows-only verdict (r12): NOT convertible — same trained-merge "
+    " Rows-only verdict (r12): NOT convertible — same trained-merge "
     "dependency and per-word merge loop as bpe_encode_ids. Ground "
     "truth: pure-Python encode differential at 4 merges (regex path) "
     "AND 256 merges (broadcast path).",
@@ -1219,7 +1219,7 @@ register(
     "slot-sorted reassembly, so nothing larger than one pack ever "
     "materializes. 2 shuffles; deterministic (doc_id order) so two "
     "runs produce byte-identical packs."
-    "Rows-only verdict (r12): NOT convertible as composed — inputs "
+    " Rows-only verdict (r12): NOT convertible as composed — inputs "
     "are bpe_encode_ids token arrays (trained-artifact dependency); "
     "the packing ALGEBRA itself IS oracle-checked via "
     "pack_sequences_offsets (whitespace-token twin, driver-green "

@@ -134,7 +134,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "silently wrong values, which this registry's value-exact "
     "discipline exists to prevent. Frames carrying spectral data "
     "reject with a ValueError naming the table."
-    "Rows-only verdict (r12): NOT convertible — the entry's content "
+    " Rows-only verdict (r12): NOT convertible — the entry's content "
     "is the Arrow batch plumbing around a DOCUMENTED stub tier (MP3 "
     "spectral/H.264); the ten real codecs beside it carry value-exact "
     "oracles. Ground truth: plumbing unit tests + truncation-totality "

@@ -569,7 +569,7 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct_customers",
     oracle=None,  # HLL sketch: estimate is engine-specific -> rows-only
     doc="approx_count_distinct (HyperLogLog) per group — the 100 TB path "
-    "where exact distinct would shuffle every key"
+    "where exact distinct would shuffle every key. "
     "Rows-only verdict (r12): NOT convertible — Spark's HLL++ "
     "register layout and bias correction are implementation-specific; "
     "DuckDB's approx_count_distinct is a different HLL, so estimates "

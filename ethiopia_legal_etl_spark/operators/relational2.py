@@ -514,7 +514,7 @@ def sql_udf_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_lineitem_fraction",
     oracle=None,
     doc="seeded Bernoulli sample (TABLESAMPLE analog); row membership "
-    "is engine-specific, size/bounds property-tested"
+    "is engine-specific, size/bounds property-tested. "
     "Rows-only verdict (r12): NOT convertible — membership comes from "
     "Spark's per-partition XORShiftRandom stream, not a re-derivable "
     "hash; deterministic-hash sampling IS oracle-checked via "

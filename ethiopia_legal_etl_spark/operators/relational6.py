@@ -186,7 +186,7 @@ def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date-range distinct-count is a sketch merge, never a re-scan of "
     "raw events. Property-tested against the exact distinct count "
     "(tests/test_relational2.py shape: bounded relative error)."
-    "Rows-only verdict (r12): NOT convertible — DataSketches HLL "
+    " Rows-only verdict (r12): NOT convertible — DataSketches HLL "
     "binary images and union are engine-specific. Ground truth: "
     "bounded relative error vs exact distinct counts (property test).",
 )

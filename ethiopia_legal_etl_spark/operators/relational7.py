@@ -213,7 +213,7 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed input layout), then counts per stratum. The train/eval-split "
     "and class-rebalancing primitive; property test bounds each "
     "stratum's count by binomial tails (tests/test_relational7.py)."
-    "Rows-only verdict (r12): NOT convertible — sampleBy membership "
+    " Rows-only verdict (r12): NOT convertible — sampleBy membership "
     "rides the same engine RNG stream as sample_lineitem_fraction. "
     "Ground truth: per-stratum binomial-tail bounds "
     "(tests/test_relational7.py).",
@@ -239,7 +239,7 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "associatively, so 100 TB of events reduces to kilobytes before "
     "any frequency question is asked. CMS guarantees est >= true and "
     "est <= true + eps*N w.p. conf (property-tested)."
-    "Rows-only verdict (r12): NOT convertible — "
+    " Rows-only verdict (r12): NOT convertible — "
     "org.apache.spark.util.sketch.CountMinSketch's hash family is "
     "JVM-internal, so collision noise is engine-specific; the Misra- "
     "Gries twin heavy_hitters_mg IS oracle-checked. Ground truth: CMS "
@@ -313,7 +313,7 @@ def _heavy_hitters_cms(
     "prunes BOTH (~6-8/16). At 100 TB this is the difference between "
     "a two-dimension filter reading ~6% of files and reading all of "
     "them when the predicate misses the sort column."
-    "Rows-only verdict (r12): NOT convertible — the entry reads "
+    " Rows-only verdict (r12): NOT convertible — the entry reads "
     "parquet footer min/max of files written to a scratch dir; oracle "
     "views are the pre-registered testdata tables only and DuckDB "
     "never sees the scratch layouts. Ground truth: layout-ordering "

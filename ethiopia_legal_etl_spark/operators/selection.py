@@ -539,7 +539,7 @@ def pq_adc_scores(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
     "re-rank join fetches 50 raw vectors per query. "
     "Differential-tested against a NumPy PQ model and a recall floor "
     "vs exact L2 (tests/test_selection.py)."
-    "Rows-only verdict (r12): NOT convertible — per-subspace "
+    " Rows-only verdict (r12): NOT convertible — per-subspace "
     "codebooks are seeded-k-means artifacts (same class as "
     "similarity_ivf_kmeans). Ground truth: shortlist-recall + exact- "
     "re-rank properties.",

@@ -403,7 +403,7 @@ def near_dup_cosine_pairs(
     doc="BucketedRandomProjectionLSH ANN: bucketed candidates then exact "
     "cosine re-rank — the scale path (equi-join on bucket keys only). "
     "Recall vs brute force asserted in property tests."
-    "Rows-only verdict (r12): NOT convertible — hyperplane draws come "
+    " Rows-only verdict (r12): NOT convertible — hyperplane draws come "
     "from Spark ML's seeded RNG (engine-specific bucket ids). Ground "
     "truth: recall-vs-brute-force property gates.",
 )
@@ -464,7 +464,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest centroids; exact cosine re-rank within probed cells. "
     "At 100 TB: centroids train on a sample, the corpus is written "
     "partitioned by cell id, probing prunes partitions at the scan."
-    "Rows-only verdict (r12): NOT convertible — learned centroids "
+    " Rows-only verdict (r12): NOT convertible — learned centroids "
     "depend on pyspark.ml KMeans init/iteration internals; the label- "
     "partitioned twin similarity_ivf_by_label IS oracle-checked "
     "(driver-green r11). Ground truth: recall property gates.",
@@ -820,7 +820,7 @@ _CAL_SAMPLE = 2000  # tuned-LSH calibration sample target (vectors);
     "(~10k vectors -> ~50M sample pairs, one exact percentile), the "
     "calibration is one tiny job, and the join itself stays a "
     "bucket-key equi-join."
-    "Rows-only verdict (r12): NOT convertible — same ML-RNG bucket "
+    " Rows-only verdict (r12): NOT convertible — same ML-RNG bucket "
     "dependency as similarity_lsh_buckets, plus a measured-quantile "
     "radius. Ground truth: recall + candidate-fraction gates "
     "(tests/test_dedup_similarity.py).",

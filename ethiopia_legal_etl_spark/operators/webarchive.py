@@ -773,7 +773,7 @@ def bloom_probe_frontier(
     "n_false_negatives is structurally 0 (a Bloom filter never "
     "forgets), false positives are counted against the exact "
     "anti-join truth the filter replaces at scale."
-    "Rows-only verdict (r12): NOT convertible — DuckDB has no XXH64 "
+    " Rows-only verdict (r12): NOT convertible — DuckDB has no XXH64 "
     "and re-deriving k=5 xxhash64 positions over variable-length URLs "
     "would need a per-byte recursive loop (unlike SimHash's FNV fold "
     "over a bounded token list); swapping the production hash to "
