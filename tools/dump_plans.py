@@ -126,6 +126,14 @@ SHOWCASE = [
     "stats_chi2_independence",
     "experiment_welch_effect",
     "attribution_linear_credit",
+    # r12: newly driver-windowed entries not already above, so the
+    # in-window plan audit has evidence for every fresh entry
+    "experiment_proportion_ztest",
+    "anomaly_rolling_zscore",
+    "gini_revenue_concentration",
+    "aqp_stratified_revenue",
+    "dedup_semantic_keep",
+    "corpus_stratified_sample",
 ]
 
 JOIN_NODES = (
