@@ -339,9 +339,11 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empirically vs DuckDB percentile_disc at sf0.001/0.01/0.1 —
     # identical in every group) and the oracle checks the end-to-end
     # value. At 100 TB n_group >> accuracy and the SAME code path
-    # degrades gracefully to a bounded-memory (O(accuracy)-samples,
-    # ~8 MB/group ceiling) approximate answer — the sketch story is
-    # the accuracy knob, not a different operator.
+    # degrades gracefully to a bounded-memory (O(accuracy) retained
+    # samples; ~tens of MB/group at 1e6 counting per-sample g/Δ
+    # stats — set accuracy back down for many-group aggregations)
+    # approximate answer — the sketch story is the accuracy knob,
+    # not a different operator.
     oracle="""
     SELECT o_orderstatus,
            percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
