@@ -328,12 +328,29 @@ for line in sys.stdin:
 '''
 
 
-def main_ab(ref_dir: str) -> None:
+def main_ab(ref_dir: str, only: list[str] | None = None) -> None:
     """Interleaved A/B: this tree vs a pinned prior tree, one
     persistent worker subprocess (and SparkSession/JVM) per tree,
     alternating cur/ref runs per query so host drift hits both sides
     equally. The r10 dispute (a +27% 'regression' that was 90% host)
-    needed a judge-side manual worktree A/B; this automates it."""
+    needed a judge-side manual worktree A/B; this automates it.
+
+    `only` (CLI: --only name1,name2) restricts to a subset — re-checking
+    ONE anomalous entry shouldn't cost the full ~15-minute sweep (the
+    r12 audio-entry artifact chase motivated this). The headline-ratio
+    summary value is then computed over the subset's headline members
+    and labeled ab_subset_ratio so a partial ratio can't be read as
+    the frozen headline number."""
+    # validate the subset BEFORE spawning workers — a SystemExit after
+    # spawn orphans two JVMs and leaks the worker tempfile (caught by
+    # driving the error path during the r12 --only smoke test)
+    all_names = HEADLINE + SECONDARY
+    if only:
+        unknown = [n for n in only if n not in all_names]
+        if unknown:
+            raise SystemExit(f"--only names not benched: {unknown}")
+        all_names = [n for n in all_names if n in set(only)]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ref_dir = str(Path(ref_dir).resolve())
     with tempfile.NamedTemporaryFile(
@@ -401,7 +418,7 @@ def main_ab(ref_dir: str) -> None:
     result: dict[str, dict] = {}
     steals: list[float] = []
     try:
-        for name in HEADLINE + SECONDARY:
+        for name in all_names:
             build = name in SECONDARY
             runs: dict[str, list[float]] = {"cur": [], "ref": []}
             # which side returned None, so a cur-side failure isn't
@@ -453,12 +470,14 @@ def main_ab(ref_dir: str) -> None:
     print(
         json.dumps(
             {
-                "metric": "ab_headline_ratio",
+                "metric": "ab_subset_ratio" if only else "ab_headline_ratio",
+                # null (not 0.0) when no headline member produced a
+                # ratio — e.g. --only over secondary entries
                 "value": round(
                     sum(result[n]["cur"] for n in ok_names)
                     / max(sum(result[n]["ref"] for n in ok_names), 1e-9),
                     3,
-                ),
+                ) if ok_names else None,
                 "unit": "cur/ref",
                 "ref_dir": ref_dir,
                 "sf": sf_dir,
@@ -473,6 +492,12 @@ def main_ab(ref_dir: str) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--ab":
-        main_ab(sys.argv[2])
+        only: list[str] | None = None
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--only":
+            if len(rest) < 2:
+                raise SystemExit("--only needs a comma-separated list")
+            only = [n for n in rest[1].split(",") if n]
+        main_ab(sys.argv[2], only=only)
     else:
         main()

@@ -67,6 +67,26 @@ def test_summary_line_is_full_form_and_parses():
     assert "steal_pct_runs" not in parsed
 
 
+def test_ab_only_rejects_unknown_names_before_spawning():
+    """--only validation must run BEFORE the worker JVMs spawn: a
+    SystemExit after spawn orphans two SparkSessions and leaks the
+    worker tempfile (observed when driving the error path in r12).
+    An unknown name must exit fast — JVM startup takes >5 s, so the
+    3 s wall bound also proves nothing was spawned."""
+    import subprocess
+    import time
+
+    t0 = time.monotonic()
+    p = subprocess.run(
+        [sys.executable, str(Path(bench.__file__)), "--ab", "/nope",
+         "--only", "definitely_not_a_query"],
+        capture_output=True, text=True, timeout=30,
+    )
+    assert p.returncode != 0
+    assert "not benched" in (p.stderr + p.stdout)
+    assert time.monotonic() - t0 < 3.0
+
+
 def test_fallback_core_always_fits():
     # if a future field pushes the full form over budget anyway, the
     # runtime fallback must itself be far under the tail limit
