@@ -708,11 +708,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decode mapInPandas; IMA blocks "
     "are self-contained (header restates predictor), so a 100 TB "
     "audio corpus decodes block-parallel with no cross-block state. "
-    "Partition sizing (r12 --codec-volume probe): decode runs at "
-    "~1.8 MB/s/core of compressed payload with a ~0.4 s per-stage "
-    "floor, so target 16-32 MB of payload per partition (10-30 s "
-    "tasks) via maxPartitionBytes or the post-scan repartition count "
-    "- see SCALING.md codec-volume section.",
+    "Partition sizing (r12 --codec-volume probe, 3 runs): decode "
+    "runs at ~1-2 MB/s/core of compressed payload with a ~0.3-0.5 s "
+    "per-stage floor, so target 16-32 MB of payload per partition "
+    "(10-35 s tasks) via maxPartitionBytes or the post-scan "
+    "repartition count - see SCALING.md codec-volume section.",
 )
 def multimodal_decode_audio_compressed(
     spark: SparkSession, sf_dir: str

@@ -894,6 +894,72 @@ def codec_volume_probe(spark) -> list[dict]:
                 "mb_per_sec_core": round(payload_mb / dec_sec / cores, 3),
             }
         )
+
+    # Same experiment for the heaviest Python-stage decoder: MPEG-1
+    # Layer I (parse_layer1 walks a self-delimiting frame stream, so
+    # volume = frames per doc). 1000-doc subset: the full 5000-doc
+    # entry runs ~10 s and 16 measured runs would dominate the probe;
+    # per-byte throughput is doc-count-independent (map-only stage).
+    from ethiopia_legal_etl_spark.functions.mpeg1 import parse_layer1
+    from ethiopia_legal_etl_spark.operators.multimodal import synth_l1_frame
+
+    mdocs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < 1000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    m_n = mdocs.count()
+    for vol in (1, 4):
+        def msynth(batches, vol=vol):
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                frames = [
+                    b"".join(
+                        synth_l1_frame(i + j * 7919) for j in range(vol)
+                    )
+                    for i in ids
+                ]
+                yield pd.DataFrame({"doc_id": ids, "frame": frames})
+
+        mmedia = mdocs.mapInPandas(
+            msynth, schema="doc_id long, frame binary"
+        )
+
+        def mdecode(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
+                    tot = 0
+                    for f in parse_layer1(bytes(frame)):
+                        for s in f["subbands"]:
+                            tot += sum(s["codes"])
+                    rows.append((doc_id, tot))
+                yield pd.DataFrame(rows, columns=["doc_id", "code_sum"])
+
+        mdecoded = mmedia.mapInPandas(
+            mdecode, schema="doc_id long, code_sum long"
+        )
+        m_mb = (
+            mmedia.select(F.length("frame").alias("b"))
+            .agg(F.sum("b")).collect()[0][0] / 1e6
+        )
+        synth_sec = med(mmedia)
+        full_sec = med(mdecoded)
+        dec_sec = max(full_sec - synth_sec, 1e-3)
+        out.append(
+            {
+                "exp": "codec_volume_mpeg1",
+                "volume": vol,
+                "docs": m_n,
+                "payload_mb": round(m_mb, 1),
+                "synth_sec": synth_sec,
+                "full_sec": full_sec,
+                "decode_sec": dec_sec,
+                "rows_per_sec_core": round(m_n / dec_sec / cores, 1),
+                "mb_per_sec_core": round(m_mb / dec_sec / cores, 3),
+            }
+        )
     return out
 
 
