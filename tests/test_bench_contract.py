@@ -67,6 +67,37 @@ def test_summary_line_is_full_form_and_parses():
     assert "steal_pct_runs" not in parsed
 
 
+def test_bench_names_exist_in_registry():
+    """Every name bench.py times must resolve in the registry: a
+    rename/removal that misses bench.py would otherwise surface as a
+    KeyError in the DRIVER's bench run (a lost BENCH_r{N} headline),
+    not in any test. Same gate for scale_probe's codec entry list."""
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE + bench.SECONDARY if n not in qs]
+    assert not missing, f"bench.py names not in registry: {missing}"
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", Path(bench.__file__).parent / "tools/scale_probe.py"
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+    src = Path(sp.__file__).read_text()
+    # codecs_probe resolves registry names at probe time — check its
+    # literal list statically (the entries live in one list literal)
+    import re
+
+    block = re.search(
+        r"entries = \[(.*?)\]", src, re.S
+    ).group(1)
+    names = re.findall(r'"([a-z0-9_]+)"', block)
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"scale_probe codec entries not in registry: {missing}"
+
+
 def test_ab_only_rejects_unknown_names_before_spawning():
     """--only validation must run BEFORE the worker JVMs spawn: a
     SystemExit after spawn orphans two SparkSessions and leaks the
