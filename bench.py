@@ -189,15 +189,12 @@ def main() -> None:
             {
                 "detail_runs": all_runs,
                 "spread": spreads,
+                # full per-query per-run steal vectors — this IS the
+                # r11 "steal_pct_runs" attribution, relocated out of
+                # the summary line; the >0.5%-filtered duplicate that
+                # briefly sat beside it was dropped (ADVICE r12 #4)
                 "steal_pct": run_steal,
                 "load1": run_load1,
-                # queries that saw steal >0.5% in any run, with their
-                # vectors — the r11 "steal_pct_runs" attribution,
-                # relocated out of the summary line
-                "steal_pct_runs": {
-                    n: v for n, v in run_steal.items()
-                    if any(s > 0.5 for s in v)
-                },
             }
         )
     )
@@ -412,8 +409,16 @@ def main_ab(ref_dir: str, only: list[str] | None = None) -> None:
             out = w.stdout.readline().split()
         except (OSError, BrokenPipeError, ValueError):
             return None
-        # a worker dying mid-write can emit a bare "T" with no number
-        return float(out[1]) if len(out) >= 2 and out[0] == "T" else None
+        # a worker dying mid-write can emit a bare "T" with no number,
+        # or a garbled token ("T 1.2x" from an interleaved/partial
+        # write) — parse inside the guard so malformed output is a
+        # per-side failure, not an A/B-aborting ValueError (ADVICE r12)
+        if len(out) >= 2 and out[0] == "T":
+            try:
+                return float(out[1])
+            except ValueError:
+                return None
+        return None
 
     result: dict[str, dict] = {}
     steals: list[float] = []

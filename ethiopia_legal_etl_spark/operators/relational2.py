@@ -353,7 +353,13 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_percentile — the 100 TB path (bounded-memory sketch "
     "instead of a full sort). Oracle-checked since r12: exact at "
     "n_group <= ~accuracy/2 (all test SFs), approximate beyond — see "
-    "the register() comment for the convertibility argument",
+    "the register() comment for the convertibility argument. Margin "
+    "(VERDICT r12 #3): max per-group count at sf0.1 is 50,189 orders "
+    "('P'), ~10x under the accuracy/2 = 500,000 exactness bound; the "
+    "bound is crossed near sf~0.7 (orders/3 groups), so an SF bump "
+    "past that would hash-mismatch — "
+    "tests/test_percentile_margin.py fails loudly with the reason "
+    "before the driver ever sees an opaque mismatch",
 )
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

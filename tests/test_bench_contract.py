@@ -85,15 +85,12 @@ def test_bench_names_exist_in_registry():
     )
     sp = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(sp)
-    src = Path(sp.__file__).read_text()
-    # codecs_probe resolves registry names at probe time — check its
-    # literal list statically (the entries live in one list literal)
-    import re
-
-    block = re.search(
-        r"entries = \[(.*?)\]", src, re.S
-    ).group(1)
-    names = re.findall(r'"([a-z0-9_]+)"', block)
+    # codecs_probe consumes the module-level CODEC_PROBE_ENTRIES
+    # constant — import it directly instead of regex-scraping the
+    # source, which matched only the FIRST `entries = [` literal and
+    # could silently gate the wrong list (ADVICE r12 #3)
+    names = list(sp.CODEC_PROBE_ENTRIES)
+    assert len(names) >= 10  # the list moved? gate must not go vacuous
     missing = [n for n in names if n not in qs]
     assert not missing, f"scale_probe codec entries not in registry: {missing}"
 

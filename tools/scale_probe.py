@@ -735,6 +735,24 @@ def corpusops_probe(spark, scratch: str) -> list[dict]:
 
 
 
+# Module-level so tests/test_bench_contract.py can import the exact
+# list instead of regex-scraping the source (ADVICE r12 #3: the old
+# `entries = \[` regex matched the FIRST such literal in the file and
+# would silently gate the wrong list if another was added above it).
+CODEC_PROBE_ENTRIES = (
+    "multimodal_decode_jpeg",
+    "multimodal_decode_audio_compressed",
+    "multimodal_video_frame_sample",
+    "multimodal_decode_png",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_decode_mpeg1",
+    "warc_ingest_extract",
+    "warc_to_text_pipeline",
+    "html_main_text",
+)
+
+
 def codecs_probe(spark, scratch: str) -> list[dict]:
     """Real-codec decode scaling: the four compressed-codec registry
     entries (JPEG, mu-law+IMA audio, MJPEG-AVI frame sampling, PNG)
@@ -750,18 +768,7 @@ def codecs_probe(spark, scratch: str) -> list[dict]:
     qs = all_queries()
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base_n = base.count()
-    entries = [
-        "multimodal_decode_jpeg",
-        "multimodal_decode_audio_compressed",
-        "multimodal_video_frame_sample",
-        "multimodal_decode_png",
-        "multimodal_image_resize",
-        "multimodal_audio_features",
-        "multimodal_decode_mpeg1",
-        "warc_ingest_extract",
-        "warc_to_text_pipeline",
-        "html_main_text",
-    ]
+    entries = list(CODEC_PROBE_ENTRIES)
     out = []
     for factor in (1, 10, 30):
         if factor == 1:
@@ -791,7 +798,8 @@ def codecs_probe(spark, scratch: str) -> list[dict]:
 def codec_volume_probe(spark) -> list[dict]:
     """Payload-VOLUME scaling for the audio decode path (VERDICT r11
     #5): codecs_probe above scales document COUNT at fixed bytes/doc;
-    this scales BYTES PER DOCUMENT 1x -> 10x at fixed count, because
+    this scales BYTES PER DOCUMENT at fixed count — volume points
+    (1, 10, 50) for the audio pair and (1, 4) for MPEG-1 — because
     decode cost is bytes-proportional CPU — the same class that grew
     8.2x at 30x in the dedup_hash probe. Reports rows/sec/core and
     MB/sec/core for the decode stage alone (synth cost measured
@@ -1565,7 +1573,7 @@ def main() -> None:
     ap.add_argument("--codecs", action="store_true",
                     help="compressed-codec decode scaling (JPEG/audio/AVI/PNG) to 30x docs (~3 min)")
     ap.add_argument("--codec-volume", action="store_true",
-                    help="audio decode bytes-per-doc scaling 1x->10x; rows/sec/core + MB/sec/core for partition sizing (~2 min)")
+                    help="decode bytes-per-doc scaling (audio 1x/10x/50x, MPEG-1 1x/4x); rows/sec/core + MB/sec/core for partition sizing (~2 min)")
     ap.add_argument("--corpusops", action="store_true",
                     help="paragraph-dedup scaling, distinct vs duplicate-heavy corpora to 30x (~3 min)")
     ap.add_argument("--selection", action="store_true",
