@@ -275,18 +275,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stringified for the driver canonicalizer (scalar-cells-only) and
     # similarity_ivf_by_label's ranks canonicalized at 6dp (ADVICE
     # r9) before entering the window; both re-verified at sf0.01.
-    "dedup_minhash_lsh",
-    "dedup_simhash_band",
-    "dedup_cluster_components",
-    "similarity_ivf_by_label",
-    "multimodal_fake_embed",
-    "retrieval_bm25_topk",
-    "winnowing_fingerprints",
-    "graph_triangle_count",
-    "lm_kneser_ney_bigrams",
-    "text_pii_scrub",
-    "scd2_merge_emulation",
-    "changepoint_cusum_events",
+    # r13 rotation (VERDICT r12 #1, 12 out / 12 in; all rotated-out
+    # names stay oracle-gated by tests/test_full_registry_gate.py on
+    # every pytest run). OUT: the entire r10 batch, each driver-green
+    # three consecutive rounds (r10-r12) with its §2 class keeping an
+    # in-window representative — dedup_minhash_lsh, dedup_simhash_band,
+    # dedup_cluster_components (near-dup keeps dedup_semantic_keep +
+    # contamination_ngram_overlap, and url_canonical_dedup comes IN),
+    # similarity_ivf_by_label (similarity keeps embedding_mutual_nn),
+    # multimodal_fake_embed (multimodal keeps audio_compressed and
+    # multimodal_decode_jpeg comes IN), retrieval_bm25_topk +
+    # winnowing_fingerprints + lm_kneser_ney_bigrams + text_pii_scrub
+    # (text keeps corpus_quality_curation + contamination overlap +
+    # corpus_stratified_sample, and privacy_k_anonymity covers the
+    # privacy class IN), graph_triangle_count (graph keeps
+    # graph_kcore_hosts), scd2_merge_emulation (merge/ETL keeps
+    # incremental_skip_docs + snapshot_diff_reconcile),
+    # changepoint_cusum_events (anomaly keeps anomaly_rolling_zscore).
+    # IN: the registry's published r13 candidate list verbatim — see
+    # the end of the window; all 12 replica-verified at sf0.01 at r13
+    # open (12/12, 0 raw-repr warnings) and the two r12 conversions
+    # additionally re-verified at sf0.1 (VERDICT r12 #3).
     # r11 rotation IN (VERDICT r10 #3): the registry's published r11
     # candidate list verbatim — the remaining never-driver-sampled
     # oracle-checked entries from the r8 batch plus the strongest
@@ -330,19 +339,46 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_transition_matrix",
     "contamination_ngram_overlap",
     "corpus_stratified_sample",
-    # r13 rotation candidates — every name below verified against the
-    # registry at r12 close (130 oracle-checked entries have never
-    # been driver-sampled after this round's window). The two r12
-    # rows-only→oracle conversions lead (VERDICT r11 #3: conversions
-    # lead the next shortlist), then strong never-sampled class
-    # representatives: approx_percentile_price,
-    # source_roundtrip_formats, multimodal_decode_jpeg (the
-    # value-exact JPEG decode oracle), robots_crawl_gate (RFC 9309),
-    # url_canonical_dedup (RFC 3986), timeseries_gapfill_locf
-    # (headline bench entry, never driver-audited),
-    # q9_product_profit, funnel_signup_purchase_7d,
-    # retention_cohort_weekly, stream_sliding_window,
-    # privacy_k_anonymity, hypertable_rollup.
+    # r13 rotation IN (VERDICT r12 #1): the registry's published r13
+    # candidate list verbatim — the two r12 rows-only→oracle
+    # conversions lead (approx_percentile_price additionally margin-
+    # gated by tests/test_percentile_margin.py, re-verified at sf0.1;
+    # source_roundtrip_formats re-verified at sf0.1), then strong
+    # never-sampled class representatives: the value-exact JPEG decode
+    # oracle, RFC 9309 robots gate, RFC 3986 URL canonicalization
+    # dedup, LOCF gap-fill (headline bench entry, first driver audit),
+    # TPC-H Q9 profit, 7-day conversion funnel, weekly retention
+    # cohorts, the sliding-window stream twin, k-anonymity, and the
+    # hypertable rollup.
+    "approx_percentile_price",
+    "source_roundtrip_formats",
+    "multimodal_decode_jpeg",
+    "robots_crawl_gate",
+    "url_canonical_dedup",
+    "timeseries_gapfill_locf",
+    "q9_product_profit",
+    "funnel_signup_purchase_7d",
+    "retention_cohort_weekly",
+    "stream_sliding_window",
+    "privacy_k_anonymity",
+    "hypertable_rollup",
+    # r14 rotation candidates — every name below verified against the
+    # registry at r13 close (118 oracle-checked entries have never
+    # been driver-sampled after this round's window). Strong
+    # never-sampled class representatives, led by the worst r12 A/B
+    # reading and the scale-path operators the window has never
+    # audited: q10_returned_revenue (headline bench entry, 1.169x in
+    # AB_r12 on untouched code — deserves the external signal),
+    # q7_nation_volume (6-table join), skew_salted_aggregate (the
+    # explicit salting path), bloom_pruned_join (runtime bloom-filter
+    # pruning), window_ignore_nulls_last_purchase (IGNORE NULLS
+    # frames), html_main_text (boilerplate-stripping extraction),
+    # text_bpe_token_count (BPE token accounting),
+    # dedup_chunk_boilerplate (chunk-grain near-dup),
+    # embedding_int8_quantize (quantized similarity),
+    # dsir_importance_select (importance-weighted selection),
+    # stream_static_enrich (stream-static join twin),
+    # model_ece_calibration (calibration bins).
 )
 
 
