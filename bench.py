@@ -471,28 +471,42 @@ def main_ab(ref_dir: str, only: list[str] | None = None) -> None:
             os.unlink(worker_py)
         except OSError:
             pass
-    ok_names = [n for n in HEADLINE if "ratio" in result.get(n, {})]
     print(
         json.dumps(
-            {
-                "metric": "ab_subset_ratio" if only else "ab_headline_ratio",
-                # null (not 0.0) when no headline member produced a
-                # ratio — e.g. --only over secondary entries
-                "value": round(
-                    sum(result[n]["cur"] for n in ok_names)
-                    / max(sum(result[n]["ref"] for n in ok_names), 1e-9),
-                    3,
-                ) if ok_names else None,
-                "unit": "cur/ref",
-                "ref_dir": ref_dir,
-                "sf": sf_dir,
-                "queries": result,
-                "steal_pct_max": max(steals) if steals else 0.0,
-                "load_avg_start": [round(x, 2) for x in LOAD_START],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-            }
+            build_ab_summary(result, steals, ref_dir, sf_dir, only)
         )
     )
+
+
+def build_ab_summary(
+    result: dict[str, dict],
+    steals: list[float],
+    ref_dir: str,
+    sf_dir: str,
+    only: list[str] | None,
+) -> dict:
+    """The --ab stdout object — judge-consumed evidence (preserved as
+    AB_r{N}_vs_r{M}.json), so its shape is frozen by
+    tests/test_bench_contract.py (VERDICT r12 #4). Every per-query
+    value carries EITHER {cur, ref, ratio, runs_cur, runs_ref} or
+    {error} with per-side attribution; the headline 'value' is null
+    (never 0.0) when no headline member produced a ratio."""
+    ok_names = [n for n in HEADLINE if "ratio" in result.get(n, {})]
+    return {
+        "metric": "ab_subset_ratio" if only else "ab_headline_ratio",
+        "value": round(
+            sum(result[n]["cur"] for n in ok_names)
+            / max(sum(result[n]["ref"] for n in ok_names), 1e-9),
+            3,
+        ) if ok_names else None,
+        "unit": "cur/ref",
+        "ref_dir": ref_dir,
+        "sf": sf_dir,
+        "queries": result,
+        "steal_pct_max": max(steals) if steals else 0.0,
+        "load_avg_start": [round(x, 2) for x in LOAD_START],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+    }
 
 
 if __name__ == "__main__":
