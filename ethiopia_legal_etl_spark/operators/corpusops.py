@@ -97,13 +97,18 @@ def paragraph_dedup(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     `carry` names per-doc columns to thread through the regroup (rides
     the grouping key — functionally dependent on doc_id — instead of
     costing a second join against the input)."""
-    toks = F.split("text", " ")
+    # token array aliased BEFORE the per-block lambda (r13): an inline
+    # split referenced inside an interpreted HOF lambda re-splits the
+    # text per block — O(tokens^2/_BLK) per doc; as an attribute it is
+    # a row-field read and blocking is linear.
+    tok_docs = docs.select("doc_id", *carry, F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("bigint")
     blocks_arr = F.transform(
         F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
         lambda i: F.array_join(F.slice(toks, i * _BLK + 1, _BLK), " "),
     )
-    blocks = docs.select(
+    blocks = tok_docs.select(
         "doc_id",
         *carry,
         n_blocks.alias("total_blocks"),
@@ -191,7 +196,10 @@ def corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # aliased token array before the per-window lambda (r13; see
+    # paragraph_dedup — same interpreted-HOF re-split hazard)
+    tok_docs = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_win = F.when(n_tok <= _WIN, F.lit(1)).otherwise(
         (F.ceil((n_tok - _WIN) / F.lit(float(_STRIDE))) + 1).cast("int")
@@ -200,7 +208,7 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_win - 1),
         lambda i: F.slice(toks, i * _STRIDE + 1, _WIN),
     )
-    return docs.select(
+    return tok_docs.select(
         "doc_id",
         F.posexplode(wins_arr).alias("win_idx", "win_toks"),
     ).select(

@@ -830,11 +830,22 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     k = 8
+    # Materialize the token array under an ALIAS before the per-gram
+    # lambda: higher-order functions evaluate interpreted, so an
+    # expression referenced inside the lambda re-evaluates PER ELEMENT
+    # — with `F.split(text)` inline that made gram-gen O(tokens^2) per
+    # doc (the r13 --substr-volume probe read 14.5x wall for 4x bytes
+    # at 40x doc length; aliased, the lambda reads an attribute and
+    # the same point is ~linear, 3.4x faster already at 10x). The
+    # extra projection collapses into the scan stage; plan shape,
+    # shuffle count and results are unchanged.
+    tok_df = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).where(F.size("toks") >= k)
+    toks = F.col("toks")
     grams = (
-        docs.where(F.size(toks) >= k)
-        .select(
+        tok_df.select(
             "doc_id",
             # hash INSIDE the projection that owns the explode: the
             # string gram exists only within whole-stage codegen of

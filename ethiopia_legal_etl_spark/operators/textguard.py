@@ -204,9 +204,15 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # token array aliased before _ngrams (r13): its per-gram lambda
+    # would otherwise re-split the text per trigram (interpreted HOF,
+    # O(tokens^2) per doc); the doc_frequent_bigrams caller at
+    # :155 already passes an attribute.
     tg = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
-        F.explode(F.array_distinct(_ngrams(F.split("text", " "), 3))).alias(
+        F.explode(F.array_distinct(_ngrams(F.col("toks"), 3))).alias(
             "trigram"
         ),
     )
@@ -297,13 +303,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # aliased token array before the per-chunk lambda (r13; same
+    # interpreted-HOF re-split hazard as dedup_substring_fraction)
+    tok_docs = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
     )
-    ch = docs.select(
+    ch = tok_docs.select(
         "doc_id",
         F.explode(F.when(n_chunks >= 1, chunks).otherwise(F.array())).alias(
             "chunk"

@@ -708,7 +708,13 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, W = 3, 4
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # token array materialized under an alias BEFORE the k-gram lambda
+    # (r13): HOF lambdas evaluate interpreted, so an inline tokens()
+    # referenced inside the lambda re-tokenizes per gram — O(tokens^2)
+    # per doc. As an attribute it's a row-field read; the hs/pick pass
+    # below already used this shape.
+    tok_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     m = (n - F.lit(K - 1)).alias("m")
     grams = F.transform(
@@ -719,7 +725,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
     )
-    d = docs.where(n >= K).select(
+    d = tok_df.where(n >= K).select(
         "doc_id", m, hashes.alias("hs"), F.least(F.lit(W), m).alias("wlen")
     )
 

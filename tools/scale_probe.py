@@ -1297,6 +1297,105 @@ def textir_probe(spark, scratch: str) -> list[dict]:
 
 
 
+def substr_volume_probe(spark, scratch: str, volumes=(1, 10, 40)):
+    """Document-LENGTH scaling for the ExactSubstr accounting
+    (dedup_substring_fraction; VERDICT r12 #2) — the complement of
+    substr_skew_probe below (key distribution) and of the r8 doc-count
+    probes: here bytes PER DOCUMENT scale (1, 10, 50)x at fixed doc
+    count — volume points (1, 10, 40); 50x pushed the 4-runs-per-point
+    sweep past a 10-minute budget and 10x already sits in the linear
+    regime (9.1x wall for 10x bytes, first measurement), so 40x is the
+    plateau confirmation — because every stage of the pipeline is
+    grams-proportional (gram-gen codegen, the 8-byte-digest shuffle,
+    the count groupBy, the join back — ~(tokens-7) grams per doc).
+    NOTE the cost class:
+    unlike the codec probes this path has NO Python stage — the whole
+    pipeline is JVM codegen + two digest-keyed shuffles — so the
+    MB/s/core here prices codegen + shuffle, not pandas decode.
+
+    Synthesis keeps the work profile honest: repeat r of a doc's
+    token stream gets a per-repeat suffix (tok -> tok~r), so distinct
+    grams scale ~volume (the count table grows with the corpus, as a
+    real longer corpus's would) while cross-doc duplicate structure is
+    preserved per repeat (docs sharing grams at 1x share the suffixed
+    grams in every repeat). Repeating text verbatim instead would make
+    every interior gram a within-doc duplicate and hold the count
+    table at 1x — a cheaper shuffle profile than real data.
+
+    Output per volume: corpus MB, gram count, wall sec (median of 3
+    after a warm run), MB/s/core and Mgrams/s/core for partition
+    sizing: a partition of B MB of text costs B / (MB/s/core) seconds
+    on one core at the large-volume plateau. Results pinned in
+    SCALING.md §substr-volume.
+
+    Generator (yields per volume): the 40x point alone runs several
+    minutes, so callers can stream partial results / split volumes
+    across invocations instead of losing everything to a timeout."""
+    qs = _registry()
+    cores = spark.sparkContext.defaultParallelism
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = base.count()
+    for vol in volumes:
+        d = f"{scratch}/substr_vol_x{vol}"
+        toks = F.split(F.col("text"), " ")
+        scaled = base.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(vol)),
+                        lambda r: F.transform(
+                            toks,
+                            lambda t: F.concat(t, F.lit("~"), r),
+                        ),
+                    )
+                ),
+            ).alias("text"),
+        )
+        scaled.repartition(32).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        sdf = spark.read.parquet(f"{d}/documents.parquet")
+        stats = (
+            sdf.select(
+                F.length("text").alias("b"),
+                F.size(F.split(F.col("text"), " ")).alias("nt"),
+            )
+            .agg(
+                F.sum("b").alias("b"),
+                F.sum(
+                    F.when(F.col("nt") >= 8, F.col("nt") - 7).otherwise(0)
+                ).alias("grams"),
+            )
+            .collect()[0]
+        )
+        mb, grams = stats["b"] / 1e6, stats["grams"]
+        builder = qs["dedup_substring_fraction"].builder
+        run_noop(builder(spark, d))  # warm
+        runs = sorted(timed(lambda: run_noop(builder(spark, d))) for _ in range(3))
+        sec = runs[1]
+        yield {
+            "exp": "substr_volume",
+            "volume": vol,
+            "docs": n_docs,
+            "corpus_mb": round(mb, 1),
+            "grams": grams,
+            "sec_runs": runs,
+            "sec": sec,
+            "mb_per_sec_core": round(mb / sec / cores, 3),
+            "mgrams_per_sec_core": round(grams / 1e6 / sec / cores, 3),
+        }
+
+
+def _registry():
+    from ethiopia_legal_etl_spark.operators.registry import all_queries
+
+    return all_queries()
+
+
 def substr_skew_probe(spark, scratch: str) -> list[dict]:
     """Planted gram-key skew for the ExactSubstr accounting
     (dedup_substring_fraction; VERDICT r7 #5): a fixed 16-token
@@ -1584,6 +1683,8 @@ def main() -> None:
                     help="unigram EM loop crossed 10x-vocab x 10x-corpus; proves the driver collects stay vocab-bounded (~3 min)")
     ap.add_argument("--textir", action="store_true",
                     help="BM25/PMI/backoff-LM/winnowing scaling to 30x docs (~3 min)")
+    ap.add_argument("--substr-volume", action="store_true",
+                    help="ExactSubstr bytes-per-doc scaling 1x/10x/40x at fixed doc count; MB/s/core + Mgrams/s/core for partition sizing (~7 min)")
     ap.add_argument("--substr-skew", action="store_true",
                     help="planted gram-skew ExactSubstr probe: digest vs string keys, AQE skew on/off (~2 min)")
     ap.add_argument("--stats", action="store_true",
@@ -1652,6 +1753,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.textir:
             for r in textir_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.substr_volume:
+            for r in substr_volume_probe(spark, scratch):
                 print(json.dumps(r))
         if args.substr_skew:
             for r in substr_skew_probe(spark, scratch):
