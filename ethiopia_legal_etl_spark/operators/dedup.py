@@ -826,7 +826,13 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is an SMJ whose hot key is split at runtime by the AQE skew "
     "join (skewedJoin probed in SCALING.md on a planted-skew "
     "corpus) — no static salting needed, and the per-doc accounting "
-    "is untouched by the split.",
+    "is untouched by the split. Volume-probed r13 (SCALING.md "
+    "§substr-volume): end-to-end ~0.17-0.22 MB/s/core of raw text at "
+    "the 10-40x-doc-length plateau, linear in grams -> size scan "
+    "partitions at ~2-8 MB of text for 10-35 s tasks. The probe also "
+    "caught (and r13 fixed) an interpreted-HOF quadratic: the token "
+    "array must be aliased BEFORE the per-gram lambda or split() "
+    "re-evaluates per gram.",
 )
 def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
