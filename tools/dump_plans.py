@@ -134,6 +134,12 @@ SHOWCASE = [
     "aqp_stratified_revenue",
     "dedup_semantic_keep",
     "corpus_stratified_sample",
+    # r13: newly driver-windowed entries not already above
+    "approx_percentile_price",
+    "source_roundtrip_formats",
+    "stream_sliding_window",
+    "privacy_k_anonymity",
+    "hypertable_rollup",
 ]
 
 JOIN_NODES = (
