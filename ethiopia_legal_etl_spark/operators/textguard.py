@@ -797,11 +797,18 @@ def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bi GROUP BY b
     )
     SELECT bi.a, bi.b, bi.c_ab, ctx.c_a, ctx.n1p_a, cont.n1m_b,
-           CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2) AS d,
+           CASE WHEN disc.n1 + 2 * disc.n2 > 0
+                THEN CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2)
+                ELSE 0.0 END AS d,
            (GREATEST(CAST(bi.c_ab AS DOUBLE)
-                     - CAST(disc.n1 AS DOUBLE)
-                       / (disc.n1 + 2 * disc.n2), 0.0)
-            + CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2)
+                     - CASE WHEN disc.n1 + 2 * disc.n2 > 0
+                            THEN CAST(disc.n1 AS DOUBLE)
+                                 / (disc.n1 + 2 * disc.n2)
+                            ELSE 0.0 END, 0.0)
+            + CASE WHEN disc.n1 + 2 * disc.n2 > 0
+                   THEN CAST(disc.n1 AS DOUBLE)
+                        / (disc.n1 + 2 * disc.n2)
+                   ELSE 0.0 END
               * n1p_a
               * (CAST(n1m_b AS DOUBLE) / disc.n_types))
            / CAST(ctx.c_a AS DOUBLE) AS p_kn
@@ -858,8 +865,20 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1m_b"))
     # D = n1/(n1+2*n2), repeated inline so the op tree matches the
-    # oracle's exactly (no CTE-level rounding point exists)
-    big_d = F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2"))
+    # oracle's exactly (no CTE-level rounding point exists).
+    # Degenerate-corpus guard (r13): a corpus where NO bigram type
+    # occurs exactly once or twice (observed on the real sf0.1
+    # documents table — min type count is 3) makes the denominator 0,
+    # and Spark ANSI throws DIVIDE_BY_ZERO even for double division
+    # (the sf0.01 gates never saw it because singletons exist there;
+    # a .count() prunes the column away, which is why the entry
+    # *looked* fine at sf0.1). Convention when n1 = n2 = 0: D := 0 —
+    # no rare types means there is no discount mass to reallocate,
+    # and p_kn collapses to the MLE c_ab/c_a, the correct limit.
+    denom = F.col("n1") + 2 * F.col("n2")
+    big_d = F.when(
+        denom > 0, F.col("n1").cast("double") / denom
+    ).otherwise(F.lit(0.0))
     p_kn = (
         F.greatest(F.col("c_ab").cast("double") - big_d, F.lit(0.0))
         + big_d * F.col("n1p_a") * (F.col("n1m_b").cast("double") / F.col("n_types"))

@@ -315,3 +315,32 @@ def test_good_turing_matches_python_replica(spark, sf_dir):
             assert r["gt_count"] is None
         else:
             assert r["gt_count"] == (c + 1) * nxt / fof[c]
+
+
+def test_kneser_ney_degenerate_no_rare_bigrams(spark, tmp_path):
+    """KN discount D = n1/(n1+2*n2) is 0/0 on a corpus where no bigram
+    type occurs exactly once or twice — TRUE of the real sf0.1
+    documents table (min bigram-type count is 3), where the unguarded
+    spelling threw DIVIDE_BY_ZERO under ANSI the moment the d/p_kn
+    columns were materialized (caught by the r13 degenerate-corpus
+    sweep; sf0.01 has singletons, so the oracle gates never saw it).
+    Convention: D := 0 — no rare types means no discount mass to
+    reallocate — and p_kn collapses to the MLE c_ab/c_a.
+
+    Corpus: "a b" x3 docs -> one bigram type, count 3 (n1=n2=0).
+    """
+    from ethiopia_legal_etl_spark.operators.textguard import (
+        lm_kneser_ney_bigrams,
+    )
+
+    d = str(tmp_path / "kn_degen")
+    spark.createDataFrame(
+        [(i, "a b") for i in range(3)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = lm_kneser_ney_bigrams(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["c_ab"], r["c_a"]) == ("a", "b", 3, 3)
+    assert r["d"] == 0.0  # guarded discount, not NaN / not a throw
+    assert r["p_kn"] == 1.0  # MLE limit: c_ab / c_a
