@@ -335,9 +335,14 @@ def drift_psi_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.n_cells,
            (d.nr - 1) * (d.nc - 1) AS dof,
            ROUND(f.chi2_raw, 6) + 0 AS chi2,
-           ROUND(SQRT(f.chi2_raw
-                      / CAST(f.n * LEAST(d.nr - 1, d.nc - 1) AS DOUBLE)),
-                 6) + 0 AS cramers_v
+           -- NULL for a 1 x k table (V undefined; Spark side guarded
+           -- identically — r13 constant-corpus sweep)
+           CASE WHEN LEAST(d.nr - 1, d.nc - 1) > 0
+                THEN ROUND(SQRT(f.chi2_raw
+                           / CAST(f.n * LEAST(d.nr - 1, d.nc - 1)
+                                  AS DOUBLE)),
+                      6) + 0
+                ELSE NULL END AS cramers_v
     FROM folded f CROSS JOIN dims d
     """,
     doc="PEARSON CHI-SQUARE TEST OF INDEPENDENCE (event_type x "
@@ -416,19 +421,26 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin").alias("nc"),
     )
     mindim = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    # Degenerate-table guard (r13 constant-corpus sweep): a 1 x k (or
+    # k x 1) contingency table makes min(nr-1, nc-1) = 0 and Cramer's
+    # V divides by zero — Spark ANSI THROWS for double division (a
+    # constant `value` column collapses every row into one bin, so
+    # this is reachable on real data shapes). V is undefined for a
+    # one-dimensional table: emit NULL, mirrored in the oracle.
     return folded.crossJoin(F.broadcast(dims)).select(
         "n",
         "n_cells",
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         (F.round(F.col("chi2_raw"), 6) + 0).alias("chi2"),
-        (
+        F.when(
+            mindim > 0,
             F.round(
                 F.sqrt(
                     F.col("chi2_raw") / (F.col("n") * mindim).cast("double")
                 ),
                 6,
             )
-            + 0
+            + 0,
         ).alias("cramers_v"),
     )
 

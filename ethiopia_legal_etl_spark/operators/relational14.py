@@ -294,11 +294,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * (n - 1) AS DOUBLE) AS covar_samp_cents
+           -- zero-variance -> NULL (Spark side guarded identically;
+           -- r13 constant-corpus sweep)
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE NULL END AS corr_qty_price,
+           CASE WHEN n > 1
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)
+                ELSE NULL END AS covar_samp_cents
     FROM m
     """,
     doc="Pearson correlation + sample covariance from EXACT DECIMAL "
@@ -332,11 +339,21 @@ def stats_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (n * F.col("sxy") - sx * sy).cast("double")
     vx = (n * F.col("sxx") - sx * sx).cast("double")
     vy = (n * F.col("syy") - sy * sy).cast("double")
+    # Zero-variance / single-row guards (r13 constant-corpus sweep):
+    # a constant column makes vx (or vy) exactly 0 and a 1-row group
+    # makes n*(n-1) = 0 — both divisions THROW under Spark ANSI.
+    # Pearson r is undefined there: NULL, mirrored CASE-for-CASE in
+    # the oracle (DuckDB's double division would yield Inf/NaN, not
+    # an error, so the guard also keeps the engines value-identical).
     return m.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
-        (num / F.sqrt(vx * vy)).alias("corr_qty_price"),
-        (num / (n * (n - F.lit(1))).cast("double")).alias("covar_samp_cents"),
+        F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)).alias(
+            "corr_qty_price"
+        ),
+        F.when(
+            n > 1, num / (n * (n - F.lit(1))).cast("double")
+        ).alias("covar_samp_cents"),
     )
 
 

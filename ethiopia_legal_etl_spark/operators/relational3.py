@@ -470,13 +470,33 @@ def scalar_bitwise_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # `+ 0` canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
-    # a rounded covariance of -0.0 must hash identically to 0.0
+    # a rounded covariance of -0.0 must hash identically to 0.0.
+    # corr() zero-variance guard (r13 constant-corpus sweep): Spark's
+    # Corr final expression is ck/sqrt(xMk*yMk) with NO zero guard, so
+    # a constant column makes the built-in THROW under ANSI while
+    # DuckDB CORR returns NULL. A CaseWhen over the aggregate does NOT
+    # protect it (codegen subexpression elimination evaluates the
+    # branch eagerly — verified), so corr is spelled as try_divide
+    # over its exact co-moment relatives: covar_pop/(sx_pop*sy_pop) ==
+    # ck/sqrt(xMk*yMk) mathematically, NULL on a zero divisor, and
+    # round(6) absorbs the last-bit path difference exactly as it
+    # already did between the two engines' corr accumulations.
+    # stddev/var/covar need no guard: their n==1/n==0 paths return
+    # NaN/NULL without dividing.
     return li.groupBy("l_returnflag").agg(
         (F.round(F.stddev_samp("l_quantity"), 4) + F.lit(0.0)).alias("qty_stddev"),
         (F.round(F.var_samp("l_discount"), 6) + F.lit(0.0)).alias("disc_var"),
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
-            "qty_price_corr"
-        ),
+        (
+            F.round(
+                F.try_divide(
+                    F.covar_pop("l_quantity", "l_extendedprice"),
+                    F.stddev_pop("l_quantity")
+                    * F.stddev_pop("l_extendedprice"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("qty_price_corr"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
             "disc_tax_covar"
         ),

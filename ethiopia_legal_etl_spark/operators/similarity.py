@@ -869,6 +869,13 @@ def similarity_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(dist, {target})").alias("r")
     ).first()  # bounded: exact percentile of the sample pairs, 1 row
     radius = float(row["r"]) if row["r"] is not None else 3.0
+    # Degenerate-corpus floor (r13 constant-corpus sweep): if every
+    # sampled pair is identical the calibrated radius is 0.0, which
+    # BucketedRandomProjectionLSH rejects as a bucketLength. An
+    # epsilon radius keeps the fit valid and still returns the
+    # exact-duplicate neighbors (distance 0 <= radius); any corpus
+    # with one distinct sampled pair is unaffected.
+    radius = max(radius, 1e-6)
     # reorder barrier: see similarity_lsh_buckets — the approx join's
     # hoisted ScalaUDF conjuncts NPE on NULL arrays despite the
     # upstream filter. Cluster posture (SCALING.md r10): flip

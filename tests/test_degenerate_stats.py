@@ -1,0 +1,101 @@
+"""Regression tests for the r13 constant-corpus sweep findings
+(tools/degenerate_mirror.py): statistics whose denominators collapse
+to zero on a zero-variance / one-bin input must yield NULL for the
+undefined quantity — never a Spark-ANSI DIVIDE_BY_ZERO that kills the
+whole job. Each fixture is the minimal degenerate shape; assertions
+materialize EVERY column (collect), since column pruning is exactly
+what let these throws stay latent."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def const_dir(spark, tmp_path_factory):
+    """Tiny constant-valued tables: zero variance everywhere."""
+    d = str(tmp_path_factory.mktemp("const"))
+    spark.createDataFrame(
+        [(i, "N", "O", 10.0, 100.0, 0.05, 0.02) for i in range(6)],
+        "l_orderkey long, l_returnflag string, l_linestatus string, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, i % 2, "click", 5.0) for i in range(8)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id"))
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_chi2_cramers_v_null_on_one_bin_table(spark, const_dir):
+    from ethiopia_legal_etl_spark.operators.drift import (
+        stats_chi2_independence,
+    )
+
+    rows = stats_chi2_independence(spark, const_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # constant value -> one bin -> dof 0, chi2 0, V undefined -> NULL
+    assert r["dof"] == 0
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] is None
+
+
+def test_builtin_corr_null_on_zero_variance(spark, const_dir):
+    from ethiopia_legal_etl_spark.operators.relational3 import (
+        stats_aggregates,
+    )
+
+    rows = stats_aggregates(spark, const_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["qty_stddev"] == 0.0
+    assert r["disc_var"] == 0.0
+    assert r["qty_price_corr"] is None  # undefined, not a throw
+    assert r["disc_tax_covar"] == 0.0
+
+
+def test_exact_moments_corr_null_on_zero_variance_and_single_row(
+    spark, const_dir, tmp_path
+):
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        stats_corr_exact_moments,
+    )
+
+    rows = stats_corr_exact_moments(spark, const_dir).collect()
+    assert rows[0]["corr_qty_price"] is None
+    assert rows[0]["covar_samp_cents"] == 0.0
+
+    # single-row group: covar_samp denominator n*(n-1) = 0 -> NULL
+    d = str(tmp_path / "single")
+    spark.createDataFrame(
+        [(1, "A", 3.0, 7.0)],
+        "l_orderkey long, l_returnflag string, l_quantity double, "
+        "l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    r = stats_corr_exact_moments(spark, d).collect()[0]
+    assert r["n_rows"] == 1
+    assert r["corr_qty_price"] is None
+    assert r["covar_samp_cents"] is None
+
+
+def test_lsh_tuned_survives_identical_embeddings(spark, tmp_path):
+    from ethiopia_legal_etl_spark.operators.similarity import (
+        similarity_lsh_tuned,
+    )
+
+    d = str(tmp_path / "constemb")
+    spark.createDataFrame(
+        [(i, [0.5] * 64) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    # calibrated radius is 0.0 here; the epsilon floor must keep the
+    # LSH fit valid and return the exact-duplicate neighbors
+    rows = similarity_lsh_tuned(spark, d).collect()
+    assert rows, "identical vectors are mutual neighbors at dist 0"
+    assert all(r["l2_dist"] == 0.0 for r in rows)
