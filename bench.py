@@ -471,11 +471,46 @@ def main_ab(ref_dir: str, only: list[str] | None = None) -> None:
             os.unlink(worker_py)
         except OSError:
             pass
-    print(
-        json.dumps(
-            build_ab_summary(result, steals, ref_dir, sf_dir, only)
+    summary = build_ab_summary(result, steals, ref_dir, sf_dir, only)
+    print(json.dumps(summary))
+    if only:
+        # VERDICT r13 #4: a --only re-measurement is the evidence that
+        # closes a perf watch, so it must ALWAYS land on disk (the q5
+        # 1.088 reading existed only as ROUND13.md prose). Round number
+        # inferred from the driver's banked BENCH_r{N}.json series.
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"AB_r{_current_round()}_only_{_only_slug(only)}.json",
         )
-    )
+        with open(path, "w") as f:
+            json.dump(summary, f)
+            f.write("\n")
+        print(f"wrote {path}", file=sys.stderr)
+
+
+def _current_round() -> int:
+    """Round in progress = 1 + the newest banked BENCH_r{N}.json (the
+    driver writes that file at round CLOSE, so during a round the max
+    is the previous round's)."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else 0
+
+
+def _only_slug(only: list[str]) -> str:
+    """Filesystem-safe tag for the artifact name: first entry (others
+    abbreviated by count) keeps names short and greppable."""
+    import re as _re
+
+    head = _re.sub(r"[^A-Za-z0-9]+", "_", only[0])[:40].strip("_")
+    return head if len(only) == 1 else f"{head}_plus{len(only) - 1}"
 
 
 def build_ab_summary(

@@ -304,18 +304,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # this round per ADVICE r10 — Theil-Sen, silhouette, PSI stream
     # twin, seasonal-naive backtest, quota apportionment, snapshot
     # diff). All replica-verified at sf0.01 before entering.
-    "split_leakage_audit",
-    "experiment_cuped_adjust",
-    "twap_event_type",
-    "median_ci_order_stats",
-    "markov_next_event_accuracy",
-    "proportion_wilson_ci",
-    "trend_theil_sen_slope",
-    "embedding_silhouette_labels",
-    "stream_drift_psi_twin",
-    "forecast_seasonal_naive_eval",
-    "sample_quota_apportion",
-    "snapshot_diff_reconcile",
+    # r14 rotation (VERDICT r13 #2, 12 out / 12 in; all rotated-out
+    # names stay oracle-gated by tests/test_full_registry_gate.py on
+    # every pytest run). OUT: the entire r11 batch, each driver-green
+    # three consecutive rounds (r11-r13) with its §2 class keeping an
+    # in-window representative — split_leakage_audit +
+    # sample_quota_apportion (leakage/sampling keep
+    # contamination_ngram_overlap + corpus_stratified_sample, and
+    # dsir_importance_select comes IN), experiment_cuped_adjust +
+    # proportion_wilson_ci (experiments keep
+    # experiment_proportion_ztest), twap_event_type (time-weighted
+    # folds keep anomaly_rolling_zscore + timeseries_gapfill_locf;
+    # rotated out WITH its r14 degenerate-clock fix regression-tested
+    # — tests/test_degenerate_stats.py::
+    # test_twap_null_on_same_microsecond_burst — and its unchanged
+    # clean-data oracle re-verified at sf0.01 AND sf0.1 this round),
+    # median_ci_order_stats (order stats keep approx_percentile_price),
+    # markov_next_event_accuracy (event sequences keep
+    # event_transition_matrix), trend_theil_sen_slope (robust trend;
+    # anomaly_rolling_zscore stays), embedding_silhouette_labels
+    # (embeddings keep embedding_mutual_nn; embedding_int8_quantize
+    # comes IN), stream_drift_psi_twin (streaming keeps
+    # stream_session_window + stream_sliding_window;
+    # stream_static_enrich comes IN), forecast_seasonal_naive_eval
+    # (model eval gets model_ece_calibration IN),
+    # snapshot_diff_reconcile (ETL keeps incremental_skip_docs).
+    # IN: the registry's published r14 candidate list verbatim — see
+    # the end of the window; all 12 replica-verified at sf0.01 at r14
+    # open (12/12, 0 raw-repr warnings).
     # r12 rotation IN (VERDICT r11 #2): the registry's published r12
     # candidate list verbatim — every name verified against the
     # registry at r11 close, never driver-sampled, and replica-
@@ -362,23 +378,39 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_sliding_window",
     "privacy_k_anonymity",
     "hypertable_rollup",
-    # r14 rotation candidates — every name below verified against the
-    # registry at r13 close (118 oracle-checked entries have never
-    # been driver-sampled after this round's window). Strong
-    # never-sampled class representatives, led by the worst r12 A/B
-    # reading and the scale-path operators the window has never
-    # audited: q10_returned_revenue (headline bench entry, 1.169x in
-    # AB_r12 on untouched code — deserves the external signal),
-    # q7_nation_volume (6-table join), skew_salted_aggregate (the
-    # explicit salting path), bloom_pruned_join (runtime bloom-filter
-    # pruning), window_ignore_nulls_last_purchase (IGNORE NULLS
-    # frames), html_main_text (boilerplate-stripping extraction),
+    # r14 rotation IN (VERDICT r13 #2): the registry's published r14
+    # candidate list verbatim — every name was pre-published and
+    # name-verified at r13 close, never driver-sampled, and
+    # replica-verified at sf0.01 at r14 open (12/12 passed, 0
+    # raw-repr warnings). Led by the worst r12 A/B reading and the
+    # scale-path operators the window has never audited:
+    # q10_returned_revenue (headline bench entry), q7_nation_volume
+    # (6-table join), skew_salted_aggregate (explicit salting path),
+    # bloom_pruned_join (runtime bloom-filter pruning),
+    # window_ignore_nulls_last_purchase (IGNORE NULLS frames),
+    # html_main_text (boilerplate-stripping extraction),
     # text_bpe_token_count (BPE token accounting),
     # dedup_chunk_boilerplate (chunk-grain near-dup),
     # embedding_int8_quantize (quantized similarity),
     # dsir_importance_select (importance-weighted selection),
     # stream_static_enrich (stream-static join twin),
     # model_ece_calibration (calibration bins).
+    "q10_returned_revenue",
+    "q7_nation_volume",
+    "skew_salted_aggregate",
+    "bloom_pruned_join",
+    "window_ignore_nulls_last_purchase",
+    "html_main_text",
+    "text_bpe_token_count",
+    "dedup_chunk_boilerplate",
+    "embedding_int8_quantize",
+    "dsir_importance_select",
+    "stream_static_enrich",
+    "model_ece_calibration",
+    # r15 rotation candidates — published per the standing discipline
+    # (names verified against the registry; 106 oracle-checked
+    # entries have never been driver-sampled after this round's
+    # window). Filled in at r14 close — see the bottom of ROUND14.md.
 )
 
 

@@ -494,18 +494,28 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.variant,
            g.n_users,
            CAST(g.gy AS DOUBLE) / g.n_users / 100 AS mean_y,
-           (CAST(g.gy AS DOUBLE) / g.n_users
-            - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
-               / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
-              * (CAST(g.gx AS DOUBLE) / g.n_users
-                 - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
-           / 100 AS mean_y_cuped,
-           CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
-             / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) AS theta,
-           (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
-            * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE))
-           / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
-              * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)) AS rho2
+           -- var(x) = 0 (no pre-period signal, e.g. a degenerate
+           -- clock putting every event post-period) -> CUPED
+           -- undefined -> NULL, matching Spark's try_divide
+           CASE WHEN p.n * p.sxx - p.sx * p.sx = 0 THEN NULL
+                ELSE (CAST(g.gy AS DOUBLE) / g.n_users
+                      - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                         / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                        * (CAST(g.gx AS DOUBLE) / g.n_users
+                           - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                     / 100
+           END AS mean_y_cuped,
+           CASE WHEN p.n * p.sxx - p.sx * p.sx = 0 THEN NULL
+                ELSE CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                     / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+           END AS theta,
+           CASE WHEN (p.n * p.sxx - p.sx * p.sx = 0)
+                  OR (p.n * p.syy - p.sy * p.sy = 0) THEN NULL
+                ELSE (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                      * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE))
+                     / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+                        * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE))
+           END AS rho2
     FROM g CROSS JOIN pooled p
     """,
     doc="CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al. WSDM "
@@ -521,7 +531,13 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discipline) and the whole readout is fixed IEEE expressions "
     "over exactly-agreed operands — raw-double identical, no "
     "rounding policy. rho2 (= the variance-reduction factor 1-rho2's "
-    "complement) rides along from the same moments. Scale: one "
+    "complement) rides along from the same moments. Degenerate "
+    "covariate: var(x) = 0 — e.g. a degenerate clock that lands "
+    "every event in the post-period, so no user has pre-period "
+    "revenue — makes theta 0/0; CUPED is undefined without "
+    "pre-period signal, so theta/mean_y_cuped/rho2 are NULL on both "
+    "engines (try_divide / CASE WHEN) and mean_y still reads out. "
+    "Scale: one "
     "groupBy(user) + two tiny aggregates; the pooled 1-row frame "
     "broadcasts.",
 )
@@ -569,7 +585,13 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_num = (n * F.col("sxy") - sx * sy).cast("double")
     var_x = (n * F.col("sxx") - sx * sx).cast("double")
     var_y = (n * F.col("syy") - sy * sy).cast("double")
-    theta = cov_num / var_x
+    # try_divide: a degenerate CLOCK (every event in the post-period —
+    # e.g. the whole shard timestamped in one microsecond, r14
+    # constant_ts sweep) zeroes every user's pre-period covariate, so
+    # var(x) = 0 and theta is 0/0 — CUPED is undefined without
+    # pre-period signal, so theta / mean_y_cuped / rho2 are NULL
+    # (never an ANSI DIVIDE_BY_ZERO job kill); mean_y is unaffected.
+    theta = F.try_divide(cov_num, var_x)
     mean_y = F.col("gy").cast("double") / F.col("n_users")
     mean_x_g = F.col("gx").cast("double") / F.col("n_users")
     mean_x_all = sx.cast("double") / n.cast("double")
@@ -581,7 +603,7 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_y - theta * (mean_x_g - mean_x_all)) / 100
         ).alias("mean_y_cuped"),
         theta.alias("theta"),
-        ((cov_num * cov_num) / (var_x * var_y)).alias("rho2"),
+        F.try_divide(cov_num * cov_num, var_x * var_y).alias("rho2"),
     )
 
 

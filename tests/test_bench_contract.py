@@ -195,8 +195,15 @@ def test_recorded_ab_artifacts_match_schema():
     same schema the code now freezes — the artifact IS the judge's
     perf evidence, so a drift here is a broken evidence chain."""
     root = Path(bench.__file__).parent
-    artifacts = sorted(root.glob("AB_r*_vs_r*.json"))
+    # AB_r* covers both full-sweep artifacts (AB_r{N}_vs_r{M}.json)
+    # and --only subset re-measurements (AB_r{N}_only_*.json, written
+    # automatically since r14 — ADVICE r13 #4): EVERY banked A/B
+    # artifact is judge-consumed evidence and must satisfy the schema.
+    artifacts = sorted(root.glob("AB_r*.json"))
     assert artifacts, "no recorded A/B artifacts found"
+    assert any("_only_" in p.name for p in artifacts), (
+        "subset artifacts must be banked too (AB_r*_only_*.json)"
+    )
     for p in artifacts:
         obj = json.loads(p.read_text())
         _assert_ab_schema(obj)
@@ -204,3 +211,19 @@ def test_recorded_ab_artifacts_match_schema():
         # must never balloon to detail-line scale (full steal vectors
         # belong in bench default mode's detail line)
         assert p.stat().st_size < 64_000, f"{p.name} oversized"
+
+
+def test_only_artifact_naming_helpers():
+    """--ab --only auto-banks its summary (ADVICE r13 #4); the name is
+    AB_r{N}_only_{slug}.json with N inferred from the newest banked
+    BENCH_r{N}.json (driver writes it at round close -> +1)."""
+    root = Path(bench.__file__).parent
+    banked = sorted(root.glob("BENCH_r*.json"))
+    assert banked, "driver BENCH series missing"
+    newest = max(int(p.stem.split("_r")[1]) for p in banked)
+    assert bench._current_round() == newest + 1
+    assert bench._only_slug(["q5_region_revenue"]) == "q5_region_revenue"
+    assert (
+        bench._only_slug(["dedup_substring_fraction", "q1", "q5"])
+        == "dedup_substring_fraction_plus2"
+    )

@@ -215,6 +215,29 @@ def test_connected_components_chain_converges(spark):
     assert len(comp) == 12
 
 
+def test_connected_components_deep_chain_pointer_jump(spark):
+    """r14: a chain DEEPER than max_iter hops (diameter 119 >> 20).
+    Plain 1-hop min-label propagation (r1-r13) would stop at the
+    20-round cap with the cluster silently SPLIT into segments — a
+    correctness hazard for boilerplate chains of sliding near-dups at
+    100 TB. Pointer jumping (label(label(node)) path halving) must
+    resolve it to ONE component in O(log diameter) rounds."""
+    from ethiopia_legal_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "src: long, dst: long"
+    )
+    rounds: list[int] = []
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, rounds_out=rounds).collect()
+    }
+    assert len(comp) == 120
+    assert set(comp.values()) == {0}
+    # log2(119) ~ 6.9 (+1 no-change verify round); far under the cap
+    assert rounds[0] <= 10
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF probes 2 of 10 cells. The synthetic embeddings are isotropic
     (labels barely correlate with cosine neighborhoods — measured mean

@@ -99,3 +99,67 @@ def test_lsh_tuned_survives_identical_embeddings(spark, tmp_path):
     rows = similarity_lsh_tuned(spark, d).collect()
     assert rows, "identical vectors are mutual neighbors at dist 0"
     assert all(r["l2_dist"] == 0.0 for r in rows)
+
+
+def test_twap_null_on_same_microsecond_burst(spark, tmp_path):
+    """r13 verdict's reproduced defect: a group whose events all share
+    ONE timestamp (same-us burst) makes every LEAD gap weight 0; the
+    rows survive the nxt-IS-NOT-NULL filter, sum(w_us) = 0, and the
+    TWAP division threw ANSI DIVIDE_BY_ZERO. Undefined span -> NULL."""
+    from ethiopia_legal_etl_spark.operators.anomaly import (
+        twap_event_type,
+    )
+
+    d = str(tmp_path / "burst")
+    spark.createDataFrame(
+        # 'burst': 4 events in the SAME microsecond
+        # 'steady': normal 1s-spaced gauge (TWAP well-defined)
+        [(i, 0, "burst", 5.0 + i) for i in range(4)]
+        + [(10 + i, 0, "steady", 10.0 * (i + 1)) for i in range(3)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + F.when(F.col("event_type") == "steady", F.col("event_id") - 10)
+            .otherwise(F.lit(0))
+        ),
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    rows = {r["event_type"]: r for r in twap_event_type(spark, d).collect()}
+    b = rows["burst"]
+    assert b["n_intervals"] == 3  # rows DO survive the lead filter
+    assert b["span_us"] == 0
+    assert b["twap"] is None  # undefined over a zero-length span
+    s = rows["steady"]
+    assert s["span_us"] == 2_000_000
+    # (10*1s + 20*1s) / 2s = 15
+    assert s["twap"] == pytest.approx(15.0)
+
+
+def test_cuped_null_on_empty_pre_period(spark, tmp_path):
+    """r14 constant_ts sweep find: a degenerate clock that lands EVERY
+    event in the post-period zeroes every user's pre-period covariate
+    x, so pooled var(x) = 0 and theta = cov/var was an ANSI
+    DIVIDE_BY_ZERO. CUPED without pre-period signal is undefined ->
+    theta/mean_y_cuped/rho2 NULL; mean_y must still read out."""
+    from ethiopia_legal_etl_spark.operators.relational14 import (
+        experiment_cuped_adjust,
+    )
+
+    d = str(tmp_path / "allpost")
+    spark.createDataFrame(
+        [(i, i % 4, "click", 2.0 * (i + 1)) for i in range(8)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn(
+        # 2024-03-01 > the Jan-16 pre/post boundary: pre is empty
+        "ts", F.lit("2024-03-01 12:00:00").cast("timestamp")
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    rows = {r["variant"]: r for r in experiment_cuped_adjust(spark, d).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["mean_y"] is not None  # the plain readout survives
+        assert r["theta"] is None
+        assert r["mean_y_cuped"] is None
+        assert r["rho2"] is None

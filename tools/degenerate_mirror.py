@@ -34,9 +34,14 @@ Axes:
    here we simply suffix every token uniformly, which preserves the
    real corpus's already-degenerate n1=n2=0 structure under a
    changed vocabulary.
+3. constant_ts (r14): degenerate clock — every event in ONE
+   microsecond, every order/shipment on ONE day; measures untouched.
+   Time-delta denominators (TWAP gaps, session gaps, LOCF spines,
+   funnel windows, seasonal MASE) all collapse to 0.
 
 Usage:
-  python tools/degenerate_mirror.py /tmp/mirror_dir [--sf SRC] [--sweep]
+  python tools/degenerate_mirror.py /tmp/mirror_dir [--sf SRC]
+      [--sweep] [--axis NAME]
 
 --sweep runs every registry entry against each axis dir with a noop
 write (full materialization — a .count() would let column pruning
@@ -97,13 +102,54 @@ NORARE_PLANS = dict(
     },
 )
 
-AXES = {"constant": CONSTANT_PLANS, "norare": NORARE_PLANS}
+# r14 axis (VERDICT r13 #1): degenerate CLOCK. Every event lands in
+# ONE microsecond and the whole calendar collapses to one day —
+# time-delta denominators (TWAP gap weights, session gaps, LOCF
+# spines, funnel windows, EWMA/KS orderings, seasonal-naive MASE
+# under a collapsed calendar) all become 0 while every row is still
+# individually valid. Measures are left REAL (untouched) so this axis
+# isolates the clock: a throw here is a time-denominator bug, not a
+# variance bug. Found in the r14 sweep (fixed + regression-tested):
+# twap_event_type — sum of LEAD-gap weights is 0 on a same-us burst,
+# ANSI DIVIDE_BY_ZERO at the final division (the r13 verdict's
+# reproduced defect; now try_divide -> NULL, oracle CASE WHEN).
+CONSTANT_TS_PLANS = {
+    "region": "SELECT * FROM t",
+    "nation": "SELECT * FROM t",
+    "customer": "SELECT * FROM t",
+    "supplier": "SELECT * FROM t",
+    "part": "SELECT * FROM t",
+    "orders": (
+        "SELECT * REPLACE (CAST('1995-06-15 12:00:00' AS TIMESTAMP)"
+        " AS o_orderdate) FROM t"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE (CAST('1995-06-15 12:00:00' AS TIMESTAMP)"
+        " AS l_shipdate) FROM t"
+    ),
+    "events": (
+        "SELECT * REPLACE (CAST('2024-03-01 12:00:00.000001' AS "
+        "TIMESTAMP) AS ts) FROM t"
+    ),
+    "documents": "SELECT * FROM t",
+    "embeddings": "SELECT * FROM t",
+}
+
+AXES = {
+    "constant": CONSTANT_PLANS,
+    "norare": NORARE_PLANS,
+    "constant_ts": CONSTANT_TS_PLANS,
+}
 
 
-def build(dst_root: str, src: str) -> dict[str, str]:
+def build(
+    dst_root: str, src: str, only_axis: str | None = None
+) -> dict[str, str]:
     con = duckdb.connect()
     dirs = {}
     for axis, plans in AXES.items():
+        if only_axis and axis != only_axis:
+            continue
         d = Path(dst_root) / axis
         d.mkdir(parents=True, exist_ok=True)
         for t, q in plans.items():
@@ -158,8 +204,9 @@ def main() -> None:
     ap.add_argument("dst", help="output root for the mirror dirs")
     ap.add_argument("--sf", default=DEFAULT_SF)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--axis", default=None, choices=sorted(AXES))
     args = ap.parse_args()
-    dirs = build(args.dst, args.sf)
+    dirs = build(args.dst, args.sf, args.axis)
     if args.sweep:
         raise SystemExit(1 if sweep(dirs) else 0)
 

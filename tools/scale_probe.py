@@ -1301,8 +1301,8 @@ def substr_volume_probe(spark, scratch: str, volumes=(1, 10, 40)):
     """Document-LENGTH scaling for the ExactSubstr accounting
     (dedup_substring_fraction; VERDICT r12 #2) — the complement of
     substr_skew_probe below (key distribution) and of the r8 doc-count
-    probes: here bytes PER DOCUMENT scale (1, 10, 50)x at fixed doc
-    count — volume points (1, 10, 40); 50x pushed the 4-runs-per-point
+    probes: here bytes PER DOCUMENT scale (1, 10, 40)x at fixed doc
+    count; 50x pushed the 4-runs-per-point
     sweep past a 10-minute budget and 10x already sits in the linear
     regime (9.1x wall for 10x bytes, first measurement), so 40x is the
     plateau confirmation — because every stage of the pipeline is
@@ -1339,8 +1339,15 @@ def substr_volume_probe(spark, scratch: str, volumes=(1, 10, 40)):
     n_docs = base.count()
     for vol in volumes:
         d = f"{scratch}/substr_vol_x{vol}"
-        toks = F.split(F.col("text"), " ")
+        # alias the split into a real column FIRST: an inline
+        # F.split(...) referenced from inside the outer transform
+        # lambda re-evaluates once per repeat r in the interpreted-HOF
+        # path — the exact shape the r13 operator fix removed
+        # (ADVICE r13 #2); tools/ sits outside the static plan gate,
+        # so keep the probe consistent with the operators by hand.
         scaled = base.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        ).select(
             "doc_id",
             F.concat_ws(
                 " ",
@@ -1348,7 +1355,7 @@ def substr_volume_probe(spark, scratch: str, volumes=(1, 10, 40)):
                     F.transform(
                         F.sequence(F.lit(1), F.lit(vol)),
                         lambda r: F.transform(
-                            toks,
+                            F.col("toks"),
                             lambda t: F.concat(t, F.lit("~"), r),
                         ),
                     )
