@@ -140,6 +140,16 @@ SHOWCASE = [
     "stream_sliding_window",
     "privacy_k_anonymity",
     "hypertable_rollup",
+    # r14: newly driver-windowed entries not already above
+    "q7_nation_volume",
+    "skew_salted_aggregate",
+    "bloom_pruned_join",
+    "window_ignore_nulls_last_purchase",
+    "text_bpe_token_count",
+    "dedup_chunk_boilerplate",
+    "embedding_int8_quantize",
+    "stream_static_enrich",
+    "model_ece_calibration",
 ]
 
 JOIN_NODES = (

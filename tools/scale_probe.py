@@ -1658,6 +1658,73 @@ def graph_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+def fixpoint_probe(spark, scratch: str) -> list[dict]:
+    """VERDICT r13 #5: volume-probe the ITERATIVE FIXPOINT path the way
+    ExactSubstr was volume-probed — its cost axis is rounds-to-fixpoint
+    x per-round cost, a different axis from bytes/doc or doc count.
+
+    Graph: planted chains (the worst case for label propagation — a
+    path graph maximizes diameter per edge). Two axes:
+    - size at fixed diameter 7 (the shallow near-dup regime): 30k ->
+      300k nodes, 1x/10x. Rounds must stay FLAT (~log2(7)+verify);
+      wall scales with edges -> per-round rate is the partition-sizing
+      number.
+    - diameter at fixed 300k nodes: chains of length 8 / 512 / 4096.
+      With the r14 pointer-jumping step rounds grow as ~log2(d)
+      (5 -> 11 -> 14), all far under the production max_iter=20 cap —
+      the pre-r14 plain propagation would have needed d rounds and
+      SILENTLY stopped at 20 (diameter 511/4095 cases non-converged).
+
+    The probe asserts convergence (component count == planted chain
+    count) so a future regression to a bounded propagation cannot
+    produce a fast-but-wrong reading. Rounds-bound and per-round rate
+    pinned in SCALING.md §fixpoint."""
+    from ethiopia_legal_etl_spark.operators.dedup import connected_components
+
+    out = []
+    for n_nodes, chain_len, tag in (
+        (30_000, 8, "size_1x_d7"),
+        (300_000, 8, "size_10x_d7"),
+        (300_000, 512, "diam_511"),
+        (300_000, 4096, "diam_4095"),
+    ):
+        # consecutive blocks of chain_len nodes; edge (i, i+1) except
+        # across block boundaries -> n_nodes/chain_len chains
+        edges = (
+            spark.range(n_nodes)
+            .where((F.col("id") + 1) % chain_len != 0)
+            .where(F.col("id") + 1 < n_nodes)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+            .repartition(32)
+            .localCheckpoint()
+        )
+        n_edges = edges.count()
+        rounds: list[int] = []
+
+        def run():
+            rounds.clear()
+            comp = connected_components(edges, rounds_out=rounds)
+            n_comp = comp.select("component").distinct().count()
+            expected = -(-n_nodes // chain_len)  # ceil
+            assert n_comp == expected, (tag, n_comp, expected)
+
+        run()  # warm
+        sec = timed(run)
+        out.append(
+            {
+                "exp": "cc_fixpoint",
+                "tag": tag,
+                "nodes": n_nodes,
+                "edges": n_edges,
+                "diameter": chain_len - 1,
+                "rounds": rounds[-1],
+                "sec": sec,
+                "sec_per_round": round(sec / rounds[-1], 3),
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1696,6 +1763,8 @@ def main() -> None:
                     help="planted gram-skew ExactSubstr probe: digest vs string keys, AQE skew on/off (~2 min)")
     ap.add_argument("--stats", action="store_true",
                     help="Theil-Sen day-range (full vs trailing-90) + silhouette label-count scaling (~4 min)")
+    ap.add_argument("--fixpoint", action="store_true",
+                    help="connected-components fixpoint probe: planted worst-case chains, rounds-to-fixpoint + per-round rate at 1x/10x nodes and 8/512/4096 diameter (~4 min)")
     ap.add_argument("--graph", action="store_true",
                     help="fixed-point graph ops (PageRank unrolled / k-core checkpointed) at 1x/10x/100x hosts+edges (~3 min)")
     args = ap.parse_args()
@@ -1769,6 +1838,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.stats:
             for r in stats_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.fixpoint:
+            for r in fixpoint_probe(spark, scratch):
                 print(json.dumps(r))
         if args.graph:
             for r in graph_probe(spark, scratch):
