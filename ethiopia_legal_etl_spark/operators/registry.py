@@ -407,10 +407,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dsir_importance_select",
     "stream_static_enrich",
     "model_ece_calibration",
-    # r15 rotation candidates — published per the standing discipline
-    # (names verified against the registry; 106 oracle-checked
-    # entries have never been driver-sampled after this round's
-    # window). Filled in at r14 close — see the bottom of ROUND14.md.
+    # r15 rotation candidates — every name below verified against the
+    # registry at r14 close (106 oracle-checked entries have never
+    # been driver-sampled after this round's window). Strong
+    # never-sampled class representatives, led by the entries that
+    # earned an external signal this round: stats_aggregates (carries
+    # the r13 zero-variance corr fix), try_arithmetic_orders (the
+    # try_* semantics family — this round's degenerate-guard theme),
+    # q8_market_share (8-table join), q2_min_cost_supplier
+    # (correlated subquery), q21_sole_return_supplier (exists/
+    # not-exists anti-join; headline bench member),
+    # recursive_monthly_spine (recursive CTE),
+    # pivot_status_by_priority (pivot), window_ntile_percent_rank
+    # (ranking windows), applyinpandas_user_gap_stats (grouped-map
+    # Pandas UDF), text_repetition_filter (Gopher repetition gate),
+    # embedding_random_projection (JL projection),
+    # dedup_incremental_snapshot (incremental dedup).
 )
 
 
