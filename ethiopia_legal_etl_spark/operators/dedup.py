@@ -463,36 +463,43 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     rounds_out: list[int] | None = None,
+    jump_after: int = 3,
 ) -> DataFrame:
-    """Iterative min-label propagation WITH pointer jumping: resolve
-    near-dup PAIRS into duplicate CLUSTERS (transitive closure).
-    Returns (node, component) where component = min doc_id reachable.
+    """Iterative min-label propagation with ADAPTIVE pointer jumping:
+    resolve near-dup PAIRS into duplicate CLUSTERS (transitive
+    closure). Returns (node, component) where component = min doc_id
+    reachable.
 
     The iterative-algorithm pattern done Spark-side:
-    - each round is two joins + an aggregate (sets of shuffles, fully
-      distributed; no driver-side graph): (1) push the smallest known
-      label across every edge, then (2) POINTER-JUMP — labels are node
-      ids, so follow the proposed label one more step through the
-      label table (component <- label(label(node))), the classic
-      path-halving step of MapReduce CC (cf. Kiveris et al., "Connected
-      Components in MapReduce and Beyond", SoCC 2014). One hop of
-      propagation seeds a pointer chain; jumping then halves its depth
-      every round, so convergence is O(log diameter) rounds instead of
-      O(diameter) — max_iter=20 therefore covers diameter ~2^19, where
-      the plain propagation this replaced (r1-r13) silently STOPPED at
-      a 20-hop radius: a boilerplate chain of sliding near-dups deeper
-      than 20 (plausible for templated pages at 100 TB) would have
-      split one cluster into several without any error. Probed:
-      tools/scale_probe.py --fixpoint (planted worst-case chains;
-      rounds-bound and per-round rate pinned in SCALING.md §fixpoint).
+    - the first `jump_after` rounds are plain 1-hop propagation (one
+      join + aggregate per round): near-dup clusters are shallow
+      (diameter ~2-3), so the common case converges here at exactly
+      the r13 cost — the r14 A/B showed an unconditional jump join
+      costs ~3x on the shallow benched graph (the jump key is
+      concentrated on cluster-min ids, a skewed shuffle), pure
+      overhead when propagation alone converges in 2-3 rounds.
+    - any round AFTER that adds the POINTER-JUMP step — labels are
+      node ids, so follow the proposed label one more step through
+      the label table (component <- label(label(node))), the classic
+      path-halving step of MapReduce CC (cf. Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC 2014).
+      Jumping halves pointer-chain depth every round, so convergence
+      is jump_after + O(log diameter) rounds instead of O(diameter) —
+      max_iter=20 covers diameter ~2^16, where the plain propagation
+      of r1-r13 silently STOPPED at a 20-hop radius: a boilerplate
+      chain of sliding near-dups deeper than 20 (plausible for
+      templated pages at 100 TB) would have split one cluster into
+      several without any error. The skewed jump join only runs on
+      graphs deep enough to need it — where the alternative was a
+      wrong answer, and where AQE skew-join splitting applies at
+      cluster scale. Probed: tools/scale_probe.py --fixpoint (planted
+      worst-case chains; rounds-bound and per-round rate pinned in
+      SCALING.md §fixpoint).
     - `localCheckpoint` truncates lineage every round so plan depth
       stays O(1) instead of O(iterations). Cluster posture (SCALING.md
       r10): checkpointed blocks are executor-local and lineage-free —
       at 1000 executors, reliable `checkpoint()` of the (small,
       edge-list-sized) frontier every few rounds survives executor loss
-    - near-dup clusters are shallow (diameter ~ a few), so the common
-      case converges in the same 2-3 rounds as before; the jump join
-      is on the node-sized label table and rides the same shuffle key.
 
     rounds_out: probe hook — when a list is passed, the number of
     executed rounds (including the final no-change verify round) is
@@ -527,20 +534,28 @@ def connected_components(
             .agg(F.min("component").alias("hop"))
             .withColumnRenamed("node", "pnode")
         )
-        # (2) pointer jump: hop is itself a node id — follow it once
-        # more through the start-of-round label table. Left join +
-        # least() is defensive (every hop value IS an lnode key, but a
-        # dropped node would be silent corruption; least() skips NULL).
-        lmap = labels.select(
-            F.col("lnode").alias("jnode"),
-            F.col("component").alias("jcomp"),
-        )
-        shortcut = propagated.join(
-            lmap, propagated.hop == lmap.jnode, "left"
-        ).select(
-            "pnode",
-            F.least(F.col("hop"), F.col("jcomp")).alias("new_component"),
-        )
+        if rounds <= jump_after:
+            shortcut = propagated.select(
+                "pnode", F.col("hop").alias("new_component")
+            )
+        else:
+            # (2) pointer jump: hop is itself a node id — follow it
+            # once more through the start-of-round label table. Left
+            # join + least() is defensive (every hop value IS an
+            # lnode key, but a dropped node would be silent
+            # corruption; least() skips NULL).
+            lmap = labels.select(
+                F.col("lnode").alias("jnode"),
+                F.col("component").alias("jcomp"),
+            )
+            shortcut = propagated.join(
+                lmap, propagated.hop == lmap.jnode, "left"
+            ).select(
+                "pnode",
+                F.least(F.col("hop"), F.col("jcomp")).alias(
+                    "new_component"
+                ),
+            )
         merged = labels.join(
             shortcut, labels.lnode == shortcut.pnode
         ).localCheckpoint()

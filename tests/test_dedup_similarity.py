@@ -234,8 +234,9 @@ def test_connected_components_deep_chain_pointer_jump(spark):
     }
     assert len(comp) == 120
     assert set(comp.values()) == {0}
-    # log2(119) ~ 6.9 (+1 no-change verify round); far under the cap
-    assert rounds[0] <= 10
+    # 3 plain warm-up rounds + ~log2(119) doubling rounds (+1
+    # no-change verify); far under the max_iter=20 cap
+    assert rounds[0] <= 12
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):

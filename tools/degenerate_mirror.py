@@ -38,6 +38,9 @@ Axes:
    microsecond, every order/shipment on ONE day; measures untouched.
    Time-delta denominators (TWAP gaps, session gaps, LOCF spines,
    funnel windows, seasonal MASE) all collapse to 0.
+4. empty (r14): zero rows, schema preserved — the limiting case of a
+   filter selecting nothing. Flushes driver-side collects / ML fits
+   that assume >=1 row.
 
 Usage:
   python tools/degenerate_mirror.py /tmp/mirror_dir [--sf SRC]
@@ -135,10 +138,21 @@ CONSTANT_TS_PLANS = {
     "embeddings": "SELECT * FROM t",
 }
 
+# r14 axis: the EMPTY shard. Zero rows, schema preserved exactly —
+# the limiting case of a pushed-down filter selecting nothing, which
+# a 100 TB run hits on some shard/date-range every day. Relational
+# plans are trivially total on empty input (groupBy/join/window over
+# 0 rows -> 0 rows); the throw risk is DRIVER-SIDE logic: vocab /
+# calibration collects assuming >=1 row, MLlib fits requiring
+# non-empty data, head()[0] patterns. Policy: empty in -> empty (or
+# schema-stable constant) out, never a throw.
+EMPTY_PLANS = {t: "SELECT * FROM t WHERE 1=0" for t in CONSTANT_PLANS}
+
 AXES = {
     "constant": CONSTANT_PLANS,
     "norare": NORARE_PLANS,
     "constant_ts": CONSTANT_TS_PLANS,
+    "empty": EMPTY_PLANS,
 }
 
 
