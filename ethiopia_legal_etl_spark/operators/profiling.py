@@ -44,7 +44,8 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
       SELECT 'doc_id' AS col_name, (SELECT n_rows FROM n) AS n_rows,
              CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-             CAST(COUNT(doc_id) AS DOUBLE) / COUNT(*) AS completeness,
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(COUNT(doc_id) AS DOUBLE) / COUNT(*) END AS completeness,
              CAST(MIN(doc_id) AS VARCHAR) AS min_repr,
              CAST(MAX(doc_id) AS VARCHAR) AS max_repr
       FROM documents
@@ -52,7 +53,8 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
       SELECT 'text', (SELECT n_rows FROM n),
              CAST(COUNT(*) - COUNT(text) AS BIGINT),
              CAST(COUNT(DISTINCT text) AS BIGINT),
-             CAST(COUNT(text) AS DOUBLE) / COUNT(*),
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(COUNT(text) AS DOUBLE) / COUNT(*) END,
              CAST(MIN(LENGTH(text)) AS VARCHAR),
              CAST(MAX(LENGTH(text)) AS VARCHAR)
       FROM documents
@@ -60,21 +62,24 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
       SELECT 'lang', (SELECT n_rows FROM n),
              CAST(COUNT(*) - COUNT(lang) AS BIGINT),
              CAST(COUNT(DISTINCT lang) AS BIGINT),
-             CAST(COUNT(lang) AS DOUBLE) / COUNT(*),
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(COUNT(lang) AS DOUBLE) / COUNT(*) END,
              MIN(lang), MAX(lang)
       FROM documents
       UNION ALL
       SELECT 'source', (SELECT n_rows FROM n),
              CAST(COUNT(*) - COUNT(source) AS BIGINT),
              CAST(COUNT(DISTINCT source) AS BIGINT),
-             CAST(COUNT(source) AS DOUBLE) / COUNT(*),
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(COUNT(source) AS DOUBLE) / COUNT(*) END,
              MIN(source), MAX(source)
       FROM documents
       UNION ALL
       SELECT 'n_chars', (SELECT n_rows FROM n),
              CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
              CAST(COUNT(DISTINCT n_chars) AS BIGINT),
-             CAST(COUNT(n_chars) AS DOUBLE) / COUNT(*),
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(COUNT(n_chars) AS DOUBLE) / COUNT(*) END,
              CAST(MIN(n_chars) AS VARCHAR),
              CAST(MAX(n_chars) AS VARCHAR)
       FROM documents
@@ -98,9 +103,13 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
             F.count_distinct(F.col(col)).alias("n_distinct"),
-            (F.count(col).cast("double") / F.count(F.lit(1))).alias(
-                "completeness"
-            ),
+            # try_divide: an EMPTY shard (filter selecting nothing)
+            # still produces one global-agg row with count 0, so
+            # completeness is 0/0 — undefined -> NULL, never an ANSI
+            # DIVIDE_BY_ZERO job kill (r14 empty-axis sweep find)
+            F.try_divide(
+                F.count(col).cast("double"), F.count(F.lit(1))
+            ).alias("completeness"),
             F.min(mm).cast("string").alias("min_repr"),
             F.max(mm).cast("string").alias("max_repr"),
         )

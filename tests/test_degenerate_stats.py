@@ -163,3 +163,29 @@ def test_cuped_null_on_empty_pre_period(spark, tmp_path):
         assert r["theta"] is None
         assert r["mean_y_cuped"] is None
         assert r["rho2"] is None
+
+
+def test_profile_completeness_null_on_empty_table(spark, tmp_path):
+    """r14 empty-axis sweep find: a zero-row documents table still
+    produces one global-agg row per profiled column, so completeness
+    = count(col)/count(*) was 0/0 -> ANSI DIVIDE_BY_ZERO. Undefined
+    over an empty shard -> NULL; counts stay 0, min/max NULL."""
+    from ethiopia_legal_etl_spark.operators.profiling import (
+        profile_table_stats,
+    )
+
+    d = str(tmp_path / "emptydocs")
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = profile_table_stats(spark, d).collect()
+    assert len(rows) == 5  # one profile row per column survives
+    for r in rows:
+        assert r["n_rows"] == 0
+        assert r["n_null"] == 0
+        assert r["n_distinct"] == 0
+        assert r["completeness"] is None
+        assert r["min_repr"] is None and r["max_repr"] is None
