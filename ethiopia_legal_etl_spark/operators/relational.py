@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.money import (
+    micro_sum_to_double,
+    micro_to_double,
+    money_micro,
+)
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -52,31 +57,64 @@ from ethiopia_legal_etl_spark.sources.tables import load_table
     doc="TPC-H Q1 pricing summary over lineitem",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Money sums aggregate EXACT decimals (prices/discounts are 2-dp
-    # values; their products are ≤6-dp — no fp summation-order drift,
-    # no round-tie mismatches vs the oracle), then cast to double.
+    # Money sums aggregate EXACT integer micros of the 2-dp decimals
+    # (products are exact ≤6-dp micros — no fp summation-order drift,
+    # no round-tie mismatches vs the oracle), then one decimal→double
+    # conversion per output cell. Identical values to the r13 decimal
+    # formulation (probed cell-exact at sf0.1 and partition-count
+    # invariant), ~2.5x faster: a SUM over DECIMAL(12,2) carries a
+    # precision-22 buffer that leaves the compact-long path and
+    # serializes a BigDecimal per update (functions/money.py;
+    # optimization guide §1.2 per-task work).
+    #
+    # Two-level aggregation (guide §2.5): the grouping key has only 4
+    # values, so a single-level long sum would overflow 2^63 around
+    # 8e7 rows/group; level 1 adds spark_partition_id() — the long
+    # sums are then bounded by rows-per-scan-partition (~60x margin at
+    # 1 GB splits) — and level 2 re-aggregates the tiny 4x|partitions|
+    # table in DECIMAL(38,0). The extra exchange carries ≤ 4 rows per
+    # upstream partition (OPTIMIZATION_r14.md).
     li = load_table(spark, sf_dir, "lineitem")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
-    tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
-    return (
+    mq = money_micro(F.col("l_quantity"))
+    mp = money_micro(F.col("l_extendedprice"))
+    mdisc = money_micro(F.lit(1) - F.col("l_discount"))
+    mtax = money_micro(F.lit(1) + F.col("l_tax"))
+    md = money_micro(F.col("l_discount"))
+    lvl1 = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("double").alias("sum_qty"),
-            F.sum(price_d).cast("double").alias("sum_base_price"),
-            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
-            F.sum(price_d * disc_d * tax_d).cast("double").alias("sum_charge"),
-            # avgs as exact-decimal sum / count: identical doubles on
-            # both engines, no round-tie exposure (see registry.py)
-            (F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
-             / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price_d).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(12,2)")).cast("double")
-             / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+            mq.alias("mq"),
+            mp.alias("mp"),
+            (mp * mdisc).alias("mpd"),
+            (mp * mdisc * mtax).alias("mpdt"),
+            md.alias("md"),
         )
+        .groupBy("l_returnflag", "l_linestatus", "_pid")
+        .agg(
+            F.sum("mq").alias("sq"),
+            F.sum("mp").alias("sp"),
+            F.sum("mpd").alias("spd"),
+            F.sum("mpdt").alias("spdt"),
+            F.sum("md").alias("sd"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    sum_qty = micro_sum_to_double(F.col("sq"), 100)
+    sum_price = micro_sum_to_double(F.col("sp"), 100)
+    return lvl1.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        micro_sum_to_double(F.col("spd"), 10_000).alias("sum_disc_price"),
+        micro_sum_to_double(F.col("spdt"), 1_000_000).alias("sum_charge"),
+        # avgs as exact-sum-double / count: identical doubles on both
+        # engines, no round-tie exposure (see registry.py)
+        (sum_qty / F.sum("c")).alias("avg_qty"),
+        (sum_price / F.sum("c")).alias("avg_price"),
+        (micro_sum_to_double(F.col("sd"), 100) / F.sum("c")).alias("avg_disc"),
+        F.sum("c").alias("count_order"),
     )
 
 
@@ -115,16 +153,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # Revenue summed as exact 4-dp integer micros (functions/money.py;
+    # value-identical to the decimal formulation, no BigDecimal agg
+    # buffer). Single-level is overflow-safe here by structure: the
+    # group key is l_orderkey and an order has a bounded lineitem
+    # count, so the per-group micro total stays ~1e10 ≪ 2^63 at any
+    # corpus size (ANSI throws if that ever breaks).
+    mrev = money_micro(F.col("l_extendedprice")) * money_micro(
+        F.lit(1) - F.col("l_discount")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
-            ).cast("double").alias("revenue")
-        )
+        .agg(micro_to_double(F.sum(mrev), 10_000).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -176,13 +218,22 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
-            ).cast("double").alias("revenue")
+        # exact 4-dp micro revenue, two-level (25 nation groups are
+        # unbounded per group → level 1 adds spark_partition_id() so
+        # the long sums stay partition-bounded; level 2 re-sums the
+        # tiny table in DECIMAL(38,0) — functions/money.py, guide §2.5)
+        .select(
+            "n_name",
+            F.spark_partition_id().alias("_pid"),
+            (
+                money_micro(F.col("l_extendedprice"))
+                * money_micro(F.lit(1) - F.col("l_discount"))
+            ).alias("mrev"),
         )
+        .groupBy("n_name", "_pid")
+        .agg(F.sum("mrev").alias("srev"))
+        .groupBy("n_name")
+        .agg(micro_sum_to_double(F.col("srev"), 10_000).alias("revenue"))
     )
 
 

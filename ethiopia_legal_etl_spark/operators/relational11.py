@@ -34,6 +34,10 @@ is small by construction.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.money import (
+    micro_sum_to_double,
+    money_micro,
+)
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -146,9 +150,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
-        "decimal(12,2)"
-    ) - _dec("p_retailprice") * _dec("l_quantity")
+    # profit as an exact 4-dp integer micro: (price·(1−disc)) −
+    # (retail·qty), both 2dp×2dp products — value-identical to the
+    # decimal formulation, no BigDecimal agg buffer
+    # (functions/money.py). Two-level over spark_partition_id(): the
+    # (nation, year) groups are unbounded per group, so level 1 keeps
+    # the long sums partition-bounded and level 2 re-sums the tiny
+    # table in DECIMAL(38,0) (guide §2.5).
+    amount = money_micro(F.col("l_extendedprice")) * money_micro(
+        F.lit(1) - F.col("l_discount")
+    ) - money_micro(F.col("p_retailprice")) * money_micro(F.col("l_quantity"))
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -157,8 +168,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.spark_partition_id().alias("_pid"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(F.sum(amount).alias("sprofit"))
+        .groupBy("nation", "order_year")
+        .agg(micro_sum_to_double(F.col("sprofit"), 10_000).alias("sum_profit"))
     )
 
 

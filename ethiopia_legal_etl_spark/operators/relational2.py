@@ -13,6 +13,7 @@ resolves real type-hint objects, not postponed strings.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.money import micro_to_double, money_micro
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -127,15 +128,26 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q6")
+    # Same exact value as the r13 decimal formulation, summed as 4-dp
+    # integer micros (functions/money.py rationale; money is
+    # non-negative here so the sign branch is inlined away). Two-level
+    # over spark_partition_id() keeps the long sums partition-bounded
+    # (guide §2.5) — the single global group would otherwise overflow
+    # 2^63 near 9e9 rows.
     return spark.sql(
         """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        FROM v_lineitem_q6
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount BETWEEN 0.03 AND 0.07
-          AND l_quantity < 24
+        SELECT CAST(CAST(SUM(srev) AS DECIMAL(38,0)) / 10000 AS DOUBLE)
+               AS revenue
+        FROM (
+          SELECT SUM(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+                     * CAST(l_discount * 100 + 0.5 AS BIGINT)) AS srev
+          FROM v_lineitem_q6
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.03 AND 0.07
+            AND l_quantity < 24
+          GROUP BY SPARK_PARTITION_ID()
+        )
         """
     )
 
@@ -188,11 +200,18 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # exact 2-dp micro quantity sum (functions/money.py): per-order
+    # totals are structurally bounded (lineitems per order), so a
+    # single-level long sum can't overflow; the HAVING threshold
+    # compares the same exact value as micros (150 -> 15000).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_dec"))
-        .where(F.col("qty_dec") > 150)
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+        .agg(F.sum(money_micro(F.col("l_quantity"))).alias("qty_micro"))
+        .where(F.col("qty_micro") > 15_000)
+        .select(
+            "l_orderkey",
+            micro_to_double(F.col("qty_micro"), 100).alias("total_qty"),
+        )
     )
     return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
         "o_orderkey",

@@ -15,6 +15,11 @@ prune, and reorder them.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.money import (
+    micro_sum_to_double,
+    micro_to_double,
+    money_micro,
+)
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -60,13 +65,23 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(1, 35)
         & F.col("l_quantity").between(20, 30)
     )
-    return j.where(band).agg(
-        F.sum(
-            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
+    # exact 4-dp micro revenue, two-level over spark_partition_id()
+    # (single global group; long sums stay partition-bounded —
+    # functions/money.py, guide §2.5). Values identical to the r13
+    # decimal formulation.
+    mrev = money_micro(F.col("l_extendedprice")) * money_micro(
+        F.lit(1) - F.col("l_discount")
+    )
+    lvl1 = (
+        j.where(band)
+        .select(F.spark_partition_id().alias("_pid"), mrev.alias("mrev"))
+        .groupBy("_pid")
+        .agg(F.sum("mrev").alias("srev"), F.count(F.lit(1)).alias("c"))
+    )
+    return lvl1.agg(
+        micro_sum_to_double(F.col("srev"), 10_000).alias("revenue"),
+        # empty-input parity with COUNT(*): 0, never NULL
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_lines"),
     )
 
 
@@ -202,10 +217,17 @@ def window_range_7day_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
         .rangeBetween(-7 * 86400, 0)
     )
+    # exact 2-dp micro window sum (functions/money.py): the running
+    # LONG frame total replaces a DECIMAL(22,2) frame buffer; one
+    # decimal→double conversion per output row. A frame total
+    # overflows only past ~1.5e11 rows per 7-day-per-customer frame
+    # (ANSI throws if ever hit). Values identical.
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rolling_7d_spend"),
+        micro_to_double(
+            F.sum(money_micro(F.col("o_totalprice"))).over(w), 100
+        ).alias("rolling_7d_spend"),
     )
 
 

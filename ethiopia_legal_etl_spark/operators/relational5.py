@@ -16,6 +16,11 @@ date filter reaches the parquet scan for row-group pruning.
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ethiopia_legal_etl_spark.functions.money import (
+    micro_sum_to_double,
+    micro_to_double,
+    money_micro,
+)
 from ethiopia_legal_etl_spark.operators.registry import register
 from ethiopia_legal_etl_spark.sources.tables import load_table
 
@@ -27,6 +32,13 @@ def _dec(col: str):
 def _volume():
     return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
         "decimal(12,2)"
+    )
+
+
+def _mvolume():
+    """_volume() as its exact 4-dp integer micro (functions/money.py)."""
+    return money_micro(F.col("l_extendedprice")) * money_micro(
+        F.lit(1) - F.col("l_discount")
     )
 
 
@@ -149,17 +161,28 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
     )
+    # exact 4-dp micro volume, two-level over spark_partition_id()
+    # (few year groups, unbounded rows → partition-bounded long sums;
+    # functions/money.py, guide §2.5). The share divides the SAME
+    # exact dividend/divisor doubles as the decimal formulation.
     vol = j.select(
         F.year("o_orderdate").alias("ship_year"),
         "supp_nation",
-        _volume().alias("volume"),
+        F.spark_partition_id().alias("_pid"),
+        _mvolume().alias("mvol"),
     )
-    zero = F.lit(0).cast("decimal(12,2)")
-    return vol.groupBy("ship_year").agg(
+    lvl1 = vol.groupBy("ship_year", "_pid").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", F.col("mvol")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("snat"),
+        F.sum("mvol").alias("sall"),
+    )
+    return lvl1.groupBy("ship_year").agg(
         (
-            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero))
-            .cast("double")
-            / F.sum("volume").cast("double")
+            micro_sum_to_double(F.col("snat"), 10_000)
+            / micro_sum_to_double(F.col("sall"), 10_000)
         ).alias("mkt_share")
     )
 
@@ -201,14 +224,22 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
+    # exact 4-dp micro revenue per customer (functions/money.py):
+    # single-level long sum, overflow-safe by structure (a customer's
+    # returned lineitems in one quarter-pair; bound ~8.8e9 rows per
+    # customer, ANSI throws beyond). The top-20 cut orders by the
+    # EXACT micro total — the same order as the exact decimal sum.
     agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(_volume()).alias("rev_dec")
+        F.sum(_mvolume()).alias("rev_micro")
     )
     return (
-        agg.orderBy(F.desc("rev_dec"), "c_custkey")
+        agg.orderBy(F.desc("rev_micro"), "c_custkey")
         .limit(20)
         .select(
-            "c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue")
+            "c_custkey",
+            "c_name",
+            "n_name",
+            micro_to_double(F.col("rev_micro"), 10_000).alias("revenue"),
         )
     )
 
