@@ -507,6 +507,14 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    # Materialize the edge list ONCE before fanning it out (r14
+    # optimization round): a/b/self_loop reference `edges` four times,
+    # and without this checkpoint each union branch re-evaluated the
+    # whole upstream candidate-generation pipeline — measured 1.6-2.7 s
+    # of dedup_cluster_jaccard's ~3.6 s at sf0.1 was the banded-MinHash
+    # edge pipeline running 4x inside the adj build (guide §5:
+    # localCheckpoint to cut repeated lineage).
+    edges = edges.localCheckpoint()
     a = edges.selectExpr("src AS node", "dst AS nbr")
     b = edges.selectExpr("dst AS node", "src AS nbr")
     self_loop = (
@@ -522,6 +530,25 @@ def connected_components(
         .withColumnRenamed("node", "lnode")
         .localCheckpoint()
     )
+
+    # Monotone change detection (r14 optimization round): because adj
+    # carries a self-loop for every node, the per-round propagated min
+    # ALREADY includes the node's own start-of-round label, so
+    # new(v) <= old(v) elementwise and the old merged-join-with-least
+    # per round was redundant — its only job was detecting "anything
+    # changed". The exact label-sum (DECIMAL(38,0), overflow-free) is
+    # strictly decreasing while any label moves and constant exactly at
+    # the fixpoint, so one scalar per round replaces a join + a second
+    # checkpoint + a count: the per-round job budget drops from
+    # join+agg+join+checkpoint+count+checkpoint to
+    # join+agg+checkpoint+sum (round count and labels are unchanged —
+    # pinned by the deep-chain test and scale_probe --fixpoint).
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -536,7 +563,7 @@ def connected_components(
         )
         if rounds <= jump_after:
             shortcut = propagated.select(
-                "pnode", F.col("hop").alias("new_component")
+                F.col("pnode").alias("lnode"), F.col("hop").alias("component")
             )
         else:
             # (2) pointer jump: hop is itself a node id — follow it
@@ -551,21 +578,14 @@ def connected_components(
             shortcut = propagated.join(
                 lmap, propagated.hop == lmap.jnode, "left"
             ).select(
-                "pnode",
-                F.least(F.col("hop"), F.col("jcomp")).alias(
-                    "new_component"
-                ),
+                F.col("pnode").alias("lnode"),
+                F.least(F.col("hop"), F.col("jcomp")).alias("component"),
             )
-        merged = labels.join(
-            shortcut, labels.lnode == shortcut.pnode
-        ).localCheckpoint()
-        changed = merged.where("new_component < component").limit(1).count()
-        labels = merged.select(
-            F.col("lnode"),
-            F.least("component", "new_component").alias("component"),
-        ).localCheckpoint()
-        if changed == 0:
+        labels = shortcut.localCheckpoint()
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     if rounds_out is not None:
         rounds_out.append(rounds)
     return labels.select(F.col("lnode").alias("node"), "component")
