@@ -43,6 +43,7 @@ Viterbi must return the enumeration argmax (tests/test_unigram.py).
 """
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -202,23 +203,26 @@ def _seed_pieces(
         .groupBy("piece", "len")
         .agg(F.sum("freq").alias("weight"))
     )
-    # BOUND: |rows| = |alphabet| (distinct single chars in the corpus
-    # — Unicode-bounded, corpus-size-independent; probe-measured flat
-    # at 10x corpus, SCALING.md "EM collect bounds")
-    chars = [
-        (r["piece"], r["weight"])
-        for r in subs.where(F.col("len") == 1).collect()
-    ]
-    # BOUND: |rows| <= seed_size (TakeOrderedAndProject limit — the
-    # only top-K that ever reaches the driver)
-    multi = [
-        (r["piece"], r["weight"])
-        for r in subs.where(F.col("len") > 1)
+    # ONE collect for both slices (r14 optimization round): the char
+    # slice and the top-K multi slice share the substring-aggregate
+    # subtree, so unioning them lets AQE reuse the (piece, len)
+    # exchange — the double explode over the word table runs once
+    # instead of once per slice (guide §2.4 share one exchange).
+    # BOUNDS unchanged: chars = |alphabet| rows (Unicode-bounded,
+    # corpus-size-independent), multi <= seed_size rows
+    # (TakeOrderedAndProject — the only top-K that reaches the
+    # driver); probe-measured flat at 10x corpus, SCALING.md "EM
+    # collect bounds".
+    chars_df = subs.where(F.col("len") == 1).select("piece", "weight")
+    multi_df = (
+        subs.where(F.col("len") > 1)
         .orderBy(F.col("weight").desc(), F.col("piece"))
         .limit(seed_size)
-        .collect()
-    ]
-    return sorted(chars + multi)
+        .select("piece", "weight")
+    )
+    return sorted(
+        (r["piece"], r["weight"]) for r in chars_df.unionAll(multi_df).collect()
+    )
 
 
 def _normalize_logp(counts: dict[str, int]) -> dict[str, float]:
@@ -264,6 +268,7 @@ def unigram_train_table(
         stats["alphabet"] = sum(1 for p, _ in seed if len(p) == 1)
         stats["em_rounds"] = []
     if not seed:  # empty / pruned-to-nothing corpus: empty vocabulary
+        wf.unpersist(blocking=False)
         return []
     # initial model: probs proportional to substring weight
     logp = _normalize_logp({p: int(w) * _SCALE for p, w in seed})
@@ -312,6 +317,14 @@ def unigram_train_table(
                     "collect_rows": len(counts),
                 }
             )
+
+    # Drop the word-table cache now that EM is done (r14 optimization
+    # round): Spark's CacheManager matches by logical plan, so a cache
+    # left behind would be REUSED by the next identically-built run —
+    # a persisted cross-run intermediate the bench must not carry
+    # (every invocation computes from the parquet inputs). Intra-run
+    # reuse (seed + each E-step) is unaffected.
+    wf.unpersist(blocking=False)
 
     # prune: keep single chars unconditionally + top multi-char pieces
     # by (count desc, piece asc) — every word stays segmentable
@@ -373,7 +386,12 @@ def unigram_encode_tokens(
     bc = spark.sparkContext.broadcast((logp, max_piece_len))
 
     @pandas_udf("long")
-    def uni_count(texts: pd.Series) -> pd.Series:
+    def uni_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # iterator form (guide §4.5): the distinct-word Viterbi cache
+        # lives once per TASK and amortizes across every Arrow batch in
+        # the partition, instead of resetting every ~10k rows
+        # (r14 optimization round; the docstring's "per-batch cache"
+        # upgraded to per-task)
         lp, mpl = bc.value
         cache: dict[str, int] = {}
 
@@ -391,7 +409,8 @@ def unigram_encode_tokens(
                 total += hit
             return total
 
-        return texts.map(doc_len)
+        for texts in batches:
+            yield texts.map(doc_len)
 
     docs = load_table(spark, sf_dir, "documents")
     n_words = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
