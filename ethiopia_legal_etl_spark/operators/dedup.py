@@ -776,7 +776,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig  # wrap to signed
         return pd.Series(out)
 
-    return docs.withColumn("simhash", simhash64(F.col("text")))
+    # asNondeterministic (r14 optimization round, guide §4.4): the
+    # band join's inferred isnotnull(simhash) filter was pushed BELOW
+    # the projection that computes the UDF, so Catalyst evaluated the
+    # signature TWICE per side (two ArrowEvalPython nodes per scan,
+    # four per plan in dedup_simhash_band). Marking the UDF
+    # non-reorderable pins one evaluation per side; the function
+    # itself is pure, so results are unchanged (oracle re-verified).
+    return docs.withColumn(
+        "simhash", simhash64.asNondeterministic()(F.col("text"))
+    )
 
 
 @register(

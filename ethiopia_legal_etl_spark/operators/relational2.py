@@ -128,26 +128,22 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q6")
-    # Same exact value as the r13 decimal formulation, summed as 4-dp
-    # integer micros (functions/money.py rationale; money is
-    # non-negative here so the sign branch is inlined away). Two-level
-    # over spark_partition_id() keeps the long sums partition-bounded
-    # (guide §2.5) — the single global group would otherwise overflow
-    # 2^63 near 9e9 rows.
+    # Deliberately KEPT on decimal sums (r14 optimization round): the
+    # long-micro two-level respell (functions/money.py) was tried here
+    # and measured SLOWER in the interleaved A/B (1.16-1.29x) — the
+    # shipdate+discount+quantity filters are selective enough that the
+    # surviving rows' decimal cost is smaller than one extra
+    # aggregation stage. Single global group, so single-level longs
+    # would overflow near 9e9 rows; decimal is the right buffer here.
     return spark.sql(
         """
-        SELECT CAST(CAST(SUM(srev) AS DECIMAL(38,0)) / 10000 AS DOUBLE)
-               AS revenue
-        FROM (
-          SELECT SUM(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
-                     * CAST(l_discount * 100 + 0.5 AS BIGINT)) AS srev
-          FROM v_lineitem_q6
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate <  TIMESTAMP '1997-01-01'
-            AND l_discount BETWEEN 0.03 AND 0.07
-            AND l_quantity < 24
-          GROUP BY SPARK_PARTITION_ID()
-        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM v_lineitem_q6
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
         """
     )
 

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.functions.money import (
-    micro_sum_to_double,
     micro_to_double,
     money_micro,
 )
@@ -65,23 +64,20 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(1, 35)
         & F.col("l_quantity").between(20, 30)
     )
-    # exact 4-dp micro revenue, two-level over spark_partition_id()
-    # (single global group; long sums stay partition-bounded —
-    # functions/money.py, guide §2.5). Values identical to the r13
-    # decimal formulation.
-    mrev = money_micro(F.col("l_extendedprice")) * money_micro(
-        F.lit(1) - F.col("l_discount")
-    )
-    lvl1 = (
-        j.where(band)
-        .select(F.spark_partition_id().alias("_pid"), mrev.alias("mrev"))
-        .groupBy("_pid")
-        .agg(F.sum("mrev").alias("srev"), F.count(F.lit(1)).alias("c"))
-    )
-    return lvl1.agg(
-        micro_sum_to_double(F.col("srev"), 10_000).alias("revenue"),
-        # empty-input parity with COUNT(*): 0, never NULL
-        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_lines"),
+    # Deliberately KEPT on decimal sums (r14 optimization round): the
+    # long-micro two-level respell (functions/money.py) was tried here
+    # and measured SLOWER in the interleaved A/B (1.18-1.23x) — the
+    # disjunctive brand/size/quantity bands are selective enough that
+    # the surviving rows' decimal cost is smaller than one extra
+    # aggregation stage. Single global group, so single-level longs
+    # would overflow near 9e9 rows; decimal is the right buffer here.
+    return j.where(band).agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 

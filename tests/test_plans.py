@@ -397,7 +397,7 @@ def test_keyset_pagination_filter_pushed(spark, sf_dir):
 # round-3 values so a refactor that silently adds a shuffle fails CI.
 # Broadcast distribution is excluded (dim-sized, not data-sized).
 SHUFFLE_BUDGET = {
-    # +1 in the r14 optimization round for q1/q5/q6/q8/q9/q19: the
+    # +1 in the r14 optimization round for q1/q5/q8/q9: the
     # money sums moved from DECIMAL(22,2)+ agg buffers (BigDecimal per
     # update; measured ~0.85 s of q1's 1.1 s at sf0.1) to exact LONG
     # micros summed two-level over (keys..., spark_partition_id())
@@ -407,12 +407,12 @@ SHUFFLE_BUDGET = {
     "q1_pricing_summary": 2,
     "q3_shipping_priority": 1,
     "q5_region_revenue": 2,
-    "sql_q6_forecast_revenue": 2,
+    "sql_q6_forecast_revenue": 1,
     "q8_market_share": 2,
     "q9_product_profit": 2,
     "q10_returned_revenue": 1,
     "q18_large_orders": 1,
-    "q19_disjunctive_revenue": 2,
+    "q19_disjunctive_revenue": 1,
     "q21_sole_return_supplier": 1,
     "window_running_user_value": 1,
     "window_range_7day_frame": 1,
