@@ -483,6 +483,21 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already did between the two engines' corr accumulations.
     # stddev/var/covar need no guard: their n==1/n==0 paths return
     # NaN/NULL without dividing.
+    #
+    # PAIRWISE-complete stddev factors (r14 optimization round's
+    # nulls-mirror close gate, inherited from the r13 respell): corr
+    # is defined over rows where BOTH columns are non-null, and
+    # covar_pop already aggregates exactly those rows — but a bare
+    # stddev_pop(x) also counts rows where the OTHER column is NULL,
+    # so under the 10%-nulls mirror the respelled ratio drifted ~7e-5
+    # from both engines' true corr (clean data can't see it: the
+    # builds' sweeps all passed, the interrupted r14 build never
+    # re-ran the nulls gate). when(other IS NOT NULL, x) restricts
+    # each stddev to the pairwise-complete set; on null-free data the
+    # expression is bit-identical to the r13 form. Regression test:
+    # tests/test_degenerate_stats.py::test_corr_pairwise_complete_under_nulls.
+    q_pair = F.when(F.col("l_extendedprice").isNotNull(), F.col("l_quantity"))
+    p_pair = F.when(F.col("l_quantity").isNotNull(), F.col("l_extendedprice"))
     return li.groupBy("l_returnflag").agg(
         (F.round(F.stddev_samp("l_quantity"), 4) + F.lit(0.0)).alias("qty_stddev"),
         (F.round(F.var_samp("l_discount"), 6) + F.lit(0.0)).alias("disc_var"),
@@ -490,8 +505,7 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(
                     F.covar_pop("l_quantity", "l_extendedprice"),
-                    F.stddev_pop("l_quantity")
-                    * F.stddev_pop("l_extendedprice"),
+                    F.stddev_pop(q_pair) * F.stddev_pop(p_pair),
                 ),
                 6,
             )

@@ -189,3 +189,48 @@ def test_profile_completeness_null_on_empty_table(spark, tmp_path):
         assert r["n_distinct"] == 0
         assert r["completeness"] is None
         assert r["min_repr"] is None and r["max_repr"] is None
+
+
+def test_corr_pairwise_complete_under_nulls(spark, tmp_path):
+    """r14 optimization round's nulls-mirror close gate: the r13 corr
+    respell try_divide(covar_pop(x,y), stddev_pop(x)*stddev_pop(y))
+    drifted from true Pearson r under NULLs, because covar_pop is
+    pairwise-complete while a bare stddev_pop(x) also counts rows
+    whose OTHER column is NULL (clean data can't distinguish them).
+    The stddev factors must be restricted to the pairwise-complete
+    set; pin against the exact Pearson r of the complete pairs."""
+    import math
+
+    from ethiopia_legal_etl_spark.operators.relational3 import (
+        stats_aggregates,
+    )
+
+    d = str(tmp_path / "nulled")
+    rows = []
+    # one group, 40 rows; every 4th price NULL, every 7th qty NULL —
+    # pairwise-complete set differs from each column's non-null set
+    for i in range(40):
+        qty = None if i % 7 == 0 else float(1 + (i * 3) % 11)
+        price = None if i % 4 == 0 else float(100 + (i * 17) % 50)
+        rows.append(("A", qty, price, 0.05, 0.02))
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    got = {r["l_returnflag"]: r for r in stats_aggregates(spark, d).collect()}
+
+    pairs = [
+        (q, p)
+        for _, q, p, _, _ in rows
+        if q is not None and p is not None
+    ]
+    n = len(pairs)
+    mx = sum(q for q, _ in pairs) / n
+    my = sum(p for _, p in pairs) / n
+    cov = sum((q - mx) * (p - my) for q, p in pairs) / n
+    sx = math.sqrt(sum((q - mx) ** 2 for q, _ in pairs) / n)
+    sy = math.sqrt(sum((p - my) ** 2 for _, p in pairs) / n)
+    expected = round(cov / (sx * sy), 6)
+    assert got["A"]["qty_price_corr"] == pytest.approx(expected, abs=1e-6)
