@@ -91,14 +91,29 @@ _MINHASH_SEEDS = 8
 _MINHASH_BANDS = 4  # r = 2 signatures per band
 
 
-def banded_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def banded_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, materialize: bool = False
+) -> DataFrame:
     """The reusable pipeline behind dedup_ngram_jaccard: deterministic
     md5-MinHash banding over (doc_id, text) -> equi-join candidates ->
     exact-Jaccard verify. Also driven by tools/scale_probe.py at
-    growing corpus sizes against the all-pairs baseline."""
+    growing corpus sizes against the all-pairs baseline.
+
+    materialize=True localCheckpoints the token table and the band
+    table so each is computed ONCE (r15 optimization round): the band
+    self-join otherwise evaluates the md5+minhash signature pass once
+    PER SIDE (broadcast build sides get no ReusedExchange), and the
+    verify stage re-tokenizes the corpus twice more — 4 corpus passes
+    where 1 suffices. Only callers that TIME the builder may pass True
+    (dedup_cluster_jaccard's secondary-bench methodology is
+    build+write): for write-only-timed entries (dedup_ngram_jaccard)
+    a builder-side materialization would move compute out of the timed
+    region, which is measurement gaming, not optimization."""
     d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    if materialize:
+        d = d.localCheckpoint()
     # single hashing pass: one md5 per distinct token
     hashed = d.withColumn("hs", F.transform("toks", lambda t: F.md5(t)))
 
@@ -132,6 +147,8 @@ def banded_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
+    if materialize:
+        bands = bands.localCheckpoint()
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -505,6 +522,7 @@ def connected_components(
     executed rounds (including the final no-change verify round) is
     appended.
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     # Materialize the edge list ONCE before fanning it out (r14
@@ -517,19 +535,16 @@ def connected_components(
     edges = edges.localCheckpoint()
     a = edges.selectExpr("src AS node", "dst AS nbr")
     b = edges.selectExpr("dst AS node", "src AS nbr")
+    # No inner distinct on the self-loop branch (r15): the outer
+    # distinct on (node, nbr) already dedupes self-loops, so the extra
+    # exchange+aggregate bought nothing — the union feeds 2|E| loop
+    # rows (heavily duplicated, collapsed map-side by the partial
+    # aggregate) instead of |V|, one whole stage cheaper.
     self_loop = (
         edges.selectExpr("src AS node").union(edges.selectExpr("dst AS node"))
-        .distinct()
         .withColumn("nbr", F.col("node"))
     )
     adj = a.union(b).union(self_loop).distinct().localCheckpoint()
-
-    labels = (
-        adj.groupBy("node")
-        .agg(F.min("nbr").alias("component"))
-        .withColumnRenamed("node", "lnode")
-        .localCheckpoint()
-    )
 
     # Monotone change detection (r14 optimization round): because adj
     # carries a self-loop for every node, the per-round propagated min
@@ -538,17 +553,28 @@ def connected_components(
     # per round was redundant — its only job was detecting "anything
     # changed". The exact label-sum (DECIMAL(38,0), overflow-free) is
     # strictly decreasing while any label moves and constant exactly at
-    # the fixpoint, so one scalar per round replaces a join + a second
-    # checkpoint + a count: the per-round job budget drops from
-    # join+agg+join+checkpoint+count+checkpoint to
-    # join+agg+checkpoint+sum (round count and labels are unchanged —
-    # pinned by the deep-chain test and scale_probe --fixpoint).
-    def label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
+    # the fixpoint.
+    #
+    # r15 optimization round (VERDICT r14 #1): the sum rides the
+    # checkpoint job as an OBSERVED METRIC instead of a separate
+    # scalar-agg job — `observe()` plants a CollectMetrics node that
+    # accumulates while the eager localCheckpoint materializes the
+    # round's labels, so the per-round job budget drops from
+    # {join+agg+checkpoint, sum} (two actions) to ONE action per round
+    # (round count and labels are unchanged — pinned by the deep-chain
+    # test and scale_probe --fixpoint).
+    def checkpoint_with_sum(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, obs.get["s"]
 
-    prev_sum = label_sum(labels)
+    labels, prev_sum = checkpoint_with_sum(
+        adj.groupBy("node")
+        .agg(F.min("nbr").alias("component"))
+        .withColumnRenamed("node", "lnode")
+    )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -581,8 +607,19 @@ def connected_components(
                 F.col("pnode").alias("lnode"),
                 F.least(F.col("hop"), F.col("jcomp")).alias("component"),
             )
-        labels = shortcut.localCheckpoint()
-        new_sum = label_sum(labels)
+        labels, new_sum = checkpoint_with_sum(shortcut)
+        if prev_sum is not None and new_sum is not None and new_sum > prev_sum:
+            # Monotonicity precondition guard (ADVICE r14): the
+            # equal-sum fixpoint test is only sound because the
+            # self-loop in adj forces new(v) <= old(v) elementwise. A
+            # future edit that drops the self-loop or changes the
+            # propagated min would let equal sums coincide with changed
+            # labels — fail loudly instead of converging wrong.
+            raise AssertionError(
+                "connected_components: label sum increased "
+                f"({prev_sum} -> {new_sum}); the self-loop monotonicity "
+                "invariant is broken"
+            )
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -716,7 +753,11 @@ def dedup_cluster_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.9 (not the pair entry's 0.5): the synthetic corpus is near-clique
     # at 0.5 — everything merges into ONE component and the gate shows no
     # structure; at 0.9 the closure resolves 7 clusters at sf0.001
-    edges = banded_jaccard_pairs(docs, threshold=0.9).select(
+    # materialize=True: this entry is timed build+write (secondary
+    # methodology), so computing the token/band tables once inside the
+    # builder is inside the timed region — the signature pass ran 2x
+    # and the tokenizer 3x without it (r15; see banded_jaccard_pairs)
+    edges = banded_jaccard_pairs(docs, threshold=0.9, materialize=True).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
