@@ -658,10 +658,17 @@ def host_rank_fixed_point(
         ).alias("i"),
         "doc_id",
     )
+    # Materialize the host-bounded link table ONCE (r15 optimization
+    # round, the connected_components treatment / guide §5): deg,
+    # hosts, and every unrolled iteration's contrib join reference
+    # `links`, so without this checkpoint the docs scan + explode +
+    # distinct subtree was evaluated ~5x inside one plan. The table is
+    # <= n_hosts * n_hosts rows by construction — tiny at any corpus
+    # size (the corpus scan, not the link table, is the scale cost).
     links = docs.select(
         "src",
         ((F.col("src") * 7 + F.col("i") * 13 + 1) % n_hosts).alias("dst"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     hosts = links.select(F.col("src").alias("host")).distinct()
     n = hosts.count()  # bounded: |hosts| <= 50 by construction
