@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.functions.money import (
     micro_sum_to_double,
+    micro_to_double,
     money_micro,
 )
 from ethiopia_legal_etl_spark.operators.registry import register
@@ -209,22 +210,35 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    # Per-part price sums as exact 2-dp micro longs (r15): the
+    # per-part aggregate runs over the region-filtered bulk of
+    # lineitem, so the DECIMAL(22,2) buffer was the dominant per-row
+    # cost. Single-level is overflow-safe by structure: price micro
+    # <= ~1e7, bound ~9e11 rows per part (ANSI throws beyond). The
+    # threshold re-sums the per-part micro subtotals in DECIMAL(38,0)
+    # (vocab-bounded rows), and both sides of the comparison convert
+    # through the SAME exact-rational-to-double rounding the decimal
+    # formulation used. Measured at sf0.1 (two interleaved cur-vs-ref
+    # microbench rounds): 0.80/0.59 s -> 0.57/0.53 s medians
+    # (OPTIMIZATION_r15.md).
     v = (
         li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+        .agg(F.sum(money_micro(F.col("l_extendedprice"))).alias("vmicro"))
     )
     total = v.agg(
-        (F.sum("val").cast("double") * F.lit(0.0005)).alias("threshold")
+        (micro_sum_to_double(F.col("vmicro"), 100) * F.lit(0.0005)).alias(
+            "threshold"
+        )
     )
     return (
         v.join(F.broadcast(total))
-        .where(F.col("val").cast("double") > F.col("threshold"))
+        .where(micro_to_double(F.col("vmicro"), 100) > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.col("val").cast("double").alias("part_value"),
+            micro_to_double(F.col("vmicro"), 100).alias("part_value"),
         )
     )
 

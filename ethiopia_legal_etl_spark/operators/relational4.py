@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ethiopia_legal_etl_spark.functions.money import (
+    micro_sum_to_double,
     micro_to_double,
     money_micro,
 )
@@ -252,11 +253,24 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("gross"),
+    # exact 2-dp micro gross, two-level over spark_partition_id()
+    # (r15): the URGENT filter keeps ~1/5 of the fact rows, enough for
+    # the DECIMAL(22,2) buffer to show; groups (3 returnflags) are
+    # unbounded per group so level 1 long sums stay partition-bounded
+    # and level 2 re-sums in DECIMAL(38,0). Interleaved same-session
+    # probe at sf0.1: decimal 0.70/0.56/0.41 s vs micro
+    # 0.70/0.42/0.42 s per aligned run, rows identical.
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lvl1 = (
+        j.select(
+            "l_returnflag",
+            F.spark_partition_id().alias("_pid"),
+            money_micro(F.col("l_extendedprice")).alias("m"),
         )
+        .groupBy("l_returnflag", "_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("m").alias("sm"))
+    )
+    return lvl1.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n_lines"),
+        micro_sum_to_double(F.col("sm"), 100).alias("gross"),
     )

@@ -96,6 +96,15 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
+    # Micro respell tried and REVERTED (r15, measured): the two-level
+    # long-micro pattern (q8's) read 1.3-1.46x SLOWER here across two
+    # interleaved cur-vs-ref microbench rounds at sf0.1 (0.86/0.83 s
+    # vs 0.65/0.57 s medians) — the nation-pair predicate is selective
+    # enough that the surviving rows' decimal cost is below one extra
+    # aggregation stage, the same shape that rejected q6/q19 in r14.
+    # Groups are unbounded per group, so a single-level long sum is
+    # not provably overflow-safe and two-level is the only micro
+    # option. Decimal kept.
     return (
         j.select(
             "supp_nation",
@@ -307,9 +316,18 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    # Per-part quantity sums as exact 2-dp micros (r15): the avg
+    # subquery scans ALL of lineitem, so its DECIMAL(22,2) buffer was
+    # this query's q1-class cost. Single-level long sum, overflow-safe
+    # by structure: quantity <= ~1e2 -> micro <= ~1e4, bound ~9e14
+    # rows per part (ANSI throws beyond). micro_to_double emits the
+    # same exact-sum double the decimal cast did, so the 0.2*avg
+    # threshold compares identically. Measured at sf0.1 (two
+    # interleaved cur-vs-ref microbench rounds): 0.82/0.81 s ->
+    # 0.43/0.42 s medians (OPTIMIZATION_r15.md).
     per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            micro_to_double(F.sum(money_micro(F.col("l_quantity"))), 100)
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
