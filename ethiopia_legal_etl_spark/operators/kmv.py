@@ -149,7 +149,9 @@ def sketch_kmv_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("tok").isin(*_KMV_TOKENS))
         .distinct()
-        .cache()  # df-bounded; feeds the sketch window + the exact gate
+        # localCheckpoint, not cache (r15 cache-scoping sweep): no
+        # plan-matched CacheManager entry may outlive the query run
+        .localCheckpoint()  # df-bounded; feeds sketch window + exact gate
     )
     h = mem.select("tok", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hash"))
     rn = F.row_number().over(Window.partitionBy("tok").orderBy("hash"))
@@ -157,7 +159,7 @@ def sketch_kmv_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.select("tok", "hash", rn.alias("rn"))
         .where(F.col("rn") <= _KMV_K)
         .drop("rn")
-        .cache()  # 5*k rows
+        .localCheckpoint()  # 5*k rows
     )
     toks = mem.select("tok").distinct()
     pairs = (

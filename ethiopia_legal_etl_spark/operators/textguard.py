@@ -659,7 +659,9 @@ def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()  # feeds tot + both context/backoff joins
+        # localCheckpoint, not cache (r15 cache-scoping sweep): no
+        # plan-matched CacheManager entry may outlive the query run
+        .localCheckpoint()  # feeds tot + both context/backoff joins
     )
     tot = uni.agg(F.sum("c").alias("n"))
     bi = bigrams(tr).groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
@@ -853,7 +855,7 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .cache()  # feeds disc + ctx + cont + the final projection
+        .localCheckpoint()  # feeds disc + ctx + cont + final projection
     )
     disc = bi.agg(
         F.sum((F.col("c_ab") == 1).cast("long")).alias("n1"),

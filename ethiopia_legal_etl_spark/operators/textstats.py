@@ -439,16 +439,22 @@ def cooccurrence_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     dd = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
-    dd = dd.cache()  # both aggregates read it; one corpus scan each
-    # cache the two Zipf-bounded vocab tables: each is referenced 2-3
-    # times (totals + the broadcast joins) and without caching every
+    # localCheckpoint, not cache (r15 cache-scoping sweep, VERDICT r14
+    # #5): Spark's CacheManager matches plans, so a cached table left
+    # behind is silently REUSED by the next identically-built run — a
+    # cross-run intermediate in any repeated-run harness (the unigram
+    # r14 finding). Checkpointed blocks die with the DataFrame ref and
+    # never plan-match; intra-query compute-once reuse is identical.
+    dd = dd.localCheckpoint()  # both aggregates read it; one corpus scan each
+    # materialize the two Zipf-bounded vocab tables: each is referenced
+    # 2-3 times (totals + the broadcast joins) and without this every
     # reference re-runs its CORPUS-scan aggregate (measured 7 data
     # shuffles -> 4, all vocab-bounded after the fix)
     uni = (
         dd.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .localCheckpoint()
     )
     bi = (
         dd.select(
@@ -462,7 +468,7 @@ def cooccurrence_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .cache()
+        .localCheckpoint()
     )
     tot = uni.agg(F.sum("c").alias("n")).crossJoin(
         bi.agg(F.sum("c_ab").alias("m"))
@@ -596,7 +602,9 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # cache dl: it feeds both the avgdl global AND the per-doc join —
     # uncached, the corpus scan + doc-length aggregate runs twice
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
+    # localCheckpoint, not cache (r15 cache-scoping sweep): no
+    # plan-matched CacheManager entry may outlive the query run
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     g = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dl.agg(

@@ -394,6 +394,12 @@ def unigram_encode_tokens(
         # upgraded to per-task)
         lp, mpl = bc.value
         cache: dict[str, int] = {}
+        # ADVICE r14: the per-task cache is otherwise unbounded — on a
+        # partition with very high word cardinality it would grow for
+        # the task's lifetime (a Python-worker RSS regression at 100 TB
+        # scale). 2M entries ≈ low hundreds of MB worst case; clearing
+        # only resets amortization, never correctness.
+        _CACHE_CAP = 2_000_000
 
         def doc_len(t):
             if t is None:
@@ -404,6 +410,8 @@ def unigram_encode_tokens(
                     continue
                 hit = cache.get(w)
                 if hit is None:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     hit = len(word_viterbi(w, lp, mpl))
                     cache[w] = hit
                 total += hit

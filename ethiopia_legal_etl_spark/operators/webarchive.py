@@ -737,14 +737,17 @@ def bloom_probe_frontier(
     positions = [
         F.pmod(F.xxhash64(F.lit(i), F.col("url")), F.lit(m)) for i in range(k)
     ]
-    # persist: the <= m-row bit table (KBs) is the build side of all k
-    # broadcast joins — without it each join re-runs the distinct
-    # shuffle (measured: 6 exchanges -> 2)
+    # localCheckpoint, not persist (r15 cache-scoping sweep): the
+    # <= m-row bit table (KBs) is the build side of all k broadcast
+    # joins — without materialization each join re-runs the distinct
+    # shuffle (measured: 6 exchanges -> 2). Checkpointed blocks never
+    # plan-match, so nothing outlives the query in a repeated-run
+    # harness (the unigram r14 finding).
     bits = (
         urls.where(F.col("prior"))
         .select(F.explode(F.array(*positions)).alias("bit"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     probed = urls
     for i in range(k):
@@ -958,7 +961,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .cache()  # host-bounded edge list; feeds e1/e2/e3 and deg
+        # localCheckpoint, not cache (r15 cache-scoping sweep): no
+        # plan-matched CacheManager entry may outlive the query run
+        .localCheckpoint()  # host-bounded edge list; feeds e1/e2/e3 + deg
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
