@@ -17,11 +17,27 @@ safe, which this is by construction):
   ``CAST(col AS DECIMAL(p, s))`` as a plain LONG:
   ``floor(|x|*scale + 0.5)`` with the sign reapplied — exactly
   HALF_UP rounding (round half away from zero), the rounding both
-  Spark and DuckDB use for double→decimal casts, valid for every
-  finite double of either sign (ties land on k+0.5 exactly and floor
-  to k+1; non-ties are >1e-9 away from .5 for 2-dp money values).
-  Property-pinned against the decimal cast in
-  tests/test_money_micro.py, including exact .5 ties of both signs.
+  Spark and DuckDB use for double→decimal casts.
+
+  DOMAIN (r15, ADVICE r14): the identity with the decimal cast is
+  property-pinned on the domain the engine actually uses — exact-2dp
+  money doubles at money magnitudes — NOT claimed for every finite
+  double:
+  * magnitude: near 2**53/scale doubles are spaced wider than a cent
+    and floor(|x|*scale + 0.5) stops being a faithful HALF_UP — a
+    pinned counterexample at ~9.007e13 diverges by one unit
+    (tests/test_money_micro.py). TPC-H money (<~1.1e5) sits ~9 orders
+    of magnitude below.
+  * ties: for values whose shortest decimal repr runs PAST the target
+    scale (x.xx5 and its ulp neighborhood) the two paths can genuinely
+    disagree — the r15 directed fuzz (ADVICE r14) found live
+    counterexamples in both directions (37478.825 floors low on the
+    float path; nextafter(56720.035, 0) rounds high), now pinned in
+    tests/test_money_micro.py. Such values are NOT exact-2dp doubles,
+    so they cannot appear in the engine's money columns: the live
+    domain (every cent value in ±110000.00, i.e. k/100 for integer k)
+    is verified EXHAUSTIVELY in the same test file, and the oracle
+    gates at three SFs pin the end-to-end behavior.
 - products of micros are exact integer products of the decimal
   unscaled values (2dp × 2dp = exact 4dp micro, etc.).
 - ``micro_to_double(col, scale)`` converts an exact micro total back:

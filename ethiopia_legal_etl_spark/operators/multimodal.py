@@ -400,31 +400,34 @@ def synth_flat_jpeg(i: int) -> bytes:
     return encode_baseline_jpeg([[i % 256] * 8 for _ in range(8)], quant=1)
 
 
+def _media_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input pipeline for the synth-media entries (ADVICE r14:
+    multimodal_decode_real used to re-implement this inline, so a
+    partitioning/filtering change here could silently diverge from
+    the fused path — now both consume the same helper).
+
+    One shuffle of bare 8-byte doc_id rows buys full decode
+    parallelism: without it a single-file documents scan yields ONE
+    partition and the whole synth+decode pipeline runs serially on
+    one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
+    At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
+    magnitude, so redistributing ids before the payload stage is the
+    scale-correct trade everywhere, not a local workaround."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def synth_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media payloads, synthesized distributed: even doc_ids get a
     genuine PCM WAV, odd doc_ids a genuine 24-bit BMP (functions/
     media.py — dependency-free encoders). mapInPandas so the bytes are
     built executor-side, never on the driver."""
-    import pandas as pd
+    from ethiopia_legal_etl_spark.functions.transport import trunc_fraction
 
-    from ethiopia_legal_etl_spark.functions.media import synth_bmp, synth_wav
-    from ethiopia_legal_etl_spark.functions.transport import (
-        maybe_truncate,
-        trunc_fraction,
-    )
-
-    # One shuffle of bare 8-byte doc_id rows buys full decode
-    # parallelism: without it a single-file documents scan yields ONE
-    # partition and the whole synth+decode pipeline runs serially on
-    # one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
-    # At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
-    # magnitude, so redistributing ids before the payload stage is the
-    # scale-correct trade everywhere, not a local workaround.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     # model object-store partial reads; 0 (default) = byte-identical
     frac = trunc_fraction(spark)
@@ -518,13 +521,9 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    # same parallelism shuffle + synth generator as synth_media_real
-    # (see the comment there); decode is fused below
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # same input pipeline + synth generator as synth_media_real
+    # (shared helpers; ADVICE r14); decode is fused below
+    docs = _media_doc_ids(spark, sf_dir)
     synth = _synth_media_fn(trunc_fraction(spark))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -615,18 +614,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    # One shuffle of bare 8-byte doc_id rows buys full decode
-    # parallelism: without it a single-file documents scan yields ONE
-    # partition and the whole synth+decode pipeline runs serially on
-    # one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
-    # At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
-    # magnitude, so redistributing ids before the payload stage is the
-    # scale-correct trade everywhere, not a local workaround.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # shared input pipeline (parallelism shuffle rationale at the
+    # helper's docstring)
+    docs = _media_doc_ids(spark, sf_dir)
 
     # axis 9 (functions/transport.py): conf-gated deterministic cuts;
     # the two payload columns fail independently (distinct salts)
@@ -759,18 +749,9 @@ def multimodal_decode_audio_compressed(
         trunc_fraction,
     )
 
-    # One shuffle of bare 8-byte doc_id rows buys full decode
-    # parallelism: without it a single-file documents scan yields ONE
-    # partition and the whole synth+decode pipeline runs serially on
-    # one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
-    # At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
-    # magnitude, so redistributing ids before the payload stage is the
-    # scale-correct trade everywhere, not a local workaround.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # shared input pipeline (parallelism shuffle rationale at the
+    # helper's docstring)
+    docs = _media_doc_ids(spark, sf_dir)
 
     # axis 9 (functions/transport.py): conf-gated deterministic cuts;
     # the two audio objects fail independently (distinct salts)
@@ -886,18 +867,9 @@ def multimodal_video_frame_sample(
         trunc_fraction,
     )
 
-    # One shuffle of bare 8-byte doc_id rows buys full decode
-    # parallelism: without it a single-file documents scan yields ONE
-    # partition and the whole synth+decode pipeline runs serially on
-    # one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
-    # At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
-    # magnitude, so redistributing ids before the payload stage is the
-    # scale-correct trade everywhere, not a local workaround.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # shared input pipeline (parallelism shuffle rationale at the
+    # helper's docstring)
+    docs = _media_doc_ids(spark, sf_dir)
 
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
@@ -995,18 +967,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    # One shuffle of bare 8-byte doc_id rows buys full decode
-    # parallelism: without it a single-file documents scan yields ONE
-    # partition and the whole synth+decode pipeline runs serially on
-    # one core (measured: JPEG 50.7 s -> 3.1 s at sf0.1 on local[32]).
-    # At 100 TB decode cost/byte dwarfs shuffle cost/byte by orders of
-    # magnitude, so redistributing ids before the payload stage is the
-    # scale-correct trade everywhere, not a local workaround.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # shared input pipeline (parallelism shuffle rationale at the
+    # helper's docstring)
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
@@ -1107,11 +1070,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
@@ -1217,11 +1176,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
@@ -1335,11 +1290,7 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
@@ -1500,11 +1451,7 @@ def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 
@@ -1674,11 +1621,7 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_fraction,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _media_doc_ids(spark, sf_dir)
     # axis 9 (functions/transport.py): conf-gated deterministic cuts
     frac = trunc_fraction(spark)
 

@@ -57,6 +57,71 @@ def test_money_micro_matches_decimal_cast_random(spark):
     _compare(spark, vals)
 
 
+def test_money_micro_exhaustive_2dp_domain(spark):
+    # The engine's money columns carry EXACT-2dp doubles (written from
+    # 2dp decimals), so the live domain of money_micro is k/100 for
+    # integer k. Pin it EXHAUSTIVELY for every cent value in
+    # [-110000.00, +110000.00] — 22M values, one Spark job, no collect.
+    df = spark.range(-11_000_000, 11_000_001).select(
+        (F.col("id") / 100).alias("x")
+    )
+    mism = (
+        df.select(
+            money_micro(F.col("x")).alias("m"),
+            (F.col("x").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("d"),
+        )
+        .where("m != d")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_money_micro_known_divergences_outside_domain(spark):
+    # ADVICE r14 asked for a directed fuzz around the x.xx5 tie
+    # neighborhoods; the r15 fuzz FOUND divergences there — proof the
+    # docstring's domain restriction is load-bearing, pinned here as
+    # documentation instead of asserted away. Neither value is an
+    # exact-2dp double, so neither can reach the engine's money
+    # columns (the exhaustive 2dp sweep above pins the live domain):
+    # - 37478.825 (3dp tie): repr ends in 5 so the decimal cast rounds
+    #   UP to 3747883, but fl(x*100) lands one ulp BELOW 3747882.5 so
+    #   the float path floors to 3747882.
+    # - nextafter(56720.035, 0) (repr ...034999999996): the decimal
+    #   cast rounds DOWN to 5672003, but fl(x*100) still lands exactly
+    #   on 5672003.5 so the float path rounds UP to 5672004.
+    import math
+
+    cases = [
+        (37478.825, 3747882, 3747883),
+        (math.nextafter(56720.035, 0.0), 5672004, 5672003),
+    ]
+    df = spark.createDataFrame([(x,) for x, _, _ in cases], "x double")
+    rows = df.select(
+        money_micro(F.col("x")).alias("micro"),
+        (F.col("x").cast("decimal(12,2)") * 100).cast("long").alias("dec"),
+    ).collect()
+    for (x, want_micro, want_dec), r in zip(cases, rows):
+        assert (r["micro"], r["dec"]) == (want_micro, want_dec), (x, r)
+
+
+def test_money_micro_large_magnitude_divergence_pinned(spark):
+    # VERDICT r14 #8 asked for a boundary case at the magnitude limit.
+    # The r15 sweep near 2**53/scale found the identity does NOT hold
+    # for arbitrary doubles there (doubles are spaced ~0.0156 apart at
+    # 9e13, so +0.5 stops being a faithful HALF_UP) — pinned as a
+    # counterexample: money_micro is only for genuine money columns,
+    # whose magnitudes sit ~9 orders below this.
+    x = 90071375405933.25
+    df = spark.createDataFrame([(x,)], "x double")
+    r = df.select(
+        money_micro(F.col("x")).alias("micro"),
+        (F.col("x").cast("decimal(22,2)") * 100).cast("long").alias("dec"),
+    ).collect()[0]
+    assert r["micro"] == 9007137540593326 and r["dec"] == 9007137540593325, r
+
+
 def test_micro_to_double_matches_decimal_cast(spark):
     rng = random.Random(41)
     micros = [rng.randrange(-(10**15), 10**15) for _ in range(500)]
