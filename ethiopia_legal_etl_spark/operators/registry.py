@@ -343,18 +343,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # external signal), mutual-NN embedding pairs, k-core graph
     # decomposition, event transition matrix, n-gram contamination
     # overlap, stratified corpus sampling.
-    "experiment_proportion_ztest",
-    "batch_padding_waste",
-    "features_winsorize_events",
-    "anomaly_rolling_zscore",
-    "gini_revenue_concentration",
-    "aqp_stratified_revenue",
-    "dedup_semantic_keep",
-    "embedding_mutual_nn",
-    "graph_kcore_hosts",
-    "event_transition_matrix",
-    "contamination_ngram_overlap",
-    "corpus_stratified_sample",
+    # r15 rotation (VERDICT r14 #9, 12 out / 12 in; all rotated-out
+    # names stay oracle-gated by tests/test_full_registry_gate.py on
+    # every pytest run). OUT: the entire r12 batch, each driver-green
+    # three consecutive rounds (r12-r14) with its §2 class keeping an
+    # in-window representative or an IN replacement —
+    # experiment_proportion_ztest (stats/experiments keep
+    # stats_chi2_independence, and stats_aggregates comes IN),
+    # batch_padding_waste (token/batch accounting keeps
+    # text_bpe_token_count; applyinpandas_user_gap_stats comes IN for
+    # grouped per-user stats), features_winsorize_events (feature
+    # transforms keep embedding_int8_quantize; text_repetition_filter
+    # comes IN for per-row text features), anomaly_rolling_zscore
+    # (ordered time-series folds keep timeseries_gapfill_locf +
+    # hypertable_rollup; window_ntile_percent_rank comes IN for
+    # ranking windows), gini_revenue_concentration (concentration/
+    # order-stats keep approx_percentile_price),
+    # aqp_stratified_revenue (approximate-answer class keeps
+    # approx_percentile_price), dedup_semantic_keep (near-dup keeps
+    # dedup_chunk_boilerplate + url_canonical_dedup, and
+    # dedup_incremental_snapshot comes IN), embedding_mutual_nn
+    # (embeddings keep embedding_int8_quantize;
+    # embedding_random_projection comes IN), graph_kcore_hosts
+    # (iterative/graph stays covered by the full-registry gate and the
+    # secondary bench's dedup_cluster_jaccard fixpoint, the r8
+    # precedent for a class leaving the window), event_transition_matrix
+    # (event sequences keep funnel_signup_purchase_7d +
+    # stream_static_enrich), contamination_ngram_overlap (n-gram
+    # contamination keeps text_bpe_token_count + html_main_text; the
+    # ngram-overlap oracle stays full-registry-gated),
+    # corpus_stratified_sample (sampling/curation keep
+    # corpus_quality_curation + dsir_importance_select).
     # r13 rotation IN (VERDICT r12 #1): the registry's published r13
     # candidate list verbatim — the two r12 rows-only→oracle
     # conversions lead (approx_percentile_price additionally margin-
@@ -407,22 +426,50 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dsir_importance_select",
     "stream_static_enrich",
     "model_ece_calibration",
-    # r15 rotation candidates — every name below verified against the
-    # registry at r14 close (106 oracle-checked entries have never
-    # been driver-sampled after this round's window). Strong
-    # never-sampled class representatives, led by the entries that
-    # earned an external signal this round: stats_aggregates (carries
-    # the r13 zero-variance corr fix), try_arithmetic_orders (the
-    # try_* semantics family — this round's degenerate-guard theme),
-    # q8_market_share (8-table join), q2_min_cost_supplier
-    # (correlated subquery), q21_sole_return_supplier (exists/
-    # not-exists anti-join; headline bench member),
-    # recursive_monthly_spine (recursive CTE),
+    # r15 rotation IN (VERDICT r14 #9): the registry's published r15
+    # candidate list verbatim — every name was pre-published and
+    # name-verified at r14 close, never driver-sampled, and
+    # replica-verified at sf0.01 at r15 open (12/12 passed, 0
+    # raw-repr warnings). Led by the entries that earned an external
+    # signal in r14: stats_aggregates (carries the r13 zero-variance
+    # corr fix + the r14 pairwise-complete-under-NULLs fix),
+    # try_arithmetic_orders (the try_* semantics family),
+    # q8_market_share (8-table join; r14 micro-respelled headline
+    # bench member), q2_min_cost_supplier (correlated subquery),
+    # q21_sole_return_supplier (exists/not-exists anti-join; headline
+    # bench member), recursive_monthly_spine (recursive CTE),
     # pivot_status_by_priority (pivot), window_ntile_percent_rank
     # (ranking windows), applyinpandas_user_gap_stats (grouped-map
     # Pandas UDF), text_repetition_filter (Gopher repetition gate),
     # embedding_random_projection (JL projection),
     # dedup_incremental_snapshot (incremental dedup).
+    "stats_aggregates",
+    "try_arithmetic_orders",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "q21_sole_return_supplier",
+    "recursive_monthly_spine",
+    "pivot_status_by_priority",
+    "window_ntile_percent_rank",
+    "applyinpandas_user_gap_stats",
+    "text_repetition_filter",
+    "embedding_random_projection",
+    "dedup_incremental_snapshot",
+    # r16 rotation candidates — every name below verified against the
+    # registry at r15 close (94 oracle-checked entries have never been
+    # driver-sampled after this round's window). Led by the entries
+    # that earned an external signal this round:
+    # q11_important_parts + q17_small_quantity_loss (carry the r15
+    # money-micro respell — measured wins, deserve driver audit),
+    # cooccurrence_pmi_bigrams + sketch_kmv_cooccurrence (carry the
+    # r15 cache-scoping change), then strong never-sampled class
+    # representatives: q16_supplier_part_counts (count-distinct
+    # aggregate + NOT IN anti-join), q12_late_shipment_priority
+    # (join-residual interval predicate), multimodal_decode_mpeg1_l2
+    # (MPEG-1 Layer II decode), stats_skew_kurtosis (higher-moment
+    # stats), asof_merge_asof_pandas (cogrouped-pandas as-of merge),
+    # sql_grouping_sets (grouping sets), stream_quality_twin
+    # (streaming quality twin), text_unigram_logprob (LM scoring).
 )
 
 

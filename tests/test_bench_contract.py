@@ -218,9 +218,20 @@ def test_only_artifact_naming_helpers():
     AB_r{N}_only_{slug}.json with N inferred from the newest banked
     BENCH_r{N}.json (driver writes it at round close -> +1)."""
     root = Path(bench.__file__).parent
-    banked = sorted(root.glob("BENCH_r*.json"))
+    # match bench._current_round's strict pattern: the driver also
+    # banks suffixed artifacts (BENCH_r14_c8.json, the low-core
+    # scaling run) that the round series must ignore — the test's old
+    # split("_r") parser crashed on the first such file (found at r15
+    # open: the c8 artifact lands AFTER the round's last pytest run)
+    import re
+
+    banked = [
+        int(m.group(1))
+        for p in root.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    ]
     assert banked, "driver BENCH series missing"
-    newest = max(int(p.stem.split("_r")[1]) for p in banked)
+    newest = max(banked)
     assert bench._current_round() == newest + 1
     assert bench._only_slug(["q5_region_revenue"]) == "q5_region_revenue"
     assert (

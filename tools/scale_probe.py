@@ -1725,6 +1725,105 @@ def fixpoint_probe(spark, scratch: str) -> list[dict]:
     return out
 
 
+_SCANFID_WORKER = '''
+import json, sys, time
+repo, cores, d = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .appName("scanfid-worker")
+         .config("spark.ui.enabled", "false")
+         # emulate the 100 TB condition where every parquet file meets
+         # or exceeds the split size (there: >=128m files under the
+         # default maxPartitionBytes): the probe's 30x table is ~700MB
+         # in 32 x ~22MB files, which the default 128m split PACKS
+         # into ~7 tasks (openCost 4m) and the cores axis saturates at
+         # 8 for packing reasons, not plan reasons (measured r15).
+         .config("spark.sql.files.maxPartitionBytes", "16m")
+         .config("spark.sql.files.openCostInBytes", "0")
+         .getOrCreate())
+from ethiopia_legal_etl_spark.session import ensure_session_confs
+ensure_session_confs(spark)
+from ethiopia_legal_etl_spark.operators.relational import q1_pricing_summary
+runs = []
+for _ in range(4):
+    df = q1_pricing_summary(spark, d)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    runs.append(round(time.perf_counter() - t0, 3))
+steady = sorted(runs[1:])
+print(json.dumps({"runs": runs, "median": steady[len(steady) // 2]}))
+'''
+
+
+def scanfidelity_probe(spark, scratch: str) -> list[dict]:
+    """Scan-parallelism fidelity (VERDICT r14 #6): every bench base
+    table is ONE single-row-group parquet file, so each scan stage is
+    ONE task regardless of core count and the TPC-H heads read
+    core-count-flat in the driver's c8/c32 block — a testdata-layout
+    artifact, not a plan property. This probe rewrites a 10x lineitem
+    into (a) a single file (the testdata layout) and (b) 32 files (a
+    real table's splittable layout) and runs the REGISTERED
+    q1_pricing_summary in FRESH subprocess sessions at local[8] and
+    local[32] against each. Fidelity claim: on the splittable layout
+    the 8->32 speedup is >= 0.5 x the cores ratio; on the single-file
+    layout it stays ~flat. Curves pinned in SCALING.md §scanfidelity.
+    """
+    import subprocess
+
+    # 90x (54M rows): measured r15 — at 10x the whole aggregate is ~4
+    # core-seconds and saturates by 8 cores on any layout; at 30x the
+    # c8 split run is ~0.9 s, of which ~0.5 s is fixed multi-stage/AQE
+    # floor, so the cores axis still reads ~1.1x. 90x puts ~2.5 s of
+    # work at c8 so the compute term dominates the floor.
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    big = base.crossJoin(spark.range(90).select(F.col("id").alias("_dup"))).drop(
+        "_dup"
+    )
+    layouts = {
+        "single_file": (f"{scratch}/scanfid_1", 1),
+        "split_32": (f"{scratch}/scanfid_32", 32),
+    }
+    for d, n in layouts.values():
+        big.repartition(n).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
+        )
+    worker = f"{scratch}/scanfid_worker.py"
+    Path(worker).write_text(_SCANFID_WORKER)
+    repo = str(Path(__file__).resolve().parent.parent)
+    out: list[dict] = []
+    meds: dict[tuple[str, int], float] = {}
+    for layout, (d, _) in layouts.items():
+        for cores in (8, 32):
+            r = subprocess.run(
+                [sys.executable, worker, repo, str(cores), d],
+                capture_output=True, text=True, timeout=900,
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            rec = json.loads(line)
+            meds[(layout, cores)] = rec["median"]
+            out.append(
+                {
+                    "exp": "scanfidelity_q1",
+                    "layout": layout,
+                    "cores": cores,
+                    "runs": rec["runs"],
+                    "median": rec["median"],
+                }
+            )
+    for layout in layouts:
+        c8, c32 = meds[(layout, 8)], meds[(layout, 32)]
+        out.append(
+            {
+                "exp": "scanfidelity_q1_ratio",
+                "layout": layout,
+                "speedup_8_to_32": round(c8 / c32, 2) if c32 else None,
+                "cores_ratio": 4.0,
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
@@ -1765,6 +1864,8 @@ def main() -> None:
                     help="Theil-Sen day-range (full vs trailing-90) + silhouette label-count scaling (~4 min)")
     ap.add_argument("--fixpoint", action="store_true",
                     help="connected-components fixpoint probe: planted worst-case chains, rounds-to-fixpoint + per-round rate at 1x/10x nodes and 8/512/4096 diameter (~4 min)")
+    ap.add_argument("--scanfidelity", action="store_true",
+                    help="core-scaling of q1's aggregate on splittable (32-file) vs single-file 10x lineitem, fresh local[8]/local[32] sessions (~4 min)")
     ap.add_argument("--graph", action="store_true",
                     help="fixed-point graph ops (PageRank unrolled / k-core checkpointed) at 1x/10x/100x hosts+edges (~3 min)")
     args = ap.parse_args()
@@ -1844,6 +1945,9 @@ def main() -> None:
                 print(json.dumps(r))
         if args.graph:
             for r in graph_probe(spark, scratch):
+                print(json.dumps(r))
+        if args.scanfidelity:
+            for r in scanfidelity_probe(spark, scratch):
                 print(json.dumps(r))
     finally:
         if not args.keep:
