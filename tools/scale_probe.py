@@ -1727,27 +1727,43 @@ def fixpoint_probe(spark, scratch: str) -> list[dict]:
 
 _SCANFID_WORKER = '''
 import json, sys, time
-repo, cores, d = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+repo, cores, d, mode = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
 sys.path.insert(0, repo)
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 spark = (SparkSession.builder.master(f"local[{cores}]")
          .appName("scanfid-worker")
          .config("spark.ui.enabled", "false")
          # emulate the 100 TB condition where every parquet file meets
          # or exceeds the split size (there: >=128m files under the
-         # default maxPartitionBytes): the probe's 30x table is ~700MB
-         # in 32 x ~22MB files, which the default 128m split PACKS
-         # into ~7 tasks (openCost 4m) and the cores axis saturates at
-         # 8 for packing reasons, not plan reasons (measured r15).
+         # default maxPartitionBytes): the probe's 90x table is ~2GB
+         # in 32 x ~60MB files, which the default 128m split would
+         # PACK into fewer tasks (openCost 4m) and the cores axis
+         # would saturate for packing reasons, not plan reasons
+         # (measured r15 at 30x: ~7 splits).
          .config("spark.sql.files.maxPartitionBytes", "16m")
          .config("spark.sql.files.openCostInBytes", "0")
          .getOrCreate())
 from ethiopia_legal_etl_spark.session import ensure_session_confs
 ensure_session_confs(spark)
 from ethiopia_legal_etl_spark.operators.relational import q1_pricing_summary
+
+def build():
+    if mode == "q1":
+        return q1_pricing_summary(spark, d)
+    # cpu mode: a compute-dominated aggregate over the same scan (one
+    # sha2 per row) — separates task-fan-out capacity from q1's
+    # memory-bandwidth-bound decode+sum
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    return (
+        li.select(F.sha2(F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_shipdate"), 256).alias("h"))
+        .groupBy((F.crc32(F.col("h")) % 7).alias("b")).count()
+    )
+
 runs = []
 for _ in range(4):
-    df = q1_pricing_summary(spark, d)
+    df = build()
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     runs.append(round(time.perf_counter() - t0, 3))
@@ -1792,30 +1808,33 @@ def scanfidelity_probe(spark, scratch: str) -> list[dict]:
     Path(worker).write_text(_SCANFID_WORKER)
     repo = str(Path(__file__).resolve().parent.parent)
     out: list[dict] = []
-    meds: dict[tuple[str, int], float] = {}
-    for layout, (d, _) in layouts.items():
+    meds: dict[tuple[str, str, int], float] = {}
+    jobs = [("q1", layout) for layout in layouts] + [("cpu", "split_32")]
+    for mode, layout in jobs:
+        d = layouts[layout][0]
         for cores in (8, 32):
             r = subprocess.run(
-                [sys.executable, worker, repo, str(cores), d],
+                [sys.executable, worker, repo, str(cores), d, mode],
                 capture_output=True, text=True, timeout=900,
             )
             line = r.stdout.strip().splitlines()[-1]
             rec = json.loads(line)
-            meds[(layout, cores)] = rec["median"]
+            meds[(mode, layout, cores)] = rec["median"]
             out.append(
                 {
-                    "exp": "scanfidelity_q1",
+                    "exp": f"scanfidelity_{mode}",
                     "layout": layout,
                     "cores": cores,
                     "runs": rec["runs"],
                     "median": rec["median"],
                 }
             )
-    for layout in layouts:
-        c8, c32 = meds[(layout, 8)], meds[(layout, 32)]
+    for mode, layout in jobs:
+        c8 = meds[(mode, layout, 8)]
+        c32 = meds[(mode, layout, 32)]
         out.append(
             {
-                "exp": "scanfidelity_q1_ratio",
+                "exp": f"scanfidelity_{mode}_ratio",
                 "layout": layout,
                 "speedup_8_to_32": round(c8 / c32, 2) if c32 else None,
                 "cores_ratio": 4.0,
